@@ -1,0 +1,53 @@
+package graft
+
+import graft.analysis.AnalyzerConfig
+import graft.corpus.Corpus
+import graft.index.{BuiltIndex, IndexBuilder, IndexConfig}
+import graft.search.Searcher
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.concurrent.TrieMap
+
+/** Process-level facade: builds (or resumes) indexes under a work directory
+  * and caches open handles, so the Verify/Bench drivers — which call many
+  * [[SparkEntry.queries]] entries in one JVM — pay the build cost once per
+  * (corpus, config). A second process pointed at the same work dir resumes
+  * from the on-disk checkpoints instead of rebuilding ([[index.Checkpoint]]).
+  */
+object Engine {
+  /** Analyzer used for the DuckDB-oracle-matched queries: whitespace
+    * tokenize → lowercase → stop {a, the} — every step SQL-expressible.
+    * Stemmed configs are exercised by ScalaTest goldens instead
+    * (no stemmer exists in the oracle, SURVEY.md §5).
+    */
+  val OracleAnalyzer: AnalyzerConfig =
+    AnalyzerConfig(tokenizer = "whitespace", stopWords = Set("a", "the"), stemmer = "none")
+
+  val PorterAnalyzer: AnalyzerConfig =
+    AnalyzerConfig(tokenizer = "whitespace", stopWords = Set("a", "the"), stemmer = "porter")
+
+  def workDir: String =
+    sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-work")
+
+  private val cache = TrieMap[String, BuiltIndex]()
+
+  /** Index of the documents-derived corpus at `sfDir` under `cfg`. */
+  def indexFor(spark: SparkSession, sfDir: String, cfg: IndexConfig,
+               tag: String): BuiltIndex = {
+    val key = s"$sfDir|$tag|${cfg.id}"
+    cache.getOrElseUpdate(key, {
+      val safeSf = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"$workDir/idx_${safeSf}_$tag"
+      IndexBuilder.build(Corpus.fromDocuments(spark, sfDir), dir, cfg, verifySha = true)
+    })
+  }
+
+  def oracleIndex(spark: SparkSession, sfDir: String): BuiltIndex =
+    indexFor(spark, sfDir, IndexConfig(analyzer = OracleAnalyzer), "oracle")
+
+  def porterIndex(spark: SparkSession, sfDir: String): BuiltIndex =
+    indexFor(spark, sfDir, IndexConfig(analyzer = PorterAnalyzer), "porter")
+
+  def searcher(spark: SparkSession, sfDir: String): Searcher =
+    new Searcher(oracleIndex(spark, sfDir))
+}

@@ -1,13 +1,242 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.codec.PostingCodec
+import graft.index.PostingRun
+import graft.search.Topic
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every oracle-matched query runs the REAL engine pipeline (corpus →
+  * checkpointed index build → table / search output) on the Spark side,
+  * while the DuckDB side recomputes the same semantics independently from
+  * the raw parquet — so a hash match certifies analyzer, codec, stats and
+  * scoring end-to-end, not just SQL-on-SQL equality.
+  */
 object SparkEntry {
+
+  /** The fixed topic batch (≙ `example/queries.txt` bag-of-words topics);
+    * vocabulary drawn from the synthetic documents table. Topic 4 carries
+    * the stopword "the" to exercise the stop filter on the query path.
+    */
+  val topics: Seq[Topic] = Seq(
+    Topic("1", "hash join merge"),
+    Topic("2", "fast table scan"),
+    Topic("3", "dup customer data"),
+    Topic("4", "the slow query window"))
+
+  val TopK = 20
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Engine.searcher(spark, "/root/testdata/sf0.001")
+      .search(topics, TopK).toDF()
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 scan + docno/commit derivation + sha256 invariant surface
+    "q_corpus" -> ((s, dir) => {
+      corpus.Corpus.fromDocuments(s, dir)
+        .select(col("docno"), col("repo"), col("path"), col("commit"), col("lang"),
+          sha2(col("content"), 256).as("sha"),
+          length(col("content")).cast("long").as("n_chars"))
+        .orderBy("docno")
+    }),
+    // §2.4 doc length (dl ≙ computeNorm) through the full build pipeline
+    "q_doclens" -> ((s, dir) => {
+      Engine.oracleIndex(s, dir).docs
+        .select(col("docno"), col("dl").cast("long").as("dl"))
+        .orderBy("docno")
+    }),
+    // §2.4 collection stats (N, sumTotalTermFreq)
+    "q_stats" -> ((s, dir) => {
+      val st = Engine.oracleIndex(s, dir).stats
+      import s.implicits._
+      Seq((st.max_doc, st.sum_total_term_freq)).toDF("max_doc", "sum_total_term_freq")
+    }),
+    // §2.4 document frequency from merged postings
+    "q_df" -> ((s, dir) => {
+      Engine.oracleIndex(s, dir).termStats
+        .select(col("term"), col("df").cast("long").as("df"))
+        .orderBy("term")
+    }),
+    // §2.7 codec round-trip: decoded (term, docno, tf) from the blobs
+    "q_tf" -> ((s, dir) => {
+      val idx = Engine.oracleIndex(s, dir)
+      import s.implicits._
+      val decoded = idx.postings.as[PostingRun].flatMap { r =>
+        PostingCodec.decodeBlobs(r.ndocs, r.doc_blob, r.tf_blob, r.dl_blob)
+          .map(p => (r.term, p.docid, p.tf.toLong))
+      }.toDF("term", "docid", "tf")
+      decoded.join(idx.docs.select("docid", "docno"), Seq("docid"))
+        .select(col("term"), col("docno"), col("tf"))
+        .orderBy("term", "docno")
+    }),
+    // §2.3/§2.4/§2.5 the full BM25 top-k search (ranks; float scores are
+    // golden-locked in ScalaTest — a double-math oracle can't hash-match
+    // Float score bytes)
+    "q_bm25_topk" -> ((s, dir) => {
+      Engine.searcher(s, dir).search(topics, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // §2.5 top-terms ordering (df desc, term asc)
+    "q_top_terms" -> ((s, dir) => {
+      Engine.oracleIndex(s, dir).termStats
+        .select(col("term"), col("df").cast("long").as("df"))
+        .orderBy(desc("df"), asc("term")).limit(10)
+    }),
+    // training-pipeline op: exact dedup by content sha256
+    "q_exact_dup" -> ((s, dir) => {
+      corpus.Corpus.fromDocuments(s, dir)
+        .groupBy(sha2(col("content"), 256).as("sha"))
+        .agg(count(lit(1)).as("n_dups"), min(col("docno")).as("first_docno"))
+        .where(col("n_dups") > 1)
+        .orderBy("sha")
+    }),
+    // training-pipeline op: per-doc token statistics (quality signals)
+    "q_text_stats" -> ((s, dir) => {
+      val idx = Engine.oracleIndex(s, dir)
+      idx.spark.read.parquet(s"${idx.dir}/${graft.index.IndexLayout.TokenizedDir}")
+        .select(col("docno"), col("dl").cast("long").as("n_tokens"),
+          size(col("terms")).cast("long").as("n_types"),
+          aggregate(transform(col("terms"), t => length(t.getField("term"))),
+            lit(0), (acc, x) => greatest(acc, x)).cast("long").as("max_term_len"))
+        .orderBy("docno")
+    }),
+    // rows-only checks (not SQL-expressible in the oracle): stemmed index,
+    // postings/segment metadata, byte-encoded-norm scoring variant
+    "q_porter_df" -> ((s, dir) => {
+      Engine.porterIndex(s, dir).termStats
+        .select(col("term"), col("df").cast("long").as("df"))
+        .orderBy("term")
+    }),
+    "q_postings_meta" -> ((s, dir) => {
+      Engine.oracleIndex(s, dir).postings
+        .select(col("term"), col("grp"), col("ndocs"),
+          size(col("block_last_docid")).as("n_blocks"),
+          col("max_tf"), col("sum_tf"))
+        .orderBy("term", "grp")
+    }),
+    "q_bm25e_topk" -> ((s, dir) => {
+      Engine.searcher(s, dir).search(topics, TopK, scorerName = "bm25e")
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    })
+  )
+
+  // ---- DuckDB oracle -------------------------------------------------------
+
+  /** Shared corpus/tokenization CTEs, mirroring the engine's oracle
+    * analyzer chain (whitespace split → lower → stop {a, the}).
+    */
+  private val CorpusCte =
+    """corpus AS (
+      |  SELECT concat('doc-', lpad(cast(doc_id AS varchar), 8, '0')) AS docno,
+      |         source AS repo,
+      |         concat(lang, '/', cast(doc_id AS varchar), '.txt') AS path,
+      |         md5(concat('doc-', lpad(cast(doc_id AS varchar), 8, '0'))) AS commit_sha,
+      |         lang, text AS content
+      |  FROM documents
+      |)""".stripMargin
+
+  private val TokCte =
+    """tok0 AS (
+      |  SELECT docno, unnest(string_split_regex(lower(content), '\s+')) AS term
+      |  FROM corpus
+      |),
+      |tok AS (
+      |  SELECT docno, term FROM tok0
+      |  WHERE term <> '' AND term NOT IN ('a', 'the')
+      |)""".stripMargin
+
+  private def withCtes(body: String): String =
+    s"WITH $CorpusCte,\n$TokCte\n$body"
+
+  /** The topic batch as SQL VALUES of (qid, clause term) rows — one row per
+    * analyzed token occurrence, after stop-filtering (term weights = row
+    * multiplicity).
+    */
+  private val TopicsCte =
+    """topics(qid, term) AS (VALUES
+      |  ('1','hash'),('1','join'),('1','merge'),
+      |  ('2','fast'),('2','table'),('2','scan'),
+      |  ('3','dup'),('3','customer'),('3','data'),
+      |  ('4','slow'),('4','query'),('4','window'))""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_corpus" ->
+      s"""WITH $CorpusCte
+         |SELECT docno, repo, path, commit_sha AS "commit", lang,
+         |       sha256(content) AS sha,
+         |       length(content)::BIGINT AS n_chars
+         |FROM corpus ORDER BY docno""".stripMargin,
+    "q_doclens" -> withCtes(
+      """SELECT c.docno, coalesce(t.dl, 0)::BIGINT AS dl
+        |FROM corpus c
+        |LEFT JOIN (SELECT docno, count(*) AS dl FROM tok GROUP BY docno) t
+        |  USING (docno)
+        |ORDER BY docno""".stripMargin),
+    "q_stats" -> withCtes(
+      """SELECT (SELECT count(*) FROM corpus)::BIGINT AS max_doc,
+        |       (SELECT count(*) FROM tok)::BIGINT AS sum_total_term_freq""".stripMargin),
+    "q_df" -> withCtes(
+      """SELECT term, count(DISTINCT docno)::BIGINT AS df
+        |FROM tok GROUP BY term ORDER BY term""".stripMargin),
+    "q_tf" -> withCtes(
+      """SELECT term, docno, count(*)::BIGINT AS tf
+        |FROM tok GROUP BY term, docno ORDER BY term, docno""".stripMargin),
+    "q_bm25_topk" -> withCtes(
+      s""",
+         |$TopicsCte,
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
+         |scored AS (
+         |  SELECT q.qid, f.docno,
+         |         sum(q.w * ((1.2 + 1.0) * f.tf)
+         |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
+         |  FROM qterm q
+         |  JOIN tf f ON f.term = q.term
+         |  JOIN dl d ON d.docno = f.docno
+         |  JOIN df v ON v.term = q.term
+         |  CROSS JOIN st
+         |  GROUP BY q.qid, f.docno
+         |),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scored
+         |)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    "q_top_terms" -> withCtes(
+      """SELECT term, count(DISTINCT docno)::BIGINT AS df
+        |FROM tok GROUP BY term
+        |ORDER BY df DESC, term ASC LIMIT 10""".stripMargin),
+    "q_exact_dup" -> withCtes(
+      """SELECT sha256(content) AS sha, count(*)::BIGINT AS n_dups,
+        |       min(docno) AS first_docno
+        |FROM corpus GROUP BY sha256(content) HAVING count(*) > 1
+        |ORDER BY sha""".stripMargin),
+    "q_text_stats" -> withCtes(
+      """SELECT c.docno,
+        |       coalesce(t.n_tokens, 0)::BIGINT AS n_tokens,
+        |       coalesce(t.n_types, 0)::BIGINT AS n_types,
+        |       coalesce(t.max_term_len, 0)::BIGINT AS max_term_len
+        |FROM corpus c
+        |LEFT JOIN (SELECT docno, count(*) AS n_tokens,
+        |                  count(DISTINCT term) AS n_types,
+        |                  max(length(term)) AS max_term_len
+        |           FROM tok GROUP BY docno) t USING (docno)
+        |ORDER BY docno""".stripMargin)
+  )
 }

@@ -1,0 +1,94 @@
+package graft.analysis
+
+/** Configuration for the analysis chain — the engine-side equivalent of the
+  * reference's settings surface (`LTRSettings.java:20-26`: `tokenizer`,
+  * `stopFile`, `stemmer`, with "None" meaning disabled).
+  */
+final case class AnalyzerConfig(
+    tokenizer: String = "whitespace",
+    stopWords: Set[String] = Set.empty,
+    stemmer: String = "none"
+) {
+  /** Stable id used in index manifests so a config change invalidates
+    * checkpointed stages.
+    */
+  def id: String = {
+    val stop = if (stopWords.isEmpty) "-" else stopWords.toSeq.sorted.mkString(",")
+    s"tok=$tokenizer;stop=${Integer.toHexString(stop.hashCode)};stem=$stemmer"
+  }
+}
+
+/** The analysis chain: tokenize → lowercase → stop-filter → stem, exactly
+  * the reference's `TrecAnalyzer` composition and order
+  * (`TrecAnalyzer.java:48-106`; lowercase always applied BEFORE stopping,
+  * :72-76, so the stop list is effectively case-insensitive against input
+  * tokens). Serializable: one instance is closed over by Dataset
+  * transformations and shipped to executors.
+  */
+final class Analyzer(val cfg: AnalyzerConfig) extends Serializable {
+  private val tokenizer = Tokenizer.byName(cfg.tokenizer)
+  private val stemmer = Stemmer.byName(cfg.stemmer)
+  private val stop = cfg.stopWords // already-lowercased stop terms
+  private val stopping = stop.nonEmpty
+  private val stemming = stemmer ne NoStemmer
+
+  /** Code-point-wise lowercase (the observable behavior of Lucene's
+    * `LowerCaseFilter`), NOT `String.toLowerCase` whose locale-aware
+    * multi-char mappings would diverge.
+    */
+  def lowercase(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** Analyzed terms in order (positions collapse like Lucene's StopFilter:
+    * stopped tokens are simply absent and do not count toward doc length,
+    * matching `FieldInvertState.getLength` semantics used as the norm,
+    * reference `BM25.java:146-149`).
+    */
+  def analyze(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = Array.newBuilder[String]
+    val it = tokenizer.tokenize(text)
+    while (it.hasNext) {
+      val low = lowercase(it.next())
+      if (!stopping || !stop.contains(low)) {
+        out += (if (stemming) stemmer.stem(low) else low)
+      }
+    }
+    out.result()
+  }
+
+  /** (term, tf) pairs for one document plus its doc length — one pass, no
+    * shuffle: tf is computed within the row (SURVEY.md §2.4).
+    */
+  def termFreqs(text: String): (Array[(String, Int)], Int) = {
+    val terms = analyze(text)
+    if (terms.isEmpty) return (Array.empty, 0)
+    val m = new java.util.HashMap[String, Int](terms.length * 2)
+    var i = 0
+    while (i < terms.length) {
+      m.put(terms(i), m.getOrDefault(terms(i), 0) + 1)
+      i += 1
+    }
+    val out = new Array[(String, Int)](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) { val e = it.next(); out(k) = (e.getKey, e.getValue); k += 1 }
+    (out, terms.length)
+  }
+}
+
+object Analyzer {
+  /** Parse a stop list the way the reference does: whitespace-token scan of
+    * the file text (`TrecAnalyzer.java:28-40`).
+    */
+  def parseStopWords(text: String): Set[String] =
+    text.split("\\s+").iterator.filter(_.nonEmpty).toSet
+}

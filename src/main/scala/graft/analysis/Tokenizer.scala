@@ -1,0 +1,83 @@
+package graft.analysis
+
+import java.util.regex.Pattern
+
+/** Splits field text into raw tokens. The reference plugs tokenizers in by
+  * class name (`TrecAnalyzer.java:55-70`), defaulting to whitespace
+  * (`LTRSettings.java:20`); we mirror that as a small serializable strategy
+  * used inside Dataset transformations.
+  */
+trait Tokenizer extends Serializable {
+  def name: String
+  def tokenize(text: String): Iterator[String]
+}
+
+/** Whitespace tokenization: maximal runs of non-whitespace characters
+  * (Unicode `Character.isWhitespace`), with over-long tokens split at
+  * `maxTokenLen` chars — the observable behavior of Lucene's
+  * `WhitespaceTokenizer` the reference defaults to.
+  */
+final class WhitespaceTokenizer(maxTokenLen: Int = 255) extends Tokenizer {
+  val name = "whitespace"
+  def tokenize(text: String): Iterator[String] = new Iterator[String] {
+    private var i = 0
+    private val n = text.length
+    private def skipWs(): Unit = { while (i < n && Character.isWhitespace(text.charAt(i))) i += 1 }
+    skipWs()
+    def hasNext: Boolean = i < n
+    def next(): String = {
+      val start = i
+      var len = 0
+      while (i < n && len < maxTokenLen && !Character.isWhitespace(text.charAt(i))) { i += 1; len += 1 }
+      val tok = text.substring(start, i)
+      skipWs()
+      tok
+    }
+  }
+}
+
+/** Approximation of Lucene's `ClassicTokenizer` (the JFlex grammar behind
+  * the reference's `tokenizer: ClassicTokenizer` option,
+  * `TrecAnalyzer.java:57-59`): words, numbers with internal punctuation,
+  * apostrophe forms, acronyms, emails, hosts and company names survive as
+  * single tokens; other punctuation splits. Behavior is fixture-locked in
+  * `ClassicTokenizerSpec`; exotic JFlex edge cases (see SURVEY.md §7.6) are
+  * intentionally deferred.
+  */
+final class ClassicLikeTokenizer extends Tokenizer {
+  val name = "classic"
+  import ClassicLikeTokenizer.TOKEN
+  def tokenize(text: String): Iterator[String] = new Iterator[String] {
+    private val m = TOKEN.matcher(text)
+    private var found = m.find()
+    def hasNext: Boolean = found
+    def next(): String = {
+      val tok = m.group()
+      found = m.find()
+      tok
+    }
+  }
+}
+
+object ClassicLikeTokenizer {
+  // Ordered alternation, longest-match-first where prefixes overlap:
+  //   email | host | acronym | company | apostrophe | num | alphanum
+  private val EMAIL = """[A-Za-z0-9]+(?:[._\-][A-Za-z0-9]+)*@[A-Za-z0-9]+(?:[.\-][A-Za-z0-9]+)+"""
+  private val HOST = """\p{Alnum}+(?:\.\p{Alnum}+)+"""
+  private val ACRONYM = """\p{Alpha}\.(?:\p{Alpha}\.)+"""
+  private val COMPANY = """\p{Alpha}+(?:[&@]\p{Alpha}+)+"""
+  private val APOSTROPHE = """\p{Alpha}+(?:'\p{Alpha}+)+"""
+  private val NUM = """\p{Alnum}+(?:[.,/\-_:]\p{Alnum}+)*(?<=[0-9\p{Alnum}])"""
+  private val ALPHANUM = """\p{Alnum}+"""
+  private[analysis] val TOKEN: Pattern =
+    Pattern.compile(Seq(EMAIL, ACRONYM, HOST, COMPANY, APOSTROPHE, ALPHANUM).mkString("|"))
+}
+
+object Tokenizer {
+  /** Registry mirroring the reference's by-name tokenizer selection. */
+  def byName(name: String): Tokenizer = name.toLowerCase match {
+    case "whitespace" | "whitespacetokenizer" => new WhitespaceTokenizer()
+    case "classic" | "classictokenizer"       => new ClassicLikeTokenizer()
+    case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
+  }
+}

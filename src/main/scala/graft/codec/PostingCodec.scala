@@ -1,0 +1,119 @@
+package graft.codec
+
+import java.io.ByteArrayOutputStream
+
+/** One decoded posting: docid (64-bit — ids are packed
+  * (rangePartition << 40 | localIndex) at 10^12-doc scale), term frequency,
+  * and the document's token length. dl is denormalized into the posting so
+  * query-time BM25 scoring needs no join against the doc-length table — the
+  * Spark equivalent of Lucene's per-segment norms array being a local
+  * lookup (norms written at `BM25.java:146-149` in the reference).
+  */
+final case class DecodedPosting(docid: Long, tf: Int, dl: Int)
+
+/** An encoded posting-list run for one (term, docid-range group).
+  *
+  * - `docBlob`: docids — first absolute, then deltas — varbyte
+  * - `tfBlob`:  term frequencies, varbyte
+  * - `dlBlob`:  exact doc lengths, varbyte
+  * - block metadata every [[PostingCodec.BlockSize]] postings: last docid,
+  *   max tf and min dl per block plus byte offsets into each blob, enabling
+  *   block skipping / block-max WAND upper bounds without decoding.
+  */
+final case class EncodedRun(
+    ndocs: Int,
+    firstDocid: Long,
+    lastDocid: Long,
+    maxTf: Int,
+    sumTf: Long,
+    docBlob: Array[Byte],
+    tfBlob: Array[Byte],
+    dlBlob: Array[Byte],
+    blockLastDocid: Array[Long],
+    blockMaxTf: Array[Int],
+    blockMinDl: Array[Int],
+    blockDocOff: Array[Int],
+    blockTfOff: Array[Int],
+    blockDlOff: Array[Int]
+)
+
+object PostingCodec {
+  val BlockSize = 128
+
+  /** Encode postings (docids MUST be strictly ascending). `it` is consumed
+    * streaming so a sorted shuffle partition never materializes twice.
+    */
+  def encode(it: Iterator[DecodedPosting]): EncodedRun = {
+    val doc = new ByteArrayOutputStream()
+    val tfO = new ByteArrayOutputStream()
+    val dlO = new ByteArrayOutputStream()
+    val bLast = Vector.newBuilder[Long]
+    val bMaxTf = Vector.newBuilder[Int]
+    val bMinDl = Vector.newBuilder[Int]
+    val bDocOff = Vector.newBuilder[Int]
+    val bTfOff = Vector.newBuilder[Int]
+    val bDlOff = Vector.newBuilder[Int]
+
+    var n = 0
+    var prev = -1L
+    var first = -1L
+    var maxTf = 0
+    var sumTf = 0L
+    var blkMaxTf = 0
+    var blkMinDl = Int.MaxValue
+    var lastInBlk = -1L
+
+    while (it.hasNext) {
+      val p = it.next()
+      require(p.docid > prev, s"docids must be strictly ascending: ${p.docid} after $prev")
+      if (n % BlockSize == 0) {
+        if (n > 0) { // close previous block
+          bLast += lastInBlk; bMaxTf += blkMaxTf; bMinDl += blkMinDl
+          blkMaxTf = 0; blkMinDl = Int.MaxValue
+        }
+        bDocOff += doc.size(); bTfOff += tfO.size(); bDlOff += dlO.size()
+      }
+      if (n == 0) { first = p.docid; VarByte.write(doc, p.docid) }
+      else VarByte.write(doc, p.docid - prev)
+      VarByte.write(tfO, p.tf)
+      VarByte.write(dlO, p.dl)
+      prev = p.docid
+      lastInBlk = p.docid
+      if (p.tf > maxTf) maxTf = p.tf
+      if (p.tf > blkMaxTf) blkMaxTf = p.tf
+      if (p.dl < blkMinDl) blkMinDl = p.dl
+      sumTf += p.tf
+      n += 1
+    }
+    if (n > 0) { bLast += lastInBlk; bMaxTf += blkMaxTf; bMinDl += blkMinDl }
+
+    EncodedRun(n, first, prev, maxTf, sumTf,
+      doc.toByteArray, tfO.toByteArray, dlO.toByteArray,
+      bLast.result().toArray, bMaxTf.result().toArray, bMinDl.result().toArray,
+      bDocOff.result().toArray, bTfOff.result().toArray, bDlOff.result().toArray)
+  }
+
+  def encode(postings: Seq[DecodedPosting]): EncodedRun = encode(postings.iterator)
+
+  /** Full streaming decode of one run. */
+  def decode(run: EncodedRun): Iterator[DecodedPosting] =
+    decodeBlobs(run.ndocs, run.docBlob, run.tfBlob, run.dlBlob)
+
+  def decodeBlobs(ndocs: Int, docBlob: Array[Byte], tfBlob: Array[Byte],
+                  dlBlob: Array[Byte]): Iterator[DecodedPosting] = {
+    val dr = new VarByte.Reader(docBlob)
+    val tr = new VarByte.Reader(tfBlob)
+    val lr = new VarByte.Reader(dlBlob)
+    new Iterator[DecodedPosting] {
+      private var i = 0
+      private var docid = 0L
+      def hasNext: Boolean = i < ndocs
+      def next(): DecodedPosting = {
+        val d = dr.nextLong()
+        docid = if (i == 0) d else docid + d
+        i += 1
+        DecodedPosting(docid, tr.nextInt(), lr.nextInt())
+      }
+    }
+  }
+}

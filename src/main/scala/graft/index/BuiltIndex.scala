@@ -1,0 +1,71 @@
+package graft.index
+
+import graft.analysis.AnalyzerConfig
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.Properties
+
+/** Handle on a persisted index directory — the engine-side analog of
+  * `DirectoryReader.open(FSDirectory)` (`BatchSearch.java:181-184`). The
+  * index config (analyzer chain, bucket fan-out) is persisted alongside the
+  * tables so the query path reconstructs the exact same analyzer by
+  * construction — the reference allows an analyzer mismatch between index
+  * and query time (`SearchFiles.java:76-89` hardcodes a different analyzer),
+  * a failure mode this design rules out.
+  */
+final class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig) {
+  import IndexLayout._
+
+  def docs: DataFrame = spark.read.parquet(s"$dir/$DocsDir")
+  def postings: DataFrame = spark.read.parquet(s"$dir/$PostingsDir")
+  def termStats: DataFrame = spark.read.parquet(s"$dir/$TermStatsDir")
+
+  lazy val stats: StatsRow = {
+    val r = spark.read.parquet(s"$dir/$StatsDir").head()
+    StatsRow(r.getAs[Long]("max_doc"), r.getAs[Long]("sum_total_term_freq"))
+  }
+}
+
+object BuiltIndex {
+  private val PropsFile = "_graft_index.properties"
+
+  def writeProps(spark: SparkSession, dir: String, cfg: IndexConfig): Unit = {
+    val p = new Properties()
+    p.setProperty("tokenizer", cfg.analyzer.tokenizer)
+    p.setProperty("stemmer", cfg.analyzer.stemmer)
+    p.setProperty("stopWords", cfg.analyzer.stopWords.toSeq.sorted.mkString(" "))
+    p.setProperty("buckets", cfg.buckets.toString)
+    p.setProperty("groupShift", cfg.groupShift.toString)
+    p.setProperty("mergeShift", cfg.mergeShift.toString)
+    val out = new ByteArrayOutputStream()
+    p.store(out, "graft index config")
+    val path = new Path(dir, PropsFile)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(path, true)
+    try o.write(out.toByteArray)
+    finally o.close()
+  }
+
+  /** Open an existing index, reconstructing its config from disk. */
+  def open(spark: SparkSession, dir: String): BuiltIndex = {
+    val path = new Path(dir, PropsFile)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val bytes = try in.readAllBytes() finally in.close()
+    val p = new Properties()
+    p.load(new ByteArrayInputStream(bytes))
+    val stop = Option(p.getProperty("stopWords")).getOrElse("").trim
+    val cfg = IndexConfig(
+      analyzer = AnalyzerConfig(
+        tokenizer = p.getProperty("tokenizer", "whitespace"),
+        stopWords = if (stop.isEmpty) Set.empty else stop.split("\\s+").toSet,
+        stemmer = p.getProperty("stemmer", "none")),
+      buckets = p.getProperty("buckets", "64").toInt,
+      groupShift = p.getProperty("groupShift", "18").toInt,
+      mergeShift = p.getProperty("mergeShift", "4").toInt)
+    new BuiltIndex(spark, dir, cfg)
+  }
+}

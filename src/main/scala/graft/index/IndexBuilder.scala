@@ -1,0 +1,274 @@
+package graft.index
+
+import graft.analysis.Analyzer
+import graft.codec.{DecodedPosting, EncodedRun, PostingCodec}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+
+import java.security.MessageDigest
+
+/** Corpus → inverted index: the Spark-native reimplementation of the
+  * reference's `IndexTREC` lifecycle (`IndexTREC.java:94-141` +
+  * `TrecAnalyzer` + Lucene's opaque segment write; SURVEY.md §3.1):
+  *
+  *   scan corpus table
+  *     → deterministic docid assignment (range-sort by docno; ids packed
+  *       (rangePartition << 40 | localIndex) so no global count barrier is
+  *       needed and docid order ≡ docno order)
+  *     → tokenize/tf/dl in one narrow pass (analyzer chain ≙ TrecAnalyzer)
+  *     → checkpointed `stage_tokenized` (content dropped)
+  *     → docs + stats tables
+  *     → explode → shuffle on (term, docid-group) — the per-group docid
+  *       bound keeps hot stop-like terms from skewing any reducer — →
+  *       sorted, delta+varbyte-encoded posting runs ("segments")
+  *     → merge adjacent runs into compacted postings (≙ Lucene's
+  *       background segment merges)
+  *     → per-term global stats.
+  *
+  * Every stage is atomic-published with a manifest ([[Checkpoint]]), so an
+  * interrupted build resumes at the first incomplete stage instead of
+  * recomputing (north rule).
+  */
+object IndexBuilder {
+  import IndexLayout._
+
+  /** Build (or resume building) an index at `dir` from `corpus`, which must
+    * expose `docno` (unique string key) and `content` columns — north-rule
+    * corpus rows map 1:1 to reference documents (`FileParser.java:157-164`).
+    */
+  def build(corpus: DataFrame, dir: String, cfg: IndexConfig,
+            verifySha: Boolean = false): BuiltIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = fingerprint(corpus, cfg)
+    val analyzer = new Analyzer(cfg.analyzer)
+    var force = false
+
+    // ---- stage: tokenized ------------------------------------------------
+    val tokDir = s"$dir/$TokenizedDir"
+    if (!Checkpoint.isComplete(tokDir, fp, cfg.id, conf)) {
+      force = true
+      val t0 = System.nanoTime()
+      val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("tokenized_parts")
+      val parts = if (cfg.rangePartitions > 0) cfg.rangePartitions
+                  else spark.sessionState.conf.numShufflePartitions
+      val sorted = corpus.select($"docno".cast("string"), $"content".cast("string"))
+        .repartitionByRange(parts, $"docno")
+        .sortWithinPartitions($"docno")
+        .as[(String, String)]
+      val tokenized = sorted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val md = MessageDigest.getInstance("SHA-256")
+        var idx = 0L
+        metered(it, acc, pid) { case (docno, content) =>
+          val text = if (content == null) "" else content
+          val docid = (pid.toLong << 40) | idx
+          idx += 1
+          val (tfs, dl) = analyzer.termFreqs(text)
+          md.reset()
+          val sha = hex(md.digest(text.getBytes("UTF-8")))
+          (TokenizedDoc(docid, docno, sha, dl, tfs.map { case (t, f) => TermTF(t, f) }),
+            text.length.toLong)
+        }
+      }
+      Checkpoint.atomically(tokDir, conf) { tmp =>
+        tokenized.write.mode("overwrite").parquet(tmp)
+      }
+      publishManifest(tokDir, "tokenized", fp, cfg.id, acc, t0, conf)
+    }
+    val tokenized = spark.read.parquet(tokDir)
+
+    // ---- stage: docs -----------------------------------------------------
+    val docsDir = s"$dir/$DocsDir"
+    if (force || !Checkpoint.isComplete(docsDir, fp, cfg.id, conf)) {
+      force = true
+      val t0 = System.nanoTime()
+      Checkpoint.atomically(docsDir, conf) { tmp =>
+        tokenized.select($"docid", $"docno", $"sha", $"dl")
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val n = spark.read.parquet(docsDir).count()
+      Checkpoint.writeManifest(docsDir,
+        Checkpoint.Manifest("docs", fp, cfg.id, n, msSince(t0), Nil), conf)
+    }
+
+    // ---- stage: stats ----------------------------------------------------
+    val statsDir = s"$dir/$StatsDir"
+    if (force || !Checkpoint.isComplete(statsDir, fp, cfg.id, conf)) {
+      force = true
+      val t0 = System.nanoTime()
+      Checkpoint.atomically(statsDir, conf) { tmp =>
+        spark.read.parquet(docsDir)
+          .agg(count(lit(1)).as("max_doc"),
+               coalesce(sum($"dl"), lit(0L)).as("sum_total_term_freq"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+      Checkpoint.writeManifest(statsDir,
+        Checkpoint.Manifest("stats", fp, cfg.id, 1L, msSince(t0), Nil), conf)
+    }
+
+    // ---- stage: posting runs (initial segments) ---------------------------
+    val runsDir = s"$dir/$RunsDir"
+    if (force || !Checkpoint.isComplete(runsDir, fp, cfg.id, conf)) {
+      force = true
+      val t0 = System.nanoTime()
+      val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("runs_parts")
+      val buckets = cfg.buckets
+      val exploded = tokenized
+        .select($"docid", $"dl", explode($"terms").as("t"))
+        .select($"t.term".as("term"), $"docid", $"t.tf".as("tf"), $"dl")
+        .withColumn("grp", shiftright($"docid", cfg.groupShift))
+        .repartition($"term", $"grp")
+        .sortWithinPartitions($"term", $"grp", $"docid")
+        .as[(String, Long, Int, Int, Long)]
+      val runs = exploded.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val rows = it.buffered
+        val rawRuns = new Iterator[PostingRun] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): PostingRun = {
+            val head = rows.head
+            val term = head._1
+            val grp = head._5
+            val chunk = new Iterator[DecodedPosting] {
+              def hasNext: Boolean =
+                rows.hasNext && rows.head._1 == term && rows.head._5 == grp
+              def next(): DecodedPosting = {
+                val r = rows.next()
+                DecodedPosting(r._2, r._3, r._4)
+              }
+            }
+            toRun(term, grp, PostingCodec.encode(chunk), buckets)
+          }
+        }
+        metered(rawRuns, acc, pid)(r =>
+          (r, r.doc_blob.length.toLong + r.tf_blob.length + r.dl_blob.length))
+      }
+      Checkpoint.atomically(runsDir, conf) { tmp =>
+        runs.write.mode("overwrite").parquet(tmp)
+      }
+      publishManifest(runsDir, "runs", fp, cfg.id, acc, t0, conf)
+    }
+
+    // ---- stage: merged postings (segment merge) ---------------------------
+    val postDir = s"$dir/$PostingsDir"
+    if (force || !Checkpoint.isComplete(postDir, fp, cfg.id, conf)) {
+      force = true
+      val t0 = System.nanoTime()
+      val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("postings_parts")
+      val mShift = cfg.mergeShift
+      val merged = spark.read.parquet(runsDir).as[PostingRun]
+        .repartition($"term", shiftright($"grp", mShift))
+        .sortWithinPartitions($"term", $"grp")
+        .mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          metered(SegmentMerger.mergeSorted(it, mShift), acc, pid)(r =>
+            (r, r.doc_blob.length.toLong + r.tf_blob.length + r.dl_blob.length))
+        }
+      Checkpoint.atomically(postDir, conf) { tmp =>
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      }
+      publishManifest(postDir, "postings", fp, cfg.id, acc, t0, conf)
+    }
+
+    // ---- stage: term stats -------------------------------------------------
+    val tsDir = s"$dir/$TermStatsDir"
+    if (force || !Checkpoint.isComplete(tsDir, fp, cfg.id, conf)) {
+      val t0 = System.nanoTime()
+      Checkpoint.atomically(tsDir, conf) { tmp =>
+        spark.read.parquet(postDir)
+          .groupBy($"term", $"bucket")
+          .agg(sum($"ndocs").cast("long").as("df"),
+               max($"max_tf").as("max_tf"),
+               sum($"sum_tf").cast("long").as("cf"))
+          .select($"term", $"bucket", $"df", $"max_tf", $"cf")
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      }
+      Checkpoint.writeManifest(tsDir,
+        Checkpoint.Manifest("term_stats", fp, cfg.id, -1L, msSince(t0), Nil), conf)
+    }
+
+    BuiltIndex.writeProps(spark, dir, cfg)
+    val idx = new BuiltIndex(spark, dir, cfg)
+    if (verifySha) {
+      val bad = shaMismatches(corpus, idx)
+      require(bad == 0L, s"sha256 invariant violated for $bad rows (source vs indexed)")
+    }
+    idx
+  }
+
+  /** Per-row content sha256 equality, source vs indexed (input_hint
+    * invariant). Returns the number of mismatching/missing rows.
+    */
+  def shaMismatches(corpus: DataFrame, idx: BuiltIndex): Long = {
+    val src = corpus.select(col("docno"),
+      sha2(coalesce(col("content").cast("string"), lit("")), 256).as("src_sha"))
+    src.join(idx.docs, Seq("docno"), "full_outer")
+      .where(col("src_sha").isNull || col("sha").isNull || col("src_sha") =!= col("sha"))
+      .count()
+  }
+
+  // -- helpers ---------------------------------------------------------------
+
+  private[index] def hex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  private def msSince(t0: Long): Long = (System.nanoTime() - t0) / 1000000L
+
+  private def fingerprint(corpus: DataFrame, cfg: IndexConfig): String =
+    cfg.fingerprint match {
+      case "none" => "static"
+      case _ =>
+        val row = corpus
+          .agg(count(lit(1)), coalesce(sum(crc32(col("docno"))), lit(0L))).head()
+        s"n=${row.getLong(0)};crc=${row.getLong(1)}"
+    }
+
+  /** Wrap an iterator so the enclosing task reports (pid, rows, bytes) into
+    * `acc` once exhausted; retried tasks re-add, so manifest writers dedupe
+    * by pid.
+    */
+  private def metered[A, B](it: Iterator[A],
+                            acc: CollectionAccumulator[(Int, Long, Long)],
+                            pid: Int)(f: A => (B, Long)): Iterator[B] =
+    new Iterator[B] {
+      private var rows = 0L
+      private var bytes = 0L
+      private var reported = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !reported) { acc.add((pid, rows, bytes)); reported = true }
+        h
+      }
+      def next(): B = {
+        val (b, sz) = f(it.next())
+        rows += 1; bytes += sz
+        b
+      }
+    }
+
+  private def publishManifest(dir: String, stage: String, fp: String, cfgId: String,
+                              acc: CollectionAccumulator[(Int, Long, Long)],
+                              t0: Long, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import scala.jdk.CollectionConverters._
+    val parts = acc.value.asScala.groupBy(_._1).map { case (pid, xs) =>
+      val x = xs.last
+      Checkpoint.PartitionMetric(pid, x._2, x._3)
+    }.toSeq.sortBy(_.pid)
+    Checkpoint.writeManifest(dir,
+      Checkpoint.Manifest(stage, fp, cfgId, parts.map(_.rows).sum, msSince(t0), parts),
+      conf)
+  }
+
+  private[index] def toRun(term: String, grp: Long, e: EncodedRun, buckets: Int): PostingRun =
+    PostingRun(term, bucketOf(term, buckets), grp, e.ndocs, e.firstDocid, e.lastDocid,
+      e.maxTf, e.sumTf, e.docBlob, e.tfBlob, e.dlBlob,
+      e.blockLastDocid, e.blockMaxTf, e.blockMinDl,
+      e.blockDocOff, e.blockTfOff, e.blockDlOff)
+}

@@ -1,0 +1,88 @@
+package graft.index
+
+import graft.analysis.AnalyzerConfig
+
+/** One tokenized corpus row — the heavyweight intermediate the build
+  * checkpoints (content is dropped here; terms carry per-doc tf computed
+  * without any shuffle).
+  */
+final case class TokenizedDoc(
+    docid: Long,
+    docno: String,
+    sha: String,
+    dl: Int,
+    terms: Array[TermTF]
+)
+final case class TermTF(term: String, tf: Int)
+
+/** Doc-length table row (≙ Lucene norms + stored docno: the reference
+  * persists dl as a per-doc norm via `Similarity.computeNorm`,
+  * `BM25.java:146-149`, and docno as a stored field). `sha` carries the
+  * per-row content sha256 for the source-equality invariant.
+  */
+final case class DocRow(docid: Long, docno: String, sha: String, dl: Int)
+
+/** Collection statistics (≙ `CollectionStatistics.maxDoc` /
+  * `sumTotalTermFreq`, consumed at `BM25.java:58,71`).
+  */
+final case class StatsRow(max_doc: Long, sum_total_term_freq: Long)
+
+/** One encoded posting run for (term, docid-range group) — the Spark-native
+  * "segment" (reference analog: Lucene RAM-buffer flush segments,
+  * `IndexTREC.java:98-101`). A term's full posting list is the docid-ordered
+  * concatenation of its runs (grp ascending); queries union runs without
+  * needing a single global row, which is what keeps hot (stop-like) terms
+  * from skewing any single shuffle key.
+  */
+final case class PostingRun(
+    term: String,
+    bucket: Int, // hash(term) % buckets — the partition column queries prune on
+    grp: Long,   // docid >> groupShift
+    ndocs: Int,
+    first_docid: Long,
+    last_docid: Long,
+    max_tf: Int,
+    sum_tf: Long,
+    doc_blob: Array[Byte],
+    tf_blob: Array[Byte],
+    dl_blob: Array[Byte],
+    block_last_docid: Array[Long],
+    block_max_tf: Array[Int],
+    block_min_dl: Array[Int],
+    block_doc_off: Array[Int],
+    block_tf_off: Array[Int],
+    block_dl_off: Array[Int]
+)
+
+/** Per-term global statistics (≙ `TermStatistics.docFreq`, consumed at
+  * `BM25.java:61,66`; cf = collection frequency).
+  */
+final case class TermStatsRow(term: String, bucket: Int, df: Long, max_tf: Int, cf: Long)
+
+/** Index build configuration. */
+final case class IndexConfig(
+    analyzer: AnalyzerConfig = AnalyzerConfig(),
+    buckets: Int = 64,          // postings hash-partition fan-out (term pruning)
+    groupShift: Int = 18,       // initial segment group = 2^18 docids
+    mergeShift: Int = 4,        // merge 2^4 adjacent groups per compacted run
+    rangePartitions: Int = 0,   // 0 = spark.sql.shuffle.partitions
+    fingerprint: String = "keys" // "keys" | "none" — resume-safety fingerprint mode
+) {
+  def id: String =
+    s"v1;${analyzer.id};b=$buckets;g=$groupShift;m=$mergeShift"
+}
+
+object IndexLayout {
+  val TokenizedDir = "stage_tokenized"
+  val DocsDir = "docs"
+  val StatsDir = "stats"
+  val RunsDir = "stage_runs"
+  val PostingsDir = "postings"
+  val TermStatsDir = "term_stats"
+
+  /** Deterministic bucket for a term — must match between build and query.
+    * Plain JVM string hash, made non-negative.
+    */
+  def bucketOf(term: String, buckets: Int): Int =
+    math.floorMod(term.hashCode, buckets)
+}

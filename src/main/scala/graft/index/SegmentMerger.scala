@@ -1,0 +1,47 @@
+package graft.index
+
+import graft.codec.{DecodedPosting, PostingCodec}
+
+/** Merge adjacent posting runs of the same term into compacted runs — the
+  * segment-merge analog of Lucene's background merges + final commit
+  * (`IndexTREC.java:98-101`). Because initial runs are keyed by
+  * docid-range group, runs of one term arrive docid-disjoint and ordered,
+  * so merging is a streaming concatenation (decode → re-encode to restore
+  * delta continuity), never a re-sort.
+  */
+object SegmentMerger {
+
+  /** Input: runs sorted by (term, grp) within the partition, with all runs
+    * of a (term, grp >> mergeShift) merge group co-located (guaranteed by
+    * the repartition in [[IndexBuilder]]). Output: one run per
+    * (term, merged group), with `grp` rewritten to the merged granularity
+    * and the bucket preserved from the inputs.
+    */
+  def mergeSorted(it: Iterator[PostingRun], mergeShift: Int): Iterator[PostingRun] = {
+    val rows = it.buffered
+    new Iterator[PostingRun] {
+      def hasNext: Boolean = rows.hasNext
+      def next(): PostingRun = {
+        val head = rows.head
+        val term = head.term
+        val bucket = head.bucket
+        val mgrp = head.grp >> mergeShift
+        val chunkRuns = new Iterator[PostingRun] {
+          def hasNext: Boolean =
+            rows.hasNext && rows.head.term == term &&
+              (rows.head.grp >> mergeShift) == mgrp
+          def next(): PostingRun = rows.next()
+        }
+        val e = PostingCodec.encode(chunkRuns.flatMap(decode))
+        PostingRun(term, bucket, mgrp, e.ndocs, e.firstDocid, e.lastDocid,
+          e.maxTf, e.sumTf, e.docBlob, e.tfBlob, e.dlBlob,
+          e.blockLastDocid, e.blockMaxTf, e.blockMinDl,
+          e.blockDocOff, e.blockTfOff, e.blockDlOff)
+      }
+    }
+  }
+
+  /** Decode one run's postings (streaming). */
+  def decode(r: PostingRun): Iterator[DecodedPosting] =
+    PostingCodec.decodeBlobs(r.ndocs, r.doc_blob, r.tf_blob, r.dl_blob)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.analysis._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyzerSpec extends AnyFunSuite {
+
+  private def analyzer(stop: Set[String] = Set.empty, stem: String = "none",
+                       tok: String = "whitespace") =
+    new Analyzer(AnalyzerConfig(tokenizer = tok, stopWords = stop, stemmer = stem))
+
+  test("whitespace tokenizer splits on unicode whitespace, keeps punctuation") {
+    val t = new WhitespaceTokenizer()
+    assert(t.tokenize("This is some sample text.").toList ==
+      List("This", "is", "some", "sample", "text."))
+    assert(t.tokenize("  leading\t\ttabs\nand\r\nnewlines  ").toList ==
+      List("leading", "tabs", "and", "newlines"))
+    assert(t.tokenize("").toList == Nil)
+    assert(t.tokenize("   ").toList == Nil)
+    assert(t.tokenize("one").toList == List("one"))
+    // non-breaking space U+00A0 is NOT Java whitespace — stays attached,
+    // like Lucene's Character.isWhitespace-based tokenizer
+    assert(t.tokenize("a b c").toList == List("a b", "c"))
+  }
+
+  test("whitespace tokenizer splits over-long tokens at 255 chars") {
+    val long = "x" * 600
+    val t = new WhitespaceTokenizer()
+    assert(t.tokenize(long).toList == List("x" * 255, "x" * 255, "x" * 90))
+  }
+
+  test("lowercase is applied before stopping (stop list is case-insensitive on input)") {
+    val a = analyzer(stop = Set("the", "a"))
+    assert(a.analyze("The THE a A tHe dog").toList == List("dog"))
+  }
+
+  test("stopword filter drops tokens, reducing doc length (norm semantics)") {
+    val a = analyzer(stop = Set("a", "the"))
+    val (tfs, dl) = a.termFreqs("the cat sat on a mat the end")
+    assert(dl == 5) // cat sat on mat end
+    assert(tfs.toMap == Map("cat" -> 1, "sat" -> 1, "on" -> 1, "mat" -> 1, "end" -> 1))
+  }
+
+  test("stemming applies after stop filtering") {
+    val a = analyzer(stop = Set("running"), stem = "porter")
+    // "running" is stopped before stemming would turn it into "run"
+    assert(a.analyze("running jumps").toList == List("jump"))
+  }
+
+  test("term frequencies count duplicates within a doc") {
+    val a = analyzer()
+    val (tfs, dl) = a.termFreqs("cat cat dog Cat")
+    assert(dl == 4)
+    assert(tfs.toMap == Map("cat" -> 3, "dog" -> 1))
+  }
+
+  test("empty and null-ish inputs") {
+    val a = analyzer()
+    assert(a.analyze("").isEmpty)
+    assert(a.analyze(null).isEmpty)
+    assert(a.termFreqs("")._2 == 0)
+  }
+
+  test("minimal english stemmer (Harman S-stemmer) fixtures") {
+    val s = MinimalEnglishStemmer
+    assert(s.stem("cats") == "cat")
+    assert(s.stem("queries") == "query")
+    assert(s.stem("ponies") == "pony")
+    assert(s.stem("caress") == "caress") // -ss kept
+    assert(s.stem("corpus") == "corpus") // -us kept
+    assert(s.stem("is") == "is")         // too short
+    assert(s.stem("goes") == "goes")     // e preceded by o
+    assert(s.stem("tables") == "table")
+  }
+
+  test("classic-like tokenizer keeps emails, hosts, acronyms, apostrophes") {
+    val t = new ClassicLikeTokenizer()
+    assert(t.tokenize("mail bob.smith@example.com today").toList ==
+      List("mail", "bob.smith@example.com", "today"))
+    assert(t.tokenize("bob@example.com").toList == List("bob@example.com"))
+    assert(t.tokenize("visit www.example.com now").toList ==
+      List("visit", "www.example.com", "now"))
+    assert(t.tokenize("the U.S.A. flag").toList == List("the", "U.S.A.", "flag"))
+    assert(t.tokenize("O'Neil's car").toList == List("O'Neil's", "car"))
+    assert(t.tokenize("foo-bar baz_qux").toList == List("foo", "bar", "baz", "qux"))
+    assert(t.tokenize("semi;colon, comma. done!").toList ==
+      List("semi", "colon", "comma", "done"))
+  }
+
+  test("stop list parsing is a whitespace token scan") {
+    assert(Analyzer.parseStopWords("a\nthe\tthat  ") == Set("a", "the", "that"))
+    assert(Analyzer.parseStopWords("") == Set.empty)
+  }
+}
