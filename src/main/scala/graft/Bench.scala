@@ -28,10 +28,12 @@ object Bench {
     def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
 
     // ---- index-build throughput (fresh build, no checkpoint reuse) -------
+    // Corpus: lineitem-derived (scales with sf — the documents table is the
+    // small correctness fixture, see TESTDATA.md row counts).
     val safeSf = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val benchIdxDir = s"${Engine.workDir}/bench_${safeSf}_c$cpus"
     deleteRecursively(spark, benchIdxDir)
-    val corpus = Corpus.fromDocuments(spark, sfDir)
+    val corpus = Corpus.fromLineitem(spark, sfDir)
     val nDocs = corpus.count()
     val tBuild0 = System.nanoTime()
     val idx = IndexBuilder.build(corpus, benchIdxDir,
@@ -40,12 +42,13 @@ object Bench {
     val docsPerSec = nDocs / buildSec
 
     // ---- BM25 query latency over the fixed topic batch -------------------
+    val benchTopics = Corpus.LineitemTopics.map { case (q, t) => graft.search.Topic(q, t) }
     val searcher = new Searcher(idx)
     // warm-up (JIT + parquet footer caches)
-    searcher.search(SparkEntry.topics, SparkEntry.TopK).count()
+    searcher.search(benchTopics, SparkEntry.TopK).count()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val lat = (1 to reps).flatMap { _ =>
-      SparkEntry.topics.map { t =>
+      benchTopics.map { t =>
         val t0 = System.nanoTime()
         searcher.search(Seq(t), 1000).count()
         secs(t0)

@@ -123,6 +123,53 @@ object SparkEntry {
       Engine.searcher(s, dir).search(topics, TopK, scorerName = "bm25e")
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
+    }),
+    // training-pipeline op: MinHash+LSH near-dup candidate pairs
+    "q_minhash_pairs" -> ((s, dir) => {
+      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+      ops.Dedup.minHashCandidates(corpus.Corpus.fromDocuments(s, dir), an,
+          shingleN = 3, k = 12, rowsPerBand = 2, maxBucketSize = 0)
+        .orderBy("docno_a", "docno_b")
+    }),
+    // training-pipeline op: exact n-gram Jaccard verification (float-free)
+    "q_neardup" -> ((s, dir) => {
+      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+      val c = corpus.Corpus.fromDocuments(s, dir)
+      val sh = ops.Dedup.shingles(c, an, 3)
+      val cand = ops.Dedup.minHashCandidates(c, an, 3, 12, 2, maxBucketSize = 0)
+      ops.Dedup.verifyJaccard(cand, sh)
+        .where(col("inter") * 2 >= col("uni"))
+        .select(col("docno_a"), col("docno_b"), col("inter"), col("uni"))
+        .orderBy("docno_a", "docno_b")
+    }),
+    // training-pipeline op: brute-force cosine top-k over embeddings
+    "q_knn" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ops.Knn.bruteForceTopK(emb, q, 10)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // training-pipeline op: per-doc quality signals (integer counts)
+    "q_quality" -> ((s, dir) => {
+      ops.TextQuality.qualitySignals(
+          corpus.Corpus.fromDocuments(s, dir), Set("a", "the"))
+        .orderBy("docno")
+    }),
+    // rows-only: simhash fingerprints + hamming near-dup pairs, LSH ANN
+    "q_simhash_pairs" -> ((s, dir) => {
+      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+      val fp = ops.Dedup.simHash(corpus.Corpus.fromDocuments(s, dir), an)
+      ops.Dedup.simHashPairs(fp, maxDist = 3).orderBy("docno_a", "docno_b")
+    }),
+    "q_lsh_knn" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ops.Knn.lshTopK(emb, q, 10, nPlanes = 8)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
     })
   )
 
@@ -153,6 +200,42 @@ object SparkEntry {
 
   private def withCtes(body: String): String =
     s"WITH $CorpusCte,\n$TokCte\n$body"
+
+  /** Word-3-gram shingles + MinHash(12)/bands(2) CTEs — exact mirror of
+    * [[ops.Dedup]]'s md5-keyed construction.
+    */
+  private val ShingleCte =
+    """shdoc AS (
+      |  SELECT docno,
+      |         list_filter(string_split_regex(lower(content), '\s+'),
+      |                     t -> t <> '' AND t NOT IN ('a', 'the')) AS toks
+      |  FROM corpus
+      |),
+      |sh AS (
+      |  SELECT DISTINCT docno, shingle FROM (
+      |    SELECT docno,
+      |           unnest(list_transform(range(1, len(toks) - 1),
+      |                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+      |    FROM shdoc WHERE len(toks) >= 3
+      |  )
+      |)""".stripMargin
+
+  private val MinHashCte =
+    """mh AS (
+      |  SELECT docno, idx.i, min(md5(concat(idx.i, ':', shingle))) AS minv
+      |  FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS i) idx
+      |  GROUP BY docno, idx.i
+      |),
+      |bands AS (
+      |  SELECT docno,
+      |         md5(concat((i // 2), '|', string_agg(minv, ',' ORDER BY i))) AS band_key
+      |  FROM mh GROUP BY docno, (i // 2)
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.docno AS docno_a, b.docno AS docno_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_key = b.band_key AND a.docno < b.docno
+      |)""".stripMargin
 
   /** The topic batch as SQL VALUES of (qid, clause term) rows — one row per
     * analyzed token occurrence, after stop-filtering (term weights = row
@@ -227,6 +310,59 @@ object SparkEntry {
         |       min(docno) AS first_docno
         |FROM corpus GROUP BY sha256(content) HAVING count(*) > 1
         |ORDER BY sha""".stripMargin),
+    "q_minhash_pairs" ->
+      s"""WITH $CorpusCte,
+         |$ShingleCte,
+         |$MinHashCte
+         |SELECT docno_a, docno_b FROM cand ORDER BY docno_a, docno_b""".stripMargin,
+    "q_neardup" ->
+      s"""WITH $CorpusCte,
+         |$ShingleCte,
+         |$MinHashCte,
+         |sizes AS (SELECT docno, count(*) AS n FROM sh GROUP BY docno),
+         |inter AS (
+         |  SELECT c.docno_a, c.docno_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.docno = c.docno_a
+         |  JOIN sh b ON b.docno = c.docno_b AND b.shingle = a.shingle
+         |  GROUP BY c.docno_a, c.docno_b
+         |)
+         |SELECT c.docno_a, c.docno_b,
+         |       coalesce(i.inter, 0)::BIGINT AS inter,
+         |       (sa.n + sb.n - coalesce(i.inter, 0))::BIGINT AS uni
+         |FROM cand c
+         |LEFT JOIN inter i ON i.docno_a = c.docno_a AND i.docno_b = c.docno_b
+         |JOIN sizes sa ON sa.docno = c.docno_a
+         |JOIN sizes sb ON sb.docno = c.docno_b
+         |WHERE 2 * coalesce(i.inter, 0) >= (sa.n + sb.n - coalesce(i.inter, 0))
+         |ORDER BY 1, 2""".stripMargin,
+    "q_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |         list_cosine_similarity(q.qv, e.embedding) AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+        |),
+        |ranked AS (
+        |  SELECT qid, vec_id,
+        |         (row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) - 1) AS rank
+        |  FROM scored
+        |)
+        |SELECT qid, vec_id, rank FROM ranked WHERE rank < 10
+        |ORDER BY qid, rank""".stripMargin,
+    "q_quality" ->
+      s"""WITH $CorpusCte,
+         |t AS (SELECT docno, content,
+         |             list_filter(string_split_regex(lower(content), '\\s+'),
+         |                         x -> x <> '') AS toks
+         |      FROM corpus)
+         |SELECT docno,
+         |       len(toks)::BIGINT AS n_raw_tokens,
+         |       len(list_filter(toks, x -> x IN ('a', 'the')))::BIGINT AS n_stop_tokens,
+         |       len(regexp_extract_all(lower(content), '[a-z]+'))::BIGINT AS n_wordish_tokens,
+         |       coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS sum_token_chars
+         |FROM t ORDER BY docno""".stripMargin,
     "q_text_stats" -> withCtes(
       """SELECT c.docno,
         |       coalesce(t.n_tokens, 0)::BIGINT AS n_tokens,

@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.analysis.Analyzer
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (content hash), MinHash+LSH (shingle → min-hash signature → banded
+  * bucket join), n-gram Jaccard verification, and SimHash fingerprints.
+  *
+  * Scale notes: every step is a hash-partitioned aggregation or an
+  * equi-join on a hash key — no all-pairs comparison ever materializes.
+  * Bucket joins bound candidate generation; `maxBucketSize` guards against
+  * degenerate buckets (e.g. thousands of identical boilerplate files all
+  * landing in one band bucket — at 10^12 files the cap is what keeps the
+  * candidate-pair count linear instead of quadratic).
+  *
+  * Hashes are md5-derived so the DuckDB oracle can reproduce them exactly;
+  * min-of-hex-string == min-of-value because the hex width is fixed.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content sha256. */
+  def exactGroups(corpus: DataFrame): DataFrame =
+    corpus.groupBy(sha2(col("content"), 256).as("sha"))
+      .agg(count(lit(1)).as("n_dups"), min(col("docno")).as("first_docno"))
+      .where(col("n_dups") > 1)
+
+  /** Distinct word n-gram shingles per doc: (docno, shingle). */
+  def shingles(corpus: DataFrame, analyzer: Analyzer, n: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("docno").cast("string"), col("content").cast("string"))
+      .as[(String, String)]
+      .flatMap { case (docno, content) =>
+        val toks = analyzer.analyze(if (content == null) "" else content)
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).map(w => (docno, w.mkString(" "))).distinct
+      }.toDF("docno", "shingle")
+  }
+
+  /** MinHash signatures: k md5-keyed hash functions, min per (doc, i). */
+  def minHashSignatures(shingleDF: DataFrame, k: Int): DataFrame = {
+    val idx = explode(sequence(lit(0), lit(k - 1))).as("i")
+    shingleDF.select(col("docno"), col("shingle"), idx)
+      .select(col("docno"), col("i"),
+        md5(concat(col("i"), lit(":"), col("shingle"))).as("h"))
+      .groupBy(col("docno"), col("i"))
+      .agg(min(col("h")).as("minv"))
+  }
+
+  /** LSH band keys: bands of `rowsPerBand` signature rows hashed together.
+    * Returns (docno, band, band_key).
+    */
+  def bandKeys(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    signatures
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col("docno"), col("band"))
+      .agg(md5(concat(col("band"), lit("|"),
+        array_join(transform(array_sort(collect_list(struct(col("i"), col("minv")))),
+          x => x.getField("minv")), ","))).as("band_key"))
+  }
+
+  /** Candidate near-duplicate pairs: docs sharing any band bucket.
+    * `maxBucketSize` drops degenerate buckets (count logged by caller via
+    * the returned `dropped_buckets` accessor pattern — kept simple here:
+    * buckets above the cap are excluded).
+    */
+  def minHashCandidates(corpus: DataFrame, analyzer: Analyzer,
+                        shingleN: Int = 3, k: Int = 12, rowsPerBand: Int = 2,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val sh = shingles(corpus, analyzer, shingleN)
+    val bands = bandKeys(minHashSignatures(sh, k), rowsPerBand)
+    val bounded =
+      if (maxBucketSize <= 0) bands
+      else {
+        val sizes = bands.groupBy("band_key").agg(count(lit(1)).as("bs"))
+        bands.join(sizes.where(col("bs") <= maxBucketSize), Seq("band_key"))
+      }
+    val a = bounded.select(col("band_key"), col("docno").as("docno_a"))
+    val b = bounded.select(col("band_key"), col("docno").as("docno_b"))
+    a.join(b, Seq("band_key"))
+      .where(col("docno_a") < col("docno_b"))
+      .select("docno_a", "docno_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard verification of candidate pairs. Output keeps
+    * integer intersection/union counts so the comparison (and any oracle)
+    * is float-free: jaccard >= 1/2 ⇔ 2*intersection >= union.
+    */
+  def verifyJaccard(candidates: DataFrame, shingleDF: DataFrame): DataFrame = {
+    val sizes = shingleDF.groupBy(col("docno")).agg(count(lit(1)).as("n_sh"))
+    val shA = shingleDF.select(col("docno").as("docno_a"), col("shingle"))
+    val shB = shingleDF.select(col("docno").as("docno_b"), col("shingle"))
+    val inter = candidates
+      .join(shA, Seq("docno_a")).join(shB, Seq("docno_b", "shingle"))
+      .groupBy(col("docno_a"), col("docno_b"))
+      .agg(count(lit(1)).as("inter"))
+    candidates
+      .join(inter, Seq("docno_a", "docno_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("docno", "docno_a").withColumnRenamed("n_sh", "na"), Seq("docno_a"))
+      .join(sizes.withColumnRenamed("docno", "docno_b").withColumnRenamed("n_sh", "nb"), Seq("docno_b"))
+      .select(col("docno_a"), col("docno_b"), col("inter").cast("long").as("inter"),
+        (col("na") + col("nb") - col("inter")).cast("long").as("uni"))
+  }
+
+  /** 64-bit SimHash fingerprint per doc from analyzed term frequencies
+    * (bits drawn from md5(term), weighted by tf).
+    */
+  def simHash(corpus: DataFrame, analyzer: Analyzer): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("docno").cast("string"), col("content").cast("string"))
+      .as[(String, String)]
+      .map { case (docno, content) =>
+        val (tfs, _) = analyzer.termFreqs(if (content == null) "" else content)
+        val v = new Array[Long](64)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        tfs.foreach { case (term, tf) =>
+          md.reset()
+          val d = md.digest(term.getBytes("UTF-8")) // 16 bytes = 128 bits; use first 64
+          var bit = 0
+          while (bit < 64) {
+            val byte = d(bit >> 3)
+            val set = ((byte >> (7 - (bit & 7))) & 1) == 1
+            v(bit) += (if (set) tf.toLong else -tf.toLong)
+            bit += 1
+          }
+        }
+        var fp = 0L
+        var bit = 0
+        while (bit < 64) { if (v(bit) > 0) fp |= (1L << bit); bit += 1 }
+        (docno, fp)
+      }.toDF("docno", "simhash")
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance <= maxDist, found via
+    * 4×16-bit band blocking (any pair within distance 3 shares at least one
+    * exact 16-bit band — pigeonhole), then exact popcount verification.
+    */
+  def simHashPairs(fingerprints: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band blocking guarantees recall only for maxDist <= 3")
+    val banded = fingerprints.select(col("docno"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("docno"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"),
+      col("docno").as("docno_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("docno").as("docno_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .where(col("docno_a") < col("docno_b"))
+      .select(col("docno_a"), col("docno_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+}

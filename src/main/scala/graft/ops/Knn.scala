@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *   set against the full embedding table; one narrow pass + per-query
+  *   top-k. At 10^12 rows this is a full scan but embarrassingly parallel
+  *   and shuffle-free until the final tiny top-k aggregation.
+  * - [[signLshBuckets]] / [[lshTopK]]: random-hyperplane (sign) LSH with
+  *   deterministic md5-derived hyperplanes — the scale path: candidates
+  *   come from matching `nProbe`-neighborhood buckets instead of scanning
+  *   everything.
+  *
+  * All arithmetic is promoted to Double before summation (sequential
+  * left-to-right, matching the DuckDB oracle's list_cosine_similarity).
+  */
+object Knn {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`: (qid long, qv array<float>); `vectors`: (vec_id, embedding).
+    * Output: (qid, vec_id, rank) with rank 0-based by (cos desc, vec_id asc),
+    * self-matches excluded.
+    */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = vectors.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+      .select("qid", "vec_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived uniform in [-1, 1). Pure column expression.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column = {
+    // first 8 hex chars of md5("p:<plane>:<dim>") → uint32 → [-1, 1)
+    val h = conv(substring(md5(concat(lit(s"p:$plane:"), dim)), 1, 8), 16, 10).cast("double")
+    h / lit(2147483648.0) - lit(1.0)
+  }
+
+  /** Sign-LSH bucket id (one int per `nPlanes`-bit signature) for an
+    * embedding column, as a pure Catalyst expression (codegen-friendly).
+    */
+  def signBucket(embedding: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(embedding, sequence(lit(0), size(embedding) - 1),
+          (v, i) => v.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates share the query's LSH bucket or (with
+    * `multiProbe`) any 1-bit-flip neighbor bucket — the standard multi-probe
+    * trick that buys recall without more tables. Recall vs
+    * [[bruteForceTopK]] is measured in OpsSpec.
+    */
+  def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8,
+              multiProbe: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vb = vectors.withColumn("bucket", signBucket(col("embedding"), nPlanes))
+    val qb0 = queries.withColumn("bucket0", signBucket(col("qv"), nPlanes))
+    val qb =
+      if (!multiProbe) qb0.withColumn("bucket", col("bucket0")).drop("bucket0")
+      else qb0.select(col("qid"), col("qv"),
+        explode(array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
+          .map(f => col("bucket0").bitwiseXOR(f)): _*)).as("bucket"))
+    val scored = vb.join(broadcast(qb), Seq("bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+      .select("qid", "vec_id", "rank")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-document text-quality signals for training-data filtering. All
+  * outputs are integer counts (ratios are trivially derived downstream) so
+  * correctness checks and oracles stay float-free. Pure column expressions
+  * — whole-stage-codegen-friendly, no UDFs.
+  */
+object TextQuality {
+
+  /** (docno, n_raw_tokens, n_stop_tokens, n_wordish_tokens, sum_token_chars)
+    * over whitespace tokens of the lowercased content; `stop` is the
+    * engine's stop set.
+    */
+  def qualitySignals(corpus: DataFrame, stop: Set[String]): DataFrame = {
+    val toks = filter(split(lower(col("content")), "\\s+"), t => t =!= "")
+    val stopArr = array(stop.toSeq.sorted.map(lit): _*)
+    corpus.select(
+      col("docno"),
+      size(toks).cast("long").as("n_raw_tokens"),
+      size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop_tokens"),
+      size(regexp_extract_all(lower(col("content")), lit("[a-z]+"), lit(0)))
+        .cast("long").as("n_wordish_tokens"),
+      aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+        .cast("long").as("sum_token_chars"))
+  }
+
+  /** Crude language-evidence counts: occurrences of a few high-frequency
+    * marker words per language family (a real n-gram model would slot in
+    * here; the synthetic corpus shares one vocabulary, so this op's value
+    * is its shape: pure-expression scoring over marker arrays).
+    */
+  def langMarkers(corpus: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("content")), "\\s+"), t => t =!= "")
+    def markers(name: String, words: Seq[String]) = {
+      val arr = array(words.map(lit): _*)
+      size(filter(toks, t => array_contains(arr, t))).cast("long").as(name)
+    }
+    corpus.select(
+      col("docno"),
+      markers("n_en_markers", Seq("the", "a", "and", "of", "is")),
+      markers("n_de_markers", Seq("der", "die", "das", "und", "ist")),
+      markers("n_es_markers", Seq("el", "la", "los", "y", "es")))
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import graft.analysis.{Analyzer, AnalyzerConfig}
+import graft.ops.{Dedup, Knn, TextQuality}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val an = new Analyzer(AnalyzerConfig())
+
+  private val docs = Seq(
+    // a near-dup pair (one word changed out of 12)
+    "d1" -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+    "d2" -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu",
+    // an exact dup pair
+    "d3" -> "same same same text here",
+    "d4" -> "same same same text here",
+    // unrelated docs
+    "d5" -> "completely different words in this one right here now",
+    "d6" -> "unrelated content again with other vocabulary entirely present",
+    // too short to shingle
+    "d7" -> "tiny doc"
+  )
+
+  private def corpusDF = {
+    import spark.implicits._
+    docs.toDF("docno", "content")
+  }
+
+  test("shingles: distinct word n-grams per doc, short docs excluded") {
+    val sh = Dedup.shingles(corpusDF, an, 3).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(!sh.exists(_._1 == "d7")) // 2 tokens < n
+    val d3 = sh.filter(_._1 == "d3").map(_._2).toSet
+    assert(d3 == Set("same same same", "same same text", "same text here"))
+    assert(sh.count(_._1 == "d1") == 10) // 12 tokens → 10 shingles, all distinct
+  }
+
+  test("minhash candidates find near-dups and exact dups, not unrelated docs") {
+    val cand = Dedup.minHashCandidates(corpusDF, an, 3, 12, 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cand.contains(("d1", "d2")))
+    assert(cand.contains(("d3", "d4")))
+    assert(!cand.contains(("d5", "d6")))
+  }
+
+  test("jaccard verification yields exact integer counts") {
+    val sh = Dedup.shingles(corpusDF, an, 3)
+    val cand = Dedup.minHashCandidates(corpusDF, an, 3, 12, 2)
+    val ver = Dedup.verifyJaccard(cand, sh).collect()
+      .map(r => ((r.getString(1), r.getString(0)), (r.getLong(2), r.getLong(3)))).toMap
+    // exact dup: inter == uni
+    val (i34, u34) = ver(("d4", "d3"))
+    assert(i34 == u34 && i34 == 3)
+    // near dup d1/d2: 12 tokens, differ in the last → 10 shingles each,
+    // only the final shingle differs → inter 9, union 11
+    val (i12, u12) = ver(("d2", "d1"))
+    assert(i12 == 9 && u12 == 11)
+  }
+
+  test("exact dedup groups by sha") {
+    val g = Dedup.exactGroups(corpusDF).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("n_dups") == 2)
+    assert(g.head.getAs[String]("first_docno") == "d3")
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    import spark.implicits._
+    val fp = Dedup.simHash(corpusDF, an).as[(String, Long)].collect().toMap
+    assert(fp("d3") == fp("d4"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp("d1"), fp("d2")) <= 10)
+    assert(ham(fp("d1"), fp("d6")) > ham(fp("d1"), fp("d2")))
+    val pairs = Dedup.simHashPairs(Dedup.simHash(corpusDF, an), maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("d3", "d4")))
+  }
+
+  test("brute-force knn: cosine ordering is correct and excludes self") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.5f, 0.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" === 0).select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val got = Knn.bruteForceTopK(vecs, q, 4).orderBy("rank")
+      .collect().map(r => r.getLong(1))
+    assert(got.toSeq == Seq(1L, 4L, 2L, 3L)) // by cosine to (1,0,0)
+  }
+
+  test("lsh knn: deterministic and high recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Knn.bruteForceTopK(emb, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Knn.lshTopK(emb, q, 10, nPlanes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall") // 4-plane single-probe baseline
+    // deterministic across runs
+    val lsh2 = Knn.lshTopK(emb, q, 10, nPlanes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == lsh2)
+  }
+
+  test("quality signals are exact integer counts") {
+    import spark.implicits._
+    val c = Seq(("x1", "The cat; sat!! on THE mat 42 times"),
+                ("x2", "")).toDF("docno", "content")
+    val rows = TextQuality.qualitySignals(c, Set("a", "the")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // tokens: the cat; sat!! on the mat 42 times → 8 raw, 2 stop
+    assert(rows("x1")._1 == 8)
+    assert(rows("x1")._2 == 2)
+    // wordish: the cat sat on the mat times = 7 [a-z]+ runs
+    assert(rows("x1")._3 == 7)
+    assert(rows("x2") == ((0L, 0L, 0L, 0L)))
+  }
+}
