@@ -33,13 +33,19 @@ object Bench {
     val safeSf = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val benchIdxDir = s"${Engine.workDir}/bench_${safeSf}_c$cpus"
     deleteRecursively(spark, benchIdxDir)
-    val corpus = Corpus.fromLineitem(spark, sfDir)
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "4").toInt
+    // persist: the derived corpus feeds both the fingerprint scan and the
+    // tokenize stage — at bench scale recomputing the lineitem aggregation
+    // twice would just measure Spark twice
+    val corpus = Corpus.replicated(Corpus.fromLineitem(spark, sfDir), mult)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nDocs = corpus.count()
     val tBuild0 = System.nanoTime()
     val idx = IndexBuilder.build(corpus, benchIdxDir,
       IndexConfig(analyzer = Engine.OracleAnalyzer), verifySha = false)
     val buildSec = secs(tBuild0)
     val docsPerSec = nDocs / buildSec
+    corpus.unpersist()
 
     // ---- BM25 query latency over the fixed topic batch -------------------
     val benchTopics = Corpus.LineitemTopics.map { case (q, t) => graft.search.Topic(q, t) }

@@ -64,6 +64,18 @@ object Corpus {
         col("content"))
   }
 
+  /** Deterministically replicate a corpus `copies` times (docnos prefixed
+    * per copy) — bench-scale amplification so strong-scaling measurements
+    * aren't dominated by fixed job overhead. Content distribution (and thus
+    * df skew, posting sizes) is preserved.
+    */
+  def replicated(corpus: DataFrame, copies: Int): DataFrame =
+    if (copies <= 1) corpus
+    else corpus
+      .withColumn("cp", explode(sequence(lit(0), lit(copies - 1))))
+      .withColumn("docno", concat(col("cp"), lit("-"), col("docno")))
+      .drop("cp")
+
   /** Fixed topic set over the lineitem-corpus vocabulary: hot, mid and
     * rare terms mixed, for latency benchmarking.
     */

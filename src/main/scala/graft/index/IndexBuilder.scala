@@ -86,9 +86,15 @@ object IndexBuilder {
     if (force || !Checkpoint.isComplete(docsDir, fp, cfg.id, conf)) {
       force = true
       val t0 = System.nanoTime()
+      // Partitioned by coarse docid-range group so the query path's
+      // docno-attach join on (docid, grp) dynamic-partition-prunes the doc
+      // table instead of scanning all of it (critical at 10^12 rows);
+      // sorted by docid within files for parquet min/max row-group skipping.
       Checkpoint.atomically(docsDir, conf) { tmp =>
         tokenized.select($"docid", $"docno", $"sha", $"dl")
-          .write.mode("overwrite").parquet(tmp)
+          .withColumn("grp", shiftright($"docid", cfg.groupShift + cfg.mergeShift))
+          .sortWithinPartitions($"grp", $"docid")
+          .write.mode("overwrite").partitionBy("grp").parquet(tmp)
       }
       val n = spark.read.parquet(docsDir).count()
       Checkpoint.writeManifest(docsDir,

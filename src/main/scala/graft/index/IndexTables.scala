@@ -69,7 +69,7 @@ final case class IndexConfig(
     fingerprint: String = "keys" // "keys" | "none" — resume-safety fingerprint mode
 ) {
   def id: String =
-    s"v1;${analyzer.id};b=$buckets;g=$groupShift;m=$mergeShift"
+    s"v2;${analyzer.id};b=$buckets;g=$groupShift;m=$mergeShift"
 }
 
 object IndexLayout {

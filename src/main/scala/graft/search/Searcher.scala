@@ -17,6 +17,9 @@ final case class Topic(qid: String, text: String)
   */
 final case class RunLine(qid: String, docno: String, rank: Int, score: Float, runtag: String)
 
+/** One boosted term clause of a query (≙ a SHOULD TermQuery with boost). */
+final case class WeightedClause(qid: String, qidx: Int, term: String, boost: Float)
+
 /** Batch retrieval — the Spark-native reimplementation of the reference's
   * `BatchSearch` lifecycle (SURVEY.md §3.2). The Lucene boolean OR scorer
   * (union of query-term posting lists, per-doc float score sum, bounded
@@ -47,17 +50,42 @@ final class Searcher(val index: BuiltIndex) {
     */
   def search(topics: Seq[Topic], k: Int = 1000,
              scorerName: String = "bm25"): Dataset[RunLine] = {
-    import spark.implicits._
-    val scorer = Scorer.byName(scorerName)
-
     // ≙ SimpleQueryParser over analyzed text: one SHOULD clause per token
     // occurrence, in token order (`BatchSearch.java:189-190,252`).
-    val clauses: Seq[(String, Int, String)] = topics.flatMap { t =>
-      analyzer.analyze(t.text).zipWithIndex.map { case (term, i) => (t.qid, i, term) }
+    val clauses = topics.flatMap { t =>
+      analyzer.analyze(t.text).zipWithIndex.map { case (term, i) =>
+        WeightedClause(t.qid, i, term, 1.0f)
+      }
     }
+    searchClauses(clauses, k, scorerName)
+  }
+
+  /** Retrieval over explicit weighted clauses (≙ boosted TermQuerys — used
+    * by the relevance-feedback path, which emits `term^weight` pairs,
+    * `ExplicitFeedbackM1PreProcessor.java:321-352`). `excludeDocnos` removes
+    * documents per query BEFORE ranking (≙ `FeedbackDocumentFilter`
+    * rewriting TopDocs before ranks are assigned,
+    * `BatchSearch.java:238-249,286-287`).
+    */
+  def searchClauses(clauses: Seq[WeightedClause], k: Int = 1000,
+                    scorerName: String = "bm25",
+                    excludeDocnos: Map[String, Set[String]] = Map.empty): Dataset[RunLine] = {
+    import spark.implicits._
+    val scorer = Scorer.byName(scorerName)
     if (clauses.isEmpty) return spark.emptyDataset[RunLine]
 
-    val terms = clauses.map(_._3).distinct
+    // Resolve excluded docnos → docids (tiny point lookup on the doc table,
+    // ≙ the reference's docno TermQuery lookups §2.3).
+    val excludedByQid: Map[String, Set[Long]] =
+      if (excludeDocnos.isEmpty) Map.empty
+      else {
+        val allDocnos = excludeDocnos.values.flatten.toSeq.distinct
+        val ids = index.docs.where(col("docno").isin(allDocnos: _*))
+          .select("docno", "docid").as[(String, Long)].collect().toMap
+        excludeDocnos.map { case (qid, ds) => qid -> ds.flatMap(ids.get) }
+      }
+
+    val terms = clauses.map(_.term).distinct
     val buckets = terms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
     val stats = CollStats(index.stats.max_doc, index.stats.sum_total_term_freq)
 
@@ -67,12 +95,12 @@ final class Searcher(val index: BuiltIndex) {
       .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
       .select("term", "df").as[(String, Long)].collect().toMap
 
-    // Driver-side query plan: term → (weight, clauses using it).
-    val plan: Map[String, (Float, Array[(String, Int)])] =
-      clauses.groupBy(_._3).flatMap { case (term, cs) =>
+    // Driver-side query plan: term → (idf, clauses using it).
+    val plan: Map[String, (Float, Array[(String, Int, Float)])] =
+      clauses.groupBy(_.term).flatMap { case (term, cs) =>
         dfs.get(term).map { df =>
           term -> (scorer.termWeight(df, stats),
-                   cs.map(c => (c._1, c._2)).toArray)
+                   cs.map(c => (c.qid, c.qidx, c.boost)).toArray)
         }
       }
     if (plan.isEmpty) return spark.emptyDataset[RunLine]
@@ -82,18 +110,24 @@ final class Searcher(val index: BuiltIndex) {
       .where(col("bucket").isin(buckets: _*) && col("term").isin(plan.keys.toSeq: _*))
       .as[PostingRun]
 
-    // Decode → per-clause partial scores (qid, docid, clauseIdx, partial).
+    // Decode → per-clause partial scores (qid, docid, clauseIdx, partial);
+    // clause boost multiplies like a Lucene query-term boost.
     val partials: Dataset[(String, Long, Int, Float)] = posts.flatMap { run =>
-      val (weight, cs) = plan(run.term)
+      val (idf, cs) = plan(run.term)
       PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
         .flatMap { p =>
-          val s = scorer.score(p.tf, p.dl, weight, stats)
-          cs.iterator.map { case (qid, qidx) => (qid, p.docid, qidx, s) }
+          val s = scorer.score(p.tf, p.dl, idf, stats)
+          cs.iterator.map { case (qid, qidx, boost) =>
+            (qid, p.docid, qidx, if (boost == 1.0f) s else s * boost)
+          }
         }
     }
 
-    // Per-(query, doc) float sum in clause order (≙ boolean scorer sum).
+    // Per-(query, doc) float sum in clause order (≙ boolean scorer sum),
+    // with per-query doc exclusion applied BEFORE ranking.
+    val excluded = excludedByQid
     val scores: Dataset[(String, Long, Float)] = partials
+      .filter(t => excluded.get(t._1).forall(!_.contains(t._2)))
       .groupByKey(t => (t._1, t._2))
       .mapGroups[(String, Long, Float)] {
         (key: (String, Long), it: Iterator[(String, Long, Int, Float)]) =>
@@ -116,9 +150,14 @@ final class Searcher(val index: BuiltIndex) {
       }
     }.toDF("qid", "docid", "rank", "score")
 
-    // Attach docno: tiny result side broadcast against the doc table.
-    val withDocno = index.docs.select($"docid", $"docno")
-      .join(broadcast(ranked), Seq("docid"))
+    // Attach docno: tiny result side broadcast against the doc table; the
+    // redundant grp equi-key (grp is a pure function of docid) lets Spark
+    // dynamic-partition-prune the grp-partitioned doc table, so only the
+    // docid ranges containing hits are read.
+    val docShift = index.cfg.groupShift + index.cfg.mergeShift
+    val withDocno = index.docs.select($"docid", $"docno", $"grp")
+      .join(broadcast(ranked.withColumn("grp", shiftright($"docid", docShift))),
+        Seq("docid", "grp"))
 
     // Docno dedup keeping the first (lowest pre-dedup rank) occurrence.
     val w = Window.partitionBy($"qid", $"docno").orderBy($"rank")

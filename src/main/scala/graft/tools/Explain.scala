@@ -1,0 +1,49 @@
+package graft.tools
+
+import graft.Engine
+import graft.search.Topic
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Diagnostic: print formatted physical plans for the hot paths so
+  * pushdown/pruning regressions are visible (`PushedFilters`, partition
+  * pruning on `bucket`, `WholeStageCodegen` spans).
+  *
+  * Run: sbt "runMain graft.tools.Explain /root/testdata/sf0.001"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val idx = Engine.oracleIndex(spark, sfDir)
+
+    println("\n========== postings lookup (should show bucket partition pruning + term PushedFilters) ==========")
+    val terms = Seq("hash", "join", "merge")
+    val buckets = terms.map(graft.index.IndexLayout.bucketOf(_, idx.cfg.buckets))
+    idx.postings
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .explain("formatted")
+
+    println("\n========== term_stats lookup ==========")
+    idx.termStats
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select("term", "df")
+      .explain("formatted")
+
+    println("\n========== full search plan ==========")
+    new graft.search.Searcher(idx)
+      .search(Seq(Topic("1", "hash join merge")), 20)
+      .explain("formatted")
+
+    println("\n========== docs scan for doclens (column pruning: docno, dl only) ==========")
+    idx.docs.select("docno", "dl").explain("formatted")
+
+    spark.stop()
+  }
+}
