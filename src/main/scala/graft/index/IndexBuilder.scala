@@ -3,7 +3,7 @@ package graft.index
 import graft.analysis.Analyzer
 import graft.codec.{DecodedPosting, EncodedRun, PostingCodec}
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.CollectionAccumulator
 
@@ -116,21 +116,32 @@ object IndexBuilder {
         Checkpoint.Manifest("stats", fp, cfg.id, 1L, msSince(t0), Nil), conf)
     }
 
-    // ---- stage: posting runs (initial segments) ---------------------------
+    // ---- docid-range group → merged-group rank map -------------------------
+    // grp values embed the range-partition id in their high bits (docid
+    // packing), so merged groups come from the global SORTED grp rank —
+    // bit-shifting grp could never merge across range partitions. The map
+    // is tiny (one entry per 2^groupShift docids) and broadcast.
+    val postDir = s"$dir/$PostingsDir"
     val runsDir = s"$dir/$RunsDir"
-    if (force || !Checkpoint.isComplete(runsDir, fp, cfg.id, conf)) {
-      force = true
-      val t0 = System.nanoTime()
-      val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("runs_parts")
-      val buckets = cfg.buckets
-      val exploded = tokenized
-        .select($"docid", $"dl", explode($"terms").as("t"))
-        .select($"t.term".as("term"), $"docid", $"t.tf".as("tf"), $"dl")
-        .withColumn("grp", shiftright($"docid", cfg.groupShift))
-        .repartition($"term", $"grp")
-        .sortWithinPartitions($"term", $"grp", $"docid")
-        .as[(String, Long, Int, Int, Long)]
-      val runs = exploded.mapPartitions { it =>
+    lazy val mgrpMapDF = {
+      val grps = tokenized
+        .select(shiftright($"docid", cfg.groupShift).as("grp"))
+        .distinct().orderBy("grp").as[Long].collect()
+      val mShift = cfg.mergeShift
+      grps.zipWithIndex.toSeq
+        .map { case (g, i) => (g, (i >> mShift).toLong) }
+        .toDF("grp", "mgrp")
+    }
+    val buckets = cfg.buckets
+
+    def explodedPostings = tokenized
+      .select($"docid", $"dl", explode($"terms").as("t"))
+      .select($"t.term".as("term"), $"docid", $"t.tf".as("tf"), $"dl")
+      .withColumn("grp", shiftright($"docid", cfg.groupShift))
+
+    def encodeChunks(sorted: Dataset[(String, Long, Int, Int, Long)],
+                     acc: CollectionAccumulator[(Int, Long, Long)]) =
+      sorted.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val rows = it.buffered
         val rawRuns = new Iterator[PostingRun] {
@@ -153,31 +164,67 @@ object IndexBuilder {
         metered(rawRuns, acc, pid)(r =>
           (r, r.doc_blob.length.toLong + r.tf_blob.length + r.dl_blob.length))
       }
-      Checkpoint.atomically(runsDir, conf) { tmp =>
-        runs.write.mode("overwrite").parquet(tmp)
-      }
-      publishManifest(runsDir, "runs", fp, cfg.id, acc, t0, conf)
-    }
 
-    // ---- stage: merged postings (segment merge) ---------------------------
-    val postDir = s"$dir/$PostingsDir"
-    if (force || !Checkpoint.isComplete(postDir, fp, cfg.id, conf)) {
-      force = true
-      val t0 = System.nanoTime()
-      val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("postings_parts")
-      val mShift = cfg.mergeShift
-      val merged = spark.read.parquet(runsDir).as[PostingRun]
-        .repartition($"term", shiftright($"grp", mShift))
-        .sortWithinPartitions($"term", $"grp")
-        .mapPartitions { it =>
+    if (!cfg.twoPhase) {
+      // ---- stage: postings (single shuffle, final merged granularity) ----
+      if (force || !Checkpoint.isComplete(postDir, fp, cfg.id, conf)) {
+        force = true
+        val t0 = System.nanoTime()
+        val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("postings_parts")
+        val sorted = explodedPostings
+          .join(broadcast(mgrpMapDF), Seq("grp"))
+          .repartition($"term", $"mgrp")
+          .sortWithinPartitions($"term", $"mgrp", $"docid")
+          .select($"term", $"docid", $"tf", $"dl", $"mgrp")
+          .as[(String, Long, Int, Int, Long)]
+        Checkpoint.atomically(postDir, conf) { tmp =>
+          encodeChunks(sorted, acc)
+            .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        }
+        publishManifest(postDir, "postings", fp, cfg.id, acc, t0, conf)
+      }
+    } else {
+      // ---- stage: posting runs (initial segments) -------------------------
+      if (force || !Checkpoint.isComplete(runsDir, fp, cfg.id, conf)) {
+        force = true
+        val t0 = System.nanoTime()
+        val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("runs_parts")
+        val sorted = explodedPostings
+          .repartition($"term", $"grp")
+          .sortWithinPartitions($"term", $"grp", $"docid")
+          .select($"term", $"docid", $"tf", $"dl", $"grp")
+          .as[(String, Long, Int, Int, Long)]
+        Checkpoint.atomically(runsDir, conf) { tmp =>
+          encodeChunks(sorted, acc).write.mode("overwrite").parquet(tmp)
+        }
+        publishManifest(runsDir, "runs", fp, cfg.id, acc, t0, conf)
+      }
+
+      // ---- stage: merged postings (segment merge) -------------------------
+      if (force || !Checkpoint.isComplete(postDir, fp, cfg.id, conf)) {
+        force = true
+        val t0 = System.nanoTime()
+        val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("postings_parts")
+        val runCols = Seq("term", "bucket", "grp", "ndocs", "first_docid",
+          "last_docid", "max_tf", "sum_tf", "doc_blob", "tf_blob", "dl_blob",
+          "block_last_docid", "block_max_tf", "block_min_dl",
+          "block_doc_off", "block_tf_off", "block_dl_off")
+        val merged = spark.read.parquet(runsDir)
+          .join(broadcast(mgrpMapDF), Seq("grp"))
+          .repartition($"term", $"mgrp")
+          .sortWithinPartitions($"term", $"grp")
+          .select(struct(runCols.map(col): _*).as("_1"), $"mgrp".as("_2"))
+          .as[(PostingRun, Long)]
+        val mergedRuns = merged.mapPartitions { it =>
           val pid = TaskContext.getPartitionId()
-          metered(SegmentMerger.mergeSorted(it, mShift), acc, pid)(r =>
+          metered(SegmentMerger.mergeSorted(it), acc, pid)(r =>
             (r, r.doc_blob.length.toLong + r.tf_blob.length + r.dl_blob.length))
         }
-      Checkpoint.atomically(postDir, conf) { tmp =>
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        Checkpoint.atomically(postDir, conf) { tmp =>
+          mergedRuns.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        }
+        publishManifest(postDir, "postings", fp, cfg.id, acc, t0, conf)
       }
-      publishManifest(postDir, "postings", fp, cfg.id, acc, t0, conf)
     }
 
     // ---- stage: term stats -------------------------------------------------

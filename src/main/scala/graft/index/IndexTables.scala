@@ -59,17 +59,26 @@ final case class PostingRun(
   */
 final case class TermStatsRow(term: String, bucket: Int, df: Long, max_tf: Int, cf: Long)
 
-/** Index build configuration. */
+/** Index build configuration.
+  *
+  * `twoPhase = false` (default) builds posting runs directly at merged
+  * granularity — one shuffle, with the segment-merge happening inside the
+  * shuffle sort (the Spark-native equivalent of Lucene's flush+merge).
+  * `twoPhase = true` materializes the intermediate per-group segment runs
+  * and merges them in a second stage via [[SegmentMerger]] — finer resume
+  * granularity at the cost of a second full shuffle + write.
+  */
 final case class IndexConfig(
     analyzer: AnalyzerConfig = AnalyzerConfig(),
     buckets: Int = 64,          // postings hash-partition fan-out (term pruning)
-    groupShift: Int = 18,       // initial segment group = 2^18 docids
-    mergeShift: Int = 4,        // merge 2^4 adjacent groups per compacted run
+    groupShift: Int = 18,       // docid-range group = 2^18 docids
+    mergeShift: Int = 4,        // 2^4 adjacent groups per final (merged) run
     rangePartitions: Int = 0,   // 0 = spark.sql.shuffle.partitions
-    fingerprint: String = "keys" // "keys" | "none" — resume-safety fingerprint mode
+    fingerprint: String = "keys", // "keys" | "none" — resume-safety fingerprint
+    twoPhase: Boolean = false
 ) {
   def id: String =
-    s"v2;${analyzer.id};b=$buckets;g=$groupShift;m=$mergeShift"
+    s"v3;${analyzer.id};b=$buckets;g=$groupShift;m=$mergeShift;tp=$twoPhase"
 }
 
 object IndexLayout {

@@ -11,26 +11,26 @@ import graft.codec.{DecodedPosting, PostingCodec}
   */
 object SegmentMerger {
 
-  /** Input: runs sorted by (term, grp) within the partition, with all runs
-    * of a (term, grp >> mergeShift) merge group co-located (guaranteed by
-    * the repartition in [[IndexBuilder]]). Output: one run per
-    * (term, merged group), with `grp` rewritten to the merged granularity
-    * and the bucket preserved from the inputs.
+  /** Input: (run, mergedGroup) pairs sorted by (term, grp) within the
+    * partition, with all runs of a (term, mergedGroup) co-located
+    * (guaranteed by the repartition in [[IndexBuilder]]); mergedGroup comes
+    * from the global sorted-grp rank map, so adjacent docid ranges merge
+    * even across the build's range partitions. Output: one run per
+    * (term, merged group), `grp` rewritten to the merged id, bucket
+    * preserved.
     */
-  def mergeSorted(it: Iterator[PostingRun], mergeShift: Int): Iterator[PostingRun] = {
+  def mergeSorted(it: Iterator[(PostingRun, Long)]): Iterator[PostingRun] = {
     val rows = it.buffered
     new Iterator[PostingRun] {
       def hasNext: Boolean = rows.hasNext
       def next(): PostingRun = {
-        val head = rows.head
+        val (head, mgrp) = rows.head
         val term = head.term
         val bucket = head.bucket
-        val mgrp = head.grp >> mergeShift
         val chunkRuns = new Iterator[PostingRun] {
           def hasNext: Boolean =
-            rows.hasNext && rows.head.term == term &&
-              (rows.head.grp >> mergeShift) == mgrp
-          def next(): PostingRun = rows.next()
+            rows.hasNext && rows.head._1.term == term && rows.head._2 == mgrp
+          def next(): PostingRun = rows.next()._1
         }
         val e = PostingCodec.encode(chunkRuns.flatMap(decode))
         PostingRun(term, bucket, mgrp, e.ndocs, e.firstDocid, e.lastDocid,

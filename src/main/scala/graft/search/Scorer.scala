@@ -23,10 +23,26 @@ final case class CollStats(maxDoc: Long, sumTotalTermFreq: Long) {
   */
 trait Scorer extends Serializable {
   def name: String
-  /** Per-term constant (≙ SimWeight.idf — `BM25.java:54-74`). */
-  def termWeight(docFreq: Long, stats: CollStats): Float
+  /** Per-term constant (≙ SimWeight.idf — `BM25.java:54-74`). `cf` is the
+    * collection frequency (totalTermFreq), used by LM models.
+    */
+  def termWeight(docFreq: Long, cf: Long, stats: CollStats): Float
   /** Per-posting score (≙ SimScorer.score — `BM25.java:98-107`). */
   def score(tf: Int, dl: Int, weight: Float, stats: CollStats): Float
+  /** Query-level normalization from the clause weights (≙ Similarity
+    * .queryNorm over sumOfSquaredWeights). The reference's own models
+    * override this to 1 (`BM25.java:44-47`); classic TF-IDF does not.
+    */
+  def queryNorm(clauseWeights: Seq[Float]): Float = 1.0f
+  /** Coordination factor from matched/total clauses (≙ Similarity.coord;
+    * reference models force 1, `BM25.java:39-42`).
+    */
+  def coord(overlap: Int, maxOverlap: Int): Float = 1.0f
+  /** Whether block-max pruning is sound for this model: requires score
+    * monotone increasing in tf, decreasing in dl, and coord ≡ 1 (a coord
+    * < 1 would make seed partial scores overestimate the threshold).
+    */
+  def supportsPruning: Boolean = true
 }
 
 object Scorer {
@@ -38,13 +54,18 @@ object Scorer {
   @inline def log2(x: Float): Float =
     (math.log(x.toDouble) / math.log(2.0)).toFloat
 
-  /** Registry keyed like the reference's `models` file. */
+  /** Registry keyed like the reference's `models` file (`models:1-9`). */
   def byName(name: String): Scorer = name.toLowerCase match {
-    case "bm25"  => Bm25Scorer
-    case "bm25e" => Bm25eScorer
-    case "tmpl"  => TmplScorer
-    case "tmple" => TmpleScorer
-    case other   => throw new IllegalArgumentException(s"unknown scorer: $other")
+    case "bm25"         => Bm25Scorer
+    case "bm25e"        => Bm25eScorer
+    case "tmpl"         => TmplScorer
+    case "tmple"        => TmpleScorer
+    case "bm25l"        => Bm25LuceneScorer
+    case "defaultl"     => ClassicScorer
+    case "lmdirichletl" => LmDirichletScorer
+    case "dfrl"         => DfrScorer
+    case "ibl"          => IbScorer
+    case other => throw new IllegalArgumentException(s"unknown scorer: $other")
   }
 }
 
@@ -61,7 +82,7 @@ object Bm25Scorer extends Scorer {
     * `BM25.java:60-63` (single-term branch; the multi-term accumulator is
     * dead code under boolean rewrite, SURVEY.md §2.6).
     */
-  def termWeight(docFreq: Long, s: CollStats): Float = {
+  def termWeight(docFreq: Long, cf: Long, s: CollStats): Float = {
     val n: Float = docFreq.toFloat
     Scorer.log2(1.0f + (s.N - n + 0.5f) / (n + 0.5f))
   }
@@ -84,8 +105,8 @@ object Bm25Scorer extends Scorer {
   */
 object Bm25eScorer extends Scorer {
   val name = "bm25e"
-  def termWeight(docFreq: Long, s: CollStats): Float =
-    Bm25Scorer.termWeight(docFreq, s)
+  def termWeight(docFreq: Long, cf: Long, s: CollStats): Float =
+    Bm25Scorer.termWeight(docFreq, cf, s)
   def score(tf: Int, dl: Int, idf: Float, s: CollStats): Float = {
     val dlf = SmallFloat315.NORM(SmallFloat315.floatToByte315(dl.toFloat) & 0xff)
     val tff = tf.toFloat
@@ -100,7 +121,7 @@ object Bm25eScorer extends Scorer {
   */
 object TmplScorer extends Scorer {
   val name = "tmpl"
-  def termWeight(docFreq: Long, s: CollStats): Float =
+  def termWeight(docFreq: Long, cf: Long, s: CollStats): Float =
     Scorer.log2(s.N / docFreq.toFloat)
   def score(tf: Int, dl: Int, w: Float, s: CollStats): Float = 1.0f
 }
@@ -108,7 +129,7 @@ object TmplScorer extends Scorer {
 /** Template with byte-encoded norms (`TMPLe.java:43-96`) — scores ≡ 1.0. */
 object TmpleScorer extends Scorer {
   val name = "tmple"
-  def termWeight(docFreq: Long, s: CollStats): Float =
-    TmplScorer.termWeight(docFreq, s)
+  def termWeight(docFreq: Long, cf: Long, s: CollStats): Float =
+    TmplScorer.termWeight(docFreq, cf, s)
   def score(tf: Int, dl: Int, w: Float, s: CollStats): Float = 1.0f
 }

@@ -49,7 +49,8 @@ final class Searcher(val index: BuiltIndex) {
     * reference's `returnedResultCount` (`LTRSettings.java:14`).
     */
   def search(topics: Seq[Topic], k: Int = 1000,
-             scorerName: String = "bm25"): Dataset[RunLine] = {
+             scorerName: String = "bm25",
+             pruning: Boolean = false): Dataset[RunLine] = {
     // ≙ SimpleQueryParser over analyzed text: one SHOULD clause per token
     // occurrence, in token order (`BatchSearch.java:189-190,252`).
     val clauses = topics.flatMap { t =>
@@ -57,7 +58,7 @@ final class Searcher(val index: BuiltIndex) {
         WeightedClause(t.qid, i, term, 1.0f)
       }
     }
-    searchClauses(clauses, k, scorerName)
+    searchClauses(clauses, k, scorerName, pruning = pruning)
   }
 
   /** Retrieval over explicit weighted clauses (≙ boosted TermQuerys — used
@@ -67,12 +68,24 @@ final class Searcher(val index: BuiltIndex) {
     * rewriting TopDocs before ranks are assigned,
     * `BatchSearch.java:238-249,286-287`).
     */
+  /** Pruning accumulators of the most recent pruned search (blocks decoded
+    * vs skipped), populated once the returned Dataset is acted on — for
+    * tests and diagnostics.
+    */
+  @volatile private var pruningAccs
+      : Option[(org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator)] = None
+  def lastPruning: (Long, Long) =
+    pruningAccs.map { case (d, p) => (d.value.longValue, p.value.longValue) }
+      .getOrElse((0L, 0L))
+
   def searchClauses(clauses: Seq[WeightedClause], k: Int = 1000,
                     scorerName: String = "bm25",
-                    excludeDocnos: Map[String, Set[String]] = Map.empty): Dataset[RunLine] = {
+                    excludeDocnos: Map[String, Set[String]] = Map.empty,
+                    pruning: Boolean = false): Dataset[RunLine] = {
     import spark.implicits._
     val scorer = Scorer.byName(scorerName)
     if (clauses.isEmpty) return spark.emptyDataset[RunLine]
+    val prune = pruning && scorer.supportsPruning
 
     // Resolve excluded docnos → docids (tiny point lookup on the doc table,
     // ≙ the reference's docno TermQuery lookups §2.3).
@@ -89,18 +102,33 @@ final class Searcher(val index: BuiltIndex) {
     val buckets = terms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
     val stats = CollStats(index.stats.max_doc, index.stats.sum_total_term_freq)
 
-    // Per-term docFreq from the tiny pruned term_stats lookup
-    // (≙ TermStatistics.docFreq consumed at `BM25.java:61`).
-    val dfs: Map[String, Long] = index.termStats
+    // Per-term (docFreq, collectionFreq) from the tiny pruned term_stats
+    // lookup (≙ TermStatistics consumed at `BM25.java:61`).
+    val dfs: Map[String, (Long, Long)] = index.termStats
       .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
-      .select("term", "df").as[(String, Long)].collect().toMap
+      .select("term", "df", "cf").as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
 
-    // Driver-side query plan: term → (idf, clauses using it).
+    // Per-query normalization (1.0 for all reference models, which override
+    // queryNorm — only classic TF-IDF uses it): sumOfSquaredWeights over
+    // ALL clauses, including unmatched terms, like Lucene's weight phase.
+    val qnByQid: Map[String, Float] = clauses.groupBy(_.qid).map { case (qid, cs) =>
+      val ws = cs.sortBy(_.qidx).map { c =>
+        val (df, cf) = dfs.getOrElse(c.term, (0L, 0L))
+        scorer.termWeight(df, cf, stats) * c.boost
+      }
+      qid -> scorer.queryNorm(ws)
+    }
+    val maxOverlap: Map[String, Int] =
+      clauses.groupBy(_.qid).map { case (q, cs) => q -> cs.size }
+
+    // Driver-side query plan: term → (idf, clauses using it), queryNorm
+    // folded into the clause boost.
     val plan: Map[String, (Float, Array[(String, Int, Float)])] =
       clauses.groupBy(_.term).flatMap { case (term, cs) =>
-        dfs.get(term).map { df =>
-          term -> (scorer.termWeight(df, stats),
-                   cs.map(c => (c.qid, c.qidx, c.boost)).toArray)
+        dfs.get(term).map { case (df, cf) =>
+          term -> (scorer.termWeight(df, cf, stats),
+                   cs.map(c => (c.qid, c.qidx, c.boost * qnByQid(c.qid))).toArray)
         }
       }
     if (plan.isEmpty) return spark.emptyDataset[RunLine]
@@ -110,22 +138,70 @@ final class Searcher(val index: BuiltIndex) {
       .where(col("bucket").isin(buckets: _*) && col("term").isin(plan.keys.toSeq: _*))
       .as[PostingRun]
 
+    // Block-max WAND (north-star extension, SURVEY.md §2.7): a seed pass
+    // scores each query's cheapest (lowest-df) clause exactly, giving a
+    // lower bound θ on the final kth score; the main pass then skips any
+    // (query, term, block) whose upper bound — block-max tf at block-min dl
+    // plus the other clauses' global maxima — cannot strictly beat θ.
+    // Sound because scores are monotone ↑tf ↓dl and pruning is strict (<).
+    val theta: Map[String, Float] =
+      if (!prune) Map.empty
+      else seedThresholds(clauses, dfs, k, scorer, stats, qnByQid)
+    val (boostSum, othersSum) =
+      if (!prune || theta.isEmpty) (Map.empty[(String, String), Float], Map.empty[(String, String), Float])
+      else wandBounds(posts, plan, clauses, qnByQid, scorer, stats)
+
+    val decodedAcc = spark.sparkContext.longAccumulator("wand_blocks_decoded")
+    val prunedAcc = spark.sparkContext.longAccumulator("wand_blocks_pruned")
+    if (prune) pruningAccs = Some((decodedAcc, prunedAcc))
+
     // Decode → per-clause partial scores (qid, docid, clauseIdx, partial);
     // clause boost multiplies like a Lucene query-term boost.
-    val partials: Dataset[(String, Long, Int, Float)] = posts.flatMap { run =>
-      val (idf, cs) = plan(run.term)
-      PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
-        .flatMap { p =>
-          val s = scorer.score(p.tf, p.dl, idf, stats)
-          cs.iterator.map { case (qid, qidx, boost) =>
-            (qid, p.docid, qidx, if (boost == 1.0f) s else s * boost)
+    val partials: Dataset[(String, Long, Int, Float)] =
+      if (!prune || theta.isEmpty) posts.flatMap { run =>
+        val (idf, cs) = plan(run.term)
+        PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
+          .flatMap { p =>
+            val s = scorer.score(p.tf, p.dl, idf, stats)
+            cs.iterator.map { case (qid, qidx, boost) =>
+              (qid, p.docid, qidx, if (boost == 1.0f) s else s * boost)
+            }
+          }
+      } else posts.flatMap { run =>
+        val (idf, cs) = plan(run.term)
+        val nBlocks = run.block_last_docid.length
+        (0 until nBlocks).iterator.flatMap { bi =>
+          val ub = scorer.score(run.block_max_tf(bi), run.block_min_dl(bi), idf, stats)
+          val alive = cs.filter { case (qid, _, _) =>
+            theta.get(qid) match {
+              case Some(th) =>
+                ub * boostSum.getOrElse((qid, run.term), 0.0f) +
+                  othersSum.getOrElse((qid, run.term), 0.0f) >= th
+              case None => true
+            }
+          }
+          if (alive.isEmpty) { prunedAcc.add(1); Iterator.empty }
+          else {
+            decodedAcc.add(1)
+            PostingCodec.decodeBlock(bi, run.ndocs,
+                run.doc_blob, run.tf_blob, run.dl_blob,
+                run.block_last_docid, run.block_doc_off, run.block_tf_off,
+                run.block_dl_off)
+              .flatMap { p =>
+                val s = scorer.score(p.tf, p.dl, idf, stats)
+                alive.iterator.map { case (qid, qidx, boost) =>
+                  (qid, p.docid, qidx, if (boost == 1.0f) s else s * boost)
+                }
+              }
           }
         }
-    }
+      }
 
     // Per-(query, doc) float sum in clause order (≙ boolean scorer sum),
-    // with per-query doc exclusion applied BEFORE ranking.
+    // per-query doc exclusion BEFORE ranking, coord factor from
+    // matched/total clauses (1.0 for all reference models).
     val excluded = excludedByQid
+    val maxOv = maxOverlap
     val scores: Dataset[(String, Long, Float)] = partials
       .filter(t => excluded.get(t._1).forall(!_.contains(t._2)))
       .groupByKey(t => (t._1, t._2))
@@ -134,7 +210,8 @@ final class Searcher(val index: BuiltIndex) {
         val arr = it.toArray.sortBy(_._3)
         var s = 0.0f
         arr.foreach(s += _._4)
-        (key._1, key._2, s)
+        val c = scorer.coord(arr.length, maxOv.getOrElse(key._1, arr.length))
+        (key._1, key._2, if (c == 1.0f) s else s * c)
       }
 
     // Bounded top-k per query (score desc, docid asc tie-break — the Lucene
@@ -167,6 +244,87 @@ final class Searcher(val index: BuiltIndex) {
         $"score".cast("float").as("score"), lit(scorer.name).as("runtag"))
       .orderBy($"qid", $"rank")
       .as[RunLine]
+  }
+
+  /** Seed pass for WAND: exact-score each query's lowest-df clause only;
+    * the kth best partial score is a valid lower bound on the final kth
+    * total score (partials never exceed totals for non-negative boosts).
+    * Queries with fewer than k seed hits get no threshold (no pruning).
+    */
+  private def seedThresholds(clauses: Seq[WeightedClause],
+                             dfs: Map[String, (Long, Long)], k: Int,
+                             scorer: Scorer, stats: CollStats,
+                             qn: Map[String, Float]): Map[String, Float] = {
+    import spark.implicits._
+    val seeds: Seq[WeightedClause] = clauses.groupBy(_.qid).flatMap { case (_, cs) =>
+      val inIdx = cs.filter(c => dfs.contains(c.term) && c.boost > 0)
+      if (inIdx.isEmpty) None else Some(inIdx.minBy(c => dfs(c.term)._1))
+    }.toSeq
+    if (seeds.isEmpty) return Map.empty
+    val byTerm: Map[String, Array[(String, Float)]] = seeds.groupBy(_.term)
+      .map { case (t, cs) => t -> cs.map(c => (c.qid, c.boost * qn(c.qid))).toArray }
+    val weights: Map[String, Float] = byTerm.keys.map { t =>
+      val (df, cf) = dfs(t)
+      t -> scorer.termWeight(df, cf, stats)
+    }.toMap
+    val buckets = byTerm.keys.map(IndexLayout.bucketOf(_, index.cfg.buckets)).toSeq.distinct
+    val posts = index.postings
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(byTerm.keys.toSeq: _*))
+      .as[PostingRun]
+    val partials = posts.flatMap { run =>
+      val w = weights(run.term)
+      val qs = byTerm(run.term)
+      PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
+        .flatMap { p =>
+          val s = scorer.score(p.tf, p.dl, w, stats)
+          qs.iterator.map { case (qid, boost) => (qid, p.docid, s * boost) }
+        }
+    }
+    val agg = new TopKAgg(k, implicitly[Encoder[Seq[(Long, Float)]]],
+      implicitly[Encoder[Seq[(Long, Float)]]])
+    partials.groupByKey(_._1).agg(agg.toColumn).collect()
+      .collect { case (qid, hits) if hits.size >= k => qid -> hits.last._2 }
+      .toMap
+  }
+
+  /** Driver-side WAND bounds: per-term global block-max score UB (one tiny
+    * metadata-only job over the pruned runs), then per (query, term) the
+    * sum of this term's clause boosts and the other clauses' UB total.
+    */
+  private def wandBounds(posts: Dataset[PostingRun],
+                         plan: Map[String, (Float, Array[(String, Int, Float)])],
+                         clauses: Seq[WeightedClause], qn: Map[String, Float],
+                         scorer: Scorer, stats: CollStats)
+      : (Map[(String, String), Float], Map[(String, String), Float]) = {
+    import spark.implicits._
+    val planB = plan
+    val termUB: Map[String, Float] = posts
+      .map { run =>
+        val idf = planB(run.term)._1
+        var m = 0.0f
+        var i = 0
+        while (i < run.block_max_tf.length) {
+          val u = scorer.score(run.block_max_tf(i), run.block_min_dl(i), idf, stats)
+          if (u > m) m = u
+          i += 1
+        }
+        (run.term, m)
+      }
+      .groupByKey(_._1)
+      .mapGroups[(String, Float)]((t: String, it: Iterator[(String, Float)]) =>
+        (t, it.map(_._2).max))
+      .collect().toMap
+    val inIdx = clauses.filter(c => termUB.contains(c.term))
+    val boostSum: Map[(String, String), Float] = inIdx
+      .groupBy(c => (c.qid, c.term))
+      .map { case (key, cs) => key -> cs.map(c => c.boost * qn(c.qid)).sum }
+    val totalUB: Map[String, Float] = inIdx.groupBy(_.qid).map { case (qid, cs) =>
+      qid -> cs.map(c => termUB(c.term) * c.boost * qn(qid)).sum
+    }
+    val othersSum: Map[(String, String), Float] = boostSum.keys.map { case (qid, t) =>
+      (qid, t) -> (totalUB(qid) - termUB(t) * boostSum((qid, t)))
+    }.toMap
+    (boostSum, othersSum)
   }
 
   /** Render run lines in trec_eval format (`BatchSearch.java:305-307`). */

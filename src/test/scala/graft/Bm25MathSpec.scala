@@ -15,17 +15,17 @@ class Bm25MathSpec extends AnyFunSuite {
   }
 
   test("bm25 idf is base-2: log2(1 + (N - n + 0.5)/(n + 0.5))") {
-    val idf = Bm25Scorer.termWeight(2, stats)
+    val idf = Bm25Scorer.termWeight(2, 0, stats)
     val want = math.log(1.0 + (3.0 - 2.0 + 0.5) / 2.5) / math.log(2.0) // = log2(1.6)
     assert(math.abs(idf - want) < 1e-6, s"idf=$idf want=$want")
     // a term in every doc still gets a positive idf under this formulation
-    assert(Bm25Scorer.termWeight(3, stats) > 0.0f)
+    assert(Bm25Scorer.termWeight(3, 0, stats) > 0.0f)
     // rarer terms score higher
-    assert(Bm25Scorer.termWeight(1, stats) > idf)
+    assert(Bm25Scorer.termWeight(1, 0, stats) > idf)
   }
 
   test("bm25 score: K = k1(1 - b + b dl/adl); w = (k1+1)tf/(K+tf) idf") {
-    val idf = Bm25Scorer.termWeight(2, stats)
+    val idf = Bm25Scorer.termWeight(2, 0, stats)
     val s = Bm25Scorer.score(tf = 1, dl = 2, idf, stats)
     // hand derivation: dl/adl = 2/(8/3) = 0.75; K = 1.2*(0.25+0.75*0.75)=0.975
     // w = 2.2/(0.975+1) * idf
@@ -61,7 +61,7 @@ class Bm25MathSpec extends AnyFunSuite {
   test("tmpl/tmple: constant 1.0 scores, idf = log2(N/n)") {
     assert(TmplScorer.score(7, 100, 2.3f, stats) == 1.0f)
     assert(TmpleScorer.score(7, 100, 2.3f, stats) == 1.0f)
-    val w = TmplScorer.termWeight(2, stats)
+    val w = TmplScorer.termWeight(2, 0, stats)
     assert(math.abs(w - math.log(3.0 / 2.0) / math.log(2.0)) < 1e-6)
   }
 

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end CLI parity: index a TREC fixture corpus via the IndexTrec
+  * flow, answer topics via the BatchSearch flow (same code paths as the
+  * mains, minus the session/println shell).
+  */
+class CliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("index-then-search round trip from settings, files and topics") {
+    val dir = TestSpark.tmpDir("cli")
+    val corpusDir = s"$dir/corpus"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(corpusDir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(corpusDir, "a.trec"),
+      """<DOC>
+        |<DOCNO>c-1</DOCNO>
+        |<TEXT>the quick brown fox</TEXT>
+        |</DOC>
+        |<DOC>
+        |<DOCNO>c-2</DOCNO>
+        |<TEXT>the lazy dogs sleeping</TEXT>
+        |</DOC>
+        |<DOC>
+        |<DOCNO>c-3</DOCNO>
+        |<TEXT>quick quick foxes running</TEXT>
+        |</DOC>""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "stop.txt"), "the\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "queries.txt"),
+      """<top>
+        |<num>7</num>
+        |<text>quick fox</text>
+        |</top>""".stripMargin)
+    val settingsFile = s"$dir/settings.hjson"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(settingsFile),
+      s"""{
+         |  indexPath: $dir/index
+         |  docsPath: $corpusDir
+         |  stopFile: $dir/stop.txt
+         |  stemmer: PorterStemFilter
+         |  queryFile: $dir/queries.txt
+         |  similarity: BM25
+         |  returnedResultCount: 10
+         |}""".stripMargin)
+
+    val settings = LtrSettings.load(Some(settingsFile), Seq("tokenizer=WhitespaceTokenizer"))
+    // IndexTrec flow
+    val cfg = graft.index.IndexConfig(
+      analyzer = settings.analyzerConfig(tools.Cli.stopWords(settings)),
+      groupShift = 1, mergeShift = 1)
+    val corpus = tools.Cli.readCorpus(spark, settings)
+    val idx = graft.index.IndexBuilder.build(corpus, settings.indexPath, cfg, verifySha = true)
+    assert(idx.stats.max_doc == 3)
+
+    // BatchSearch flow: "quick fox" stems to quick/fox; porter maps
+    // foxes→fox, so c-1 and c-3 match
+    val reopened = graft.index.BuiltIndex.open(spark, settings.indexPath)
+    val run = new graft.search.Searcher(reopened)
+      .search(Parsers.topicsOf(s"$dir/queries.txt"), settings.returnedResultCount,
+        settings.scorerName)
+      .collect()
+    assert(run.map(_.qid).distinct.toSeq == Seq("7"))
+    assert(run.map(_.docno).toSet == Set("c-1", "c-3"))
+    assert(run.forall(_.runtag == "bm25"))
+    // c-3 (quick tf=2 + fox) outranks c-1
+    assert(run.minBy(_.rank).docno == "c-3")
+  }
+
+  private object Parsers {
+    def topicsOf(file: String): Seq[graft.search.Topic] =
+      graft.corpus.Parsers.parseTopics(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(file)))
+        .map(t => graft.search.Topic(t.qid, t.text))
+  }
+}

@@ -59,7 +59,7 @@ class IndexEndToEndSpec extends AnyFunSuite {
         val tf = ts.groupBy(identity).view.mapValues(_.size).toMap
         val partials = clauses.flatMap { c =>
           tf.get(c).map(f =>
-            scorer.score(f, ts.size, scorer.termWeight(df(c), stats), stats))
+            scorer.score(f, ts.size, scorer.termWeight(df(c), 0L, stats), stats))
         }
         if (partials.isEmpty) None
         else {
@@ -149,23 +149,40 @@ class IndexEndToEndSpec extends AnyFunSuite {
     }
   }
 
-  test("merge compacts runs and preserves decoded postings") {
+  test("two-phase merge compacts runs across range partitions, same postings") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("mrg")
-    // groupShift=1 → runs of ≤2 docids; mergeShift=1 → merged groups of ≤4
-    val idx = IndexBuilder.build(corpusDF(unitDocs), dir,
-      cfg.copy(rangePartitions = 1))
+    // groupShift=1 → tiny per-group runs; mergeShift=1 → pairs of adjacent
+    // groups merge; 2 range partitions → the merge must cross partitions
+    // (merged groups come from the global sorted grp rank, not bit masks)
+    // every doc carries a shared term so merged groups at the partition
+    // boundary must contain it from both sides
+    val mergeDocs = (1 to 10).map(i => f"v$i%02d" -> s"common uniq$i filler$i")
+    val idx = IndexBuilder.build(corpusDF(mergeDocs), dir,
+      cfg.copy(rangePartitions = 2, twoPhase = true))
     val rawRuns = spark.read.parquet(s"$dir/${IndexLayout.RunsDir}").as[PostingRun].collect()
     val merged = idx.postings.as[PostingRun].collect()
-    // "cat" appears in u01,u02,u08 → docids 0,1,7 → raw grps {0,3}; merged {0,1}
-    val catRaw = rawRuns.filter(_.term == "cat")
-    val catMerged = merged.filter(_.term == "cat")
-    assert(catRaw.length >= catMerged.length)
-    assert(catMerged.map(_.ndocs).sum == 3)
-    // merged blobs decode to the union of raw blobs, in docid order
-    val rawPs = catRaw.sortBy(_.grp).flatMap(SegmentMerger.decode).toSeq
-    val mergedPs = catMerged.sortBy(_.grp).flatMap(SegmentMerger.decode).toSeq
-    assert(mergedPs == rawPs)
+    assert(merged.length < rawRuns.length, s"${merged.length} !< ${rawRuns.length}")
+    // cross-partition: some merged run spans docids from both pids (pid is
+    // bit 40+ of the packed docid)
+    assert(merged.exists(r => (r.first_docid >> 40) != (r.last_docid >> 40)),
+      "no merged run crosses a range partition")
+    // merged blobs decode to exactly the raw postings, per term, docid order
+    for (term <- rawRuns.map(_.term).distinct) {
+      val rawPs = rawRuns.filter(_.term == term).sortBy(_.first_docid)
+        .flatMap(SegmentMerger.decode).toSeq
+      val mergedPs = merged.filter(_.term == term).sortBy(_.first_docid)
+        .flatMap(SegmentMerger.decode).toSeq
+      assert(mergedPs == rawPs, term)
+    }
+
+    // and the two-phase index answers identically to the default single-phase
+    val dir1 = TestSpark.tmpDir("mrg1")
+    val idx1 = IndexBuilder.build(corpusDF(mergeDocs), dir1, cfg.copy(rangePartitions = 2))
+    val topics = Seq(Topic("m", "common uniq3"))
+    val r1 = collectRun(new Searcher(idx1).search(topics, 100))
+    val r2 = collectRun(new Searcher(idx).search(topics, 100))
+    assert(r1 == r2 && r1.nonEmpty)
   }
 
   test("deterministic rebuild: same input → identical tables and results") {
