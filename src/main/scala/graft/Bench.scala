@@ -21,6 +21,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", (cpus.toString.toInt * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.local.dir", "/dev/shm/graft-shuffle")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -44,7 +45,7 @@ object Bench {
     val nDocs = corpus.count()
     val tBuild0 = System.nanoTime()
     val idx = IndexBuilder.build(corpus, benchIdxDir,
-      IndexConfig(analyzer = Engine.OracleAnalyzer), verifySha = false)
+      IndexConfig(analyzer = Engine.OracleAnalyzer, fingerprint = "none"), verifySha = false)
     val buildSec = secs(tBuild0)
     val docsPerSec = nDocs / buildSec
     corpus.unpersist()

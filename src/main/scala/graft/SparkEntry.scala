@@ -124,6 +124,12 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // §2.6 conjunctive (AND / posting-list intersection) retrieval
+    "q_and_topk" -> ((s, dir) => {
+      Engine.searcher(s, dir).searchAnd(topics, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // training-pipeline op: MinHash+LSH near-dup candidate pairs
     "q_minhash_pairs" -> ((s, dir) => {
       val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
@@ -310,6 +316,37 @@ object SparkEntry {
         |       min(docno) AS first_docno
         |FROM corpus GROUP BY sha256(content) HAVING count(*) > 1
         |ORDER BY sha""".stripMargin),
+    "q_and_topk" -> withCtes(
+      s""",
+         |$TopicsCte,
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
+         |qsize AS (SELECT qid, count(DISTINCT term) AS nterms FROM topics GROUP BY qid),
+         |scored AS (
+         |  SELECT q.qid, f.docno,
+         |         sum(q.w * ((1.2 + 1.0) * f.tf)
+         |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score,
+         |         count(DISTINCT f.term) AS matched
+         |  FROM qterm q
+         |  JOIN tf f ON f.term = q.term
+         |  JOIN dl d ON d.docno = f.docno
+         |  JOIN df v ON v.term = q.term
+         |  CROSS JOIN st
+         |  GROUP BY q.qid, f.docno
+         |),
+         |ranked AS (
+         |  SELECT s.qid, s.docno,
+         |         (row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.docno ASC) - 1) AS rank
+         |  FROM scored s JOIN qsize z ON z.qid = s.qid
+         |  WHERE s.matched = z.nterms
+         |)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
     "q_minhash_pairs" ->
       s"""WITH $CorpusCte,
          |$ShingleCte,

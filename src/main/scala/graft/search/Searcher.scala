@@ -61,6 +61,17 @@ final class Searcher(val index: BuiltIndex) {
     searchClauses(clauses, k, scorerName, pruning = pruning)
   }
 
+  /** Conjunctive variant: only docs containing every analyzed query term. */
+  def searchAnd(topics: Seq[Topic], k: Int = 1000,
+                scorerName: String = "bm25"): Dataset[RunLine] = {
+    val clauses = topics.flatMap { t =>
+      analyzer.analyze(t.text).zipWithIndex.map { case (term, i) =>
+        WeightedClause(t.qid, i, term, 1.0f)
+      }
+    }
+    searchClauses(clauses, k, scorerName, mode = "and")
+  }
+
   /** Retrieval over explicit weighted clauses (≙ boosted TermQuerys — used
     * by the relevance-feedback path, which emits `term^weight` pairs,
     * `ExplicitFeedbackM1PreProcessor.java:321-352`). `excludeDocnos` removes
@@ -78,14 +89,23 @@ final class Searcher(val index: BuiltIndex) {
     pruningAccs.map { case (d, p) => (d.value.longValue, p.value.longValue) }
       .getOrElse((0L, 0L))
 
+  /** `mode = "or"` (default): disjunctive bag-of-words, the reference topic
+    * behavior. `mode = "and"`: conjunctive — only docs matching EVERY
+    * clause survive (posting-list intersection; available in the
+    * reference's SimpleQueryParser `+` syntax but unused by its batch
+    * driver, SURVEY.md §2.6). Pruning is OR-only (the seed threshold is
+    * not a valid lower bound under intersection).
+    */
   def searchClauses(clauses: Seq[WeightedClause], k: Int = 1000,
                     scorerName: String = "bm25",
                     excludeDocnos: Map[String, Set[String]] = Map.empty,
-                    pruning: Boolean = false): Dataset[RunLine] = {
+                    pruning: Boolean = false,
+                    mode: String = "or"): Dataset[RunLine] = {
     import spark.implicits._
     val scorer = Scorer.byName(scorerName)
     if (clauses.isEmpty) return spark.emptyDataset[RunLine]
-    val prune = pruning && scorer.supportsPruning
+    val conjunctive = mode == "and"
+    val prune = pruning && scorer.supportsPruning && !conjunctive
 
     // Resolve excluded docnos → docids (tiny point lookup on the doc table,
     // ≙ the reference's docno TermQuery lookups §2.3).
@@ -122,10 +142,20 @@ final class Searcher(val index: BuiltIndex) {
     val maxOverlap: Map[String, Int] =
       clauses.groupBy(_.qid).map { case (q, cs) => q -> cs.size }
 
+    // AND mode: a query with any unindexed clause term can match nothing.
+    val liveClauses =
+      if (!conjunctive) clauses
+      else {
+        val deadQids = clauses.groupBy(_.qid)
+          .collect { case (q, cs) if cs.exists(c => !dfs.contains(c.term)) => q }
+          .toSet
+        clauses.filterNot(c => deadQids(c.qid))
+      }
+
     // Driver-side query plan: term → (idf, clauses using it), queryNorm
     // folded into the clause boost.
     val plan: Map[String, (Float, Array[(String, Int, Float)])] =
-      clauses.groupBy(_.term).flatMap { case (term, cs) =>
+      liveClauses.groupBy(_.term).flatMap { case (term, cs) =>
         dfs.get(term).map { case (df, cf) =>
           term -> (scorer.termWeight(df, cf, stats),
                    cs.map(c => (c.qid, c.qidx, c.boost * qnByQid(c.qid))).toArray)
@@ -202,17 +232,24 @@ final class Searcher(val index: BuiltIndex) {
     // matched/total clauses (1.0 for all reference models).
     val excluded = excludedByQid
     val maxOv = maxOverlap
+    val requireAll = conjunctive
     val scores: Dataset[(String, Long, Float)] = partials
       .filter(t => excluded.get(t._1).forall(!_.contains(t._2)))
       .groupByKey(t => (t._1, t._2))
       .mapGroups[(String, Long, Float)] {
         (key: (String, Long), it: Iterator[(String, Long, Int, Float)]) =>
         val arr = it.toArray.sortBy(_._3)
-        var s = 0.0f
-        arr.foreach(s += _._4)
-        val c = scorer.coord(arr.length, maxOv.getOrElse(key._1, arr.length))
-        (key._1, key._2, if (c == 1.0f) s else s * c)
+        if (requireAll &&
+            arr.iterator.map(_._3).toSet.size < maxOv.getOrElse(key._1, 0)) {
+          (key._1, key._2, Float.NaN) // dropped below
+        } else {
+          var s = 0.0f
+          arr.foreach(s += _._4)
+          val c = scorer.coord(arr.length, maxOv.getOrElse(key._1, arr.length))
+          (key._1, key._2, if (c == 1.0f) s else s * c)
+        }
       }
+      .filter(t => !t._3.isNaN)
 
     // Bounded top-k per query (score desc, docid asc tie-break — the Lucene
     // collector contract, SURVEY.md §2.5).

@@ -31,6 +31,7 @@ object Scaling {
         .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
         .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.local.dir", "/dev/shm/graft-shuffle")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -42,7 +43,7 @@ object Scaling {
       val n = corpus.count()
       val t0 = System.nanoTime()
       val idx = IndexBuilder.build(corpus, dir,
-        IndexConfig(analyzer = Engine.OracleAnalyzer), verifySha = false)
+        IndexConfig(analyzer = Engine.OracleAnalyzer, fingerprint = "none"), verifySha = false)
       val buildSec = (System.nanoTime() - t0) / 1e9
       corpus.unpersist()
       val searcher = new Searcher(idx)

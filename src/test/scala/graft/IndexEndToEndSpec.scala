@@ -264,6 +264,21 @@ class IndexEndToEndSpec extends AnyFunSuite {
       brute(unitDocs, cfg.analyzer, Seq(Topic("1", "cat dog")), 1000, TmplScorer)("1").map(_._1))
   }
 
+  test("conjunctive (AND) mode keeps only docs matching every clause") {
+    val dir = TestSpark.tmpDir("and")
+    val idx = IndexBuilder.build(corpusDF(unitDocs), dir, cfg)
+    val s = new Searcher(idx)
+    val orRun = collectRun(s.search(Seq(Topic("1", "cat dog")), 100))
+    val andRun = collectRun(s.searchAnd(Seq(Topic("1", "cat dog")), 100))
+    // only u02 contains both cat and dog
+    assert(andRun("1").map(_._1) == Seq("u02"))
+    // the surviving doc's score equals its OR score (same clause sum)
+    assert(andRun("1").head._2 == orRun("1").toMap.apply("u02"))
+    // a clause term missing from the index ⇒ empty AND result
+    val none = s.searchAnd(Seq(Topic("2", "cat unknownterm")), 100).collect()
+    assert(none.isEmpty)
+  }
+
   test("open() reconstructs the analyzer config from disk") {
     val dir = TestSpark.tmpDir("open")
     IndexBuilder.build(corpusDF(unitDocs), dir,
