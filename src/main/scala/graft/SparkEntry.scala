@@ -169,6 +169,21 @@ object SparkEntry {
       val fp = ops.Dedup.simHash(corpus.Corpus.fromDocuments(s, dir), an)
       ops.Dedup.simHashPairs(fp, maxDist = 3).orderBy("docno_a", "docno_b")
     }),
+    // training-pipeline op: multimodal payload stats (decode is stubbed;
+    // the schema/batch plumbing is what's under test — see ops.Multimodal)
+    "q_media_stats" -> ((s, dir) => {
+      ops.Multimodal.syntheticMedia(s, dir)
+        .select(col("media_id"), col("modality"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          coalesce(col("duration_ms"), lit(-1L)).as("duration_ms"))
+        .orderBy("media_id")
+    }),
+    "q_media_features" -> ((s, dir) => {
+      ops.Multimodal.extractFeatures(ops.Multimodal.syntheticMedia(s, dir), dim = 8)
+        .toDF().select(col("media_id"), col("modality"), col("n_bytes"),
+          col("feature"))
+        .orderBy("media_id")
+    }),
     "q_lsh_knn" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.where(col("vec_id") < 5)
@@ -388,6 +403,13 @@ object SparkEntry {
         |)
         |SELECT qid, vec_id, rank FROM ranked WHERE rank < 10
         |ORDER BY qid, rank""".stripMargin,
+    "q_media_stats" ->
+      """SELECT doc_id AS media_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS modality,
+        |       strlen(text)::BIGINT AS n_bytes,
+        |       (CASE WHEN doc_id % 3 <> 0 THEN n_chars * 10 ELSE -1 END)::BIGINT AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q_quality" ->
       s"""WITH $CorpusCte,
          |t AS (SELECT docno, content,
