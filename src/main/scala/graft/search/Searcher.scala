@@ -272,15 +272,23 @@ final class Searcher(val index: BuiltIndex) {
     val withDocno = index.docs.select($"docid", $"docno", $"grp")
       .join(broadcast(ranked.withColumn("grp", shiftright($"docid", docShift))),
         Seq("docid", "grp"))
-
-    // Docno dedup keeping the first (lowest pre-dedup rank) occurrence.
-    val w = Window.partitionBy($"qid", $"docno").orderBy($"rank")
-    withDocno
-      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
       .select($"qid", $"docno", $"rank".cast("int").as("rank"),
-        $"score".cast("float").as("score"), lit(scorer.name).as("runtag"))
-      .orderBy($"qid", $"rank")
-      .as[RunLine]
+        $"score".cast("float").as("score"))
+      .as[(String, String, Int, Float)]
+
+    // Docno dedup keeping the first (lowest pre-dedup rank) occurrence +
+    // rank-ordered output, one tiny per-query group op (≤ k rows per
+    // group) instead of a window + global sort pair of shuffles.
+    val runtag = scorer.name
+    withDocno.groupByKey(_._1)
+      .flatMapGroups[RunLine] { (qid: String, it: Iterator[(String, String, Int, Float)]) =>
+        val hits = it.toArray.sortBy(_._3)
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        hits.iterator.collect {
+          case (_, docno, rank, score) if seen.add(docno) =>
+            RunLine(qid, docno, rank, score, runtag)
+        }
+      }
   }
 
   /** Seed pass for WAND: exact-score each query's lowest-df clause only;
