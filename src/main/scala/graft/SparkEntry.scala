@@ -184,6 +184,11 @@ object SparkEntry {
           col("feature"))
         .orderBy("media_id")
     }),
+    // training-pipeline op: marker-based language classification (rows-only)
+    "q_langid" -> ((s, dir) => {
+      ops.TextQuality.classifyLang(corpus.Corpus.fromDocuments(s, dir))
+        .orderBy("docno")
+    }),
     "q_lsh_knn" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.where(col("vec_id") < 5)

@@ -27,6 +27,38 @@ object TextQuality {
         .cast("long").as("sum_token_chars"))
   }
 
+  /** Default marker profiles for [[langMarkers]]/[[classifyLang]] — a
+    * real n-gram model slots into the same shape.
+    */
+  val DefaultProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"))
+
+  /** Language classification by marker-count argmax: (docno, lang,
+    * n_markers); ties break lexicographically, zero evidence → "und".
+    * Pure column expressions (no UDF).
+    */
+  def classifyLang(corpus: DataFrame,
+                   profiles: Seq[(String, Seq[String])] = DefaultProfiles): DataFrame = {
+    val toks = filter(split(lower(col("content")), "\\s+"), t => t =!= "")
+    val scored = profiles.map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(arr, t))).cast("long").as("n"),
+        lit(lang).as("lang"))
+    }
+    // max of (count, negated-lexicographic tiebreak): array_max on structs
+    // orders by first field then second — to break ties toward the SMALLER
+    // lang string, compare on (n, reversed lang) is unavailable; instead
+    // sort candidates deterministically and fold left keeping strict >.
+    val best = scored.reduceLeft { (a, b) =>
+      when(b.getField("n") > a.getField("n"), b).otherwise(a)
+    }
+    corpus.select(col("docno"),
+      when(best.getField("n") > 0, best.getField("lang")).otherwise(lit("und")).as("lang"),
+      best.getField("n").as("n_markers"))
+  }
+
   /** Crude language-evidence counts: occurrences of a few high-frequency
     * marker words per language family (a real n-gram model would slot in
     * here; the synthetic corpus shares one vocabulary, so this op's value

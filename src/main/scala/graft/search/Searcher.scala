@@ -372,6 +372,18 @@ final class Searcher(val index: BuiltIndex) {
     (boostSum, othersSum)
   }
 
+  /** Paged interactive search (≙ the SearchFiles demo's 5-page prefetch +
+    * re-search when paging past it, `SearchFiles.java:140-233`): prefetch
+    * 5 pages, or exactly as many as the requested page needs.
+    */
+  def searchPaged(topic: Topic, page: Int, hitsPerPage: Int = 10,
+                  scorerName: String = "bm25"): Seq[RunLine] = {
+    require(page >= 0 && hitsPerPage > 0)
+    val prefetch = math.max(5 * hitsPerPage, (page + 1) * hitsPerPage)
+    search(Seq(topic), prefetch, scorerName).collect().toSeq
+      .slice(page * hitsPerPage, (page + 1) * hitsPerPage)
+  }
+
   /** Render run lines in trec_eval format (`BatchSearch.java:305-307`). */
   def formatRun(lines: Seq[RunLine]): Seq[String] =
     lines.map(l => s"${l.qid} Q0 ${l.docno} ${l.rank} ${l.score} ${l.runtag}")

@@ -279,6 +279,18 @@ class IndexEndToEndSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("paged search slices the prefetched ranking like the demo tool") {
+    val dir = TestSpark.tmpDir("page")
+    val idx = IndexBuilder.build(corpusDF(unitDocs), dir, cfg)
+    val s = new Searcher(idx)
+    val all = s.search(Seq(Topic("1", "cat dog")), 1000).collect().toSeq
+    val p0 = s.searchPaged(Topic("1", "cat dog"), page = 0, hitsPerPage = 2)
+    val p1 = s.searchPaged(Topic("1", "cat dog"), page = 1, hitsPerPage = 2)
+    assert(p0 == all.take(2))
+    assert(p1 == all.slice(2, 4))
+    assert(s.searchPaged(Topic("1", "cat dog"), page = 50, hitsPerPage = 2).isEmpty)
+  }
+
   test("open() reconstructs the analyzer config from disk") {
     val dir = TestSpark.tmpDir("open")
     IndexBuilder.build(corpusDF(unitDocs), dir,

@@ -108,6 +108,22 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == lsh2)
   }
 
+  test("language classification: marker argmax, first-wins ties, und fallback") {
+    import spark.implicits._
+    val c = Seq(
+      ("l1", "the cat and the dog of a house is here"), // en markers
+      ("l2", "der hund und die katze ist das tier"),     // de markers
+      ("l3", "xyzzy qwerty plugh"),                      // none → und
+      ("l4", "the der")                                  // tie → first profile (en)
+    ).toDF("docno", "content")
+    val got = TextQuality.classifyLang(c).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got("l1")._1 == "en" && got("l1")._2 == 6)
+    assert(got("l2")._1 == "de" && got("l2")._2 == 5)
+    assert(got("l3") == ("und", 0L))
+    assert(got("l4") == ("en", 1L)) // strict > keeps the earlier profile
+  }
+
   test("quality signals are exact integer counts") {
     import spark.implicits._
     val c = Seq(("x1", "The cat; sat!! on THE mat 42 times"),
