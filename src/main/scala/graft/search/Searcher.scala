@@ -44,6 +44,9 @@ final case class WeightedClause(qid: String, qidx: Int, term: String, boost: Flo
 final class Searcher(val index: BuiltIndex) {
   private val spark: SparkSession = index.spark
   private val analyzer = new Analyzer(index.cfg.analyzer)
+  // term → Some((df, cf)) | None for terms absent from the index
+  private val statsCache =
+    new scala.collection.concurrent.TrieMap[String, Option[(Long, Long)]]()
 
   /** Top-k retrieval for a batch of topics. Default k mirrors the
     * reference's `returnedResultCount` (`LTRSettings.java:14`).
@@ -123,11 +126,19 @@ final class Searcher(val index: BuiltIndex) {
     val stats = CollStats(index.stats.max_doc, index.stats.sum_total_term_freq)
 
     // Per-term (docFreq, collectionFreq) from the tiny pruned term_stats
-    // lookup (≙ TermStatistics consumed at `BM25.java:61`).
-    val dfs: Map[String, (Long, Long)] = index.termStats
-      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
-      .select("term", "df", "cf").as[(String, Long, Long)].collect()
-      .map(t => t._1 -> (t._2, t._3)).toMap
+    // lookup (≙ TermStatistics consumed at `BM25.java:61`), memoized per
+    // searcher — an index is immutable, so repeated topics skip the job.
+    val missing = terms.filterNot(statsCache.contains)
+    if (missing.nonEmpty) {
+      val missingBuckets = missing.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+      index.termStats
+        .where(col("bucket").isin(missingBuckets: _*) && col("term").isin(missing: _*))
+        .select("term", "df", "cf").as[(String, Long, Long)].collect()
+        .foreach(t => statsCache.put(t._1, Some((t._2, t._3))))
+      missing.foreach(t => statsCache.putIfAbsent(t, None)) // negative cache
+    }
+    val dfs: Map[String, (Long, Long)] =
+      terms.flatMap(t => statsCache.get(t).flatten.map(t -> _)).toMap
 
     // Per-query normalization (1.0 for all reference models, which override
     // queryNorm — only classic TF-IDF uses it): sumOfSquaredWeights over
