@@ -36,8 +36,9 @@ object TextQuality {
     "es" -> Seq("el", "la", "los", "y", "es"))
 
   /** Language classification by marker-count argmax: (docno, lang,
-    * n_markers); ties break lexicographically, zero evidence → "und".
-    * Pure column expressions (no UDF).
+    * n_markers); ties keep the EARLIEST profile in `profiles` order (the
+    * fold below uses strict >), zero evidence → "und". Pure column
+    * expressions (no UDF).
     */
   def classifyLang(corpus: DataFrame,
                    profiles: Seq[(String, Seq[String])] = DefaultProfiles): DataFrame = {
@@ -47,10 +48,6 @@ object TextQuality {
       struct(size(filter(toks, t => array_contains(arr, t))).cast("long").as("n"),
         lit(lang).as("lang"))
     }
-    // max of (count, negated-lexicographic tiebreak): array_max on structs
-    // orders by first field then second — to break ties toward the SMALLER
-    // lang string, compare on (n, reversed lang) is unavailable; instead
-    // sort candidates deterministically and fold left keeping strict >.
     val best = scored.reduceLeft { (a, b) =>
       when(b.getField("n") > a.getField("n"), b).otherwise(a)
     }
