@@ -163,11 +163,15 @@ object SparkEntry {
           corpus.Corpus.fromDocuments(s, dir), Set("a", "the"))
         .orderBy("docno")
     }),
-    // rows-only: simhash fingerprints + hamming near-dup pairs, LSH ANN
+    // simhash fingerprints + hamming near-dup pairs (oracle replays the
+    // md5-bit construction via DuckDB get_bit + bit_count)
     "q_simhash_pairs" -> ((s, dir) => {
       val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
       val fp = ops.Dedup.simHash(corpus.Corpus.fromDocuments(s, dir), an)
-      ops.Dedup.simHashPairs(fp, maxDist = 3).orderBy("docno_a", "docno_b")
+      ops.Dedup.simHashPairs(fp, maxDist = 3)
+        .select(col("docno_a"), col("docno_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("docno_a", "docno_b")
     }),
     // training-pipeline op: multimodal payload stats (decode is stubbed;
     // the schema/batch plumbing is what's under test — see ops.Multimodal)
@@ -178,11 +182,18 @@ object SparkEntry {
           coalesce(col("duration_ms"), lit(-1L)).as("duration_ms"))
         .orderBy("media_id")
     }),
+    // feature vectors projected to exact per-dim integers (the fake decoder
+    // emits k/32768-1 floats with k < 2^16 — reconstructing k is lossless
+    // float math), so the gate's pandas comparator can hash/sort rows and a
+    // DuckDB oracle can replay the md5-fed decoder bit-for-bit
     "q_media_features" -> ((s, dir) => {
       ops.Multimodal.extractFeatures(ops.Multimodal.syntheticMedia(s, dir), dim = 8)
         .toDF().select(col("media_id"), col("modality"), col("n_bytes"),
-          col("feature"))
-        .orderBy("media_id")
+          posexplode(col("feature")))
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          col("pos").cast("long").as("dim"),
+          ((col("col") + lit(1.0f)) * lit(32768.0f)).cast("long").as("v"))
+        .orderBy("media_id", "dim")
     }),
     // training-pipeline op: marker-based language classification (rows-only)
     "q_langid" -> ((s, dir) => {
@@ -196,8 +207,31 @@ object SparkEntry {
       ops.Knn.lshTopK(emb, q, 10, nPlanes = 8)
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
+    }),
+    // SimpleQueryParser '-' NOT: docs containing a negated term are
+    // anti-joined out BEFORE ranking (≙ Lucene MUST_NOT — ranks close up)
+    "q_not_topk" -> ((s, dir) => {
+      Engine.searcher(s, dir).searchQuery(notTopics, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // production-shaped MinHash dedup: bucket cap ON (cap=2 is deliberately
+    // tiny so the drop path actually fires at test scale; the 100 TB default
+    // is 1000 — see ops.Dedup.minHashCandidates)
+    "q_minhash_pairs_capped" -> ((s, dir) => {
+      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+      ops.Dedup.minHashCandidates(corpus.Corpus.fromDocuments(s, dir), an,
+          shingleN = 3, k = 12, rowsPerBand = 2, maxBucketSize = 2)
+        .orderBy("docno_a", "docno_b")
     })
   )
+
+  /** Topics for the `-`-negation gate entry: positive bag-of-words terms
+    * with one MUST_NOT term each.
+    */
+  val notTopics: Seq[Topic] = Seq(
+    Topic("1", "hash join merge -window"),
+    Topic("2", "fast table scan -customer"))
 
   // ---- DuckDB oracle -------------------------------------------------------
 
@@ -437,6 +471,159 @@ object SparkEntry {
         |                  count(DISTINCT term) AS n_types,
         |                  max(length(term)) AS max_term_len
         |           FROM tok GROUP BY docno) t USING (docno)
-        |ORDER BY docno""".stripMargin)
+        |ORDER BY docno""".stripMargin),
+    // replay of the md5-fed fake decoder: feature[i] is built from digest
+    // bytes (2i, 2i+1) of md5(modality || payload); the Spark side emits the
+    // exact integer v = b0<<8|b1 = the 4 hex chars at offset 4i (1-based
+    // substr), so both sides are integer-exact
+    "q_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |              ELSE 'video' END AS modality,
+        |         strlen(text)::BIGINT AS n_bytes,
+        |         md5(concat(CASE doc_id % 3 WHEN 0 THEN 'image'
+        |                    WHEN 1 THEN 'audio' ELSE 'video' END, text)) AS h
+        |  FROM documents)
+        |SELECT media_id, modality, n_bytes, i.i::BIGINT AS dim,
+        |       ('0x' || substr(h, i.i * 4 + 1, 4))::BIGINT AS v
+        |FROM m CROSS JOIN (SELECT unnest(range(0, 8)) AS i) i
+        |ORDER BY media_id, dim""".stripMargin,
+    // marker-count argmax with the engine's exact fold semantics: start at
+    // 'en', strict > moves to 'de' then 'es'; zero evidence → 'und'
+    "q_langid" ->
+      s"""WITH $CorpusCte,
+         |t AS (SELECT docno,
+         |             list_filter(string_split_regex(lower(content), '\\s+'),
+         |                         x -> x <> '') AS toks
+         |      FROM corpus),
+         |m AS (SELECT docno,
+         |  len(list_filter(toks, x -> x IN ('the','a','and','of','is'))) AS n_en,
+         |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS n_de,
+         |  len(list_filter(toks, x -> x IN ('el','la','los','y','es'))) AS n_es
+         |  FROM t),
+         |fold AS (SELECT docno,
+         |  CASE WHEN n_es > (CASE WHEN n_de > n_en THEN n_de ELSE n_en END) THEN 'es'
+         |       WHEN n_de > n_en THEN 'de' ELSE 'en' END AS best_lang,
+         |  CASE WHEN n_es > (CASE WHEN n_de > n_en THEN n_de ELSE n_en END) THEN n_es
+         |       WHEN n_de > n_en THEN n_de ELSE n_en END AS best_n
+         |  FROM m)
+         |SELECT docno,
+         |       CASE WHEN best_n > 0 THEN best_lang ELSE 'und' END AS lang,
+         |       best_n::BIGINT AS n_markers
+         |FROM fold ORDER BY docno""".stripMargin,
+    // SimHash replay: per (doc, bit) weighted vote from md5(term) bits —
+    // get_bit(from_hex(md5)::BIT, i) is exactly the engine's MSB-first bit i
+    // of the digest — then all-pairs hamming via sign disagreement counts
+    // (brute force is fine for the oracle; the ENGINE uses banded blocking)
+    "q_simhash_pairs" -> withCtes(
+      """,
+        |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+        |bitv AS (
+        |  SELECT t.docno, b.bit,
+        |         sum(CASE WHEN get_bit(from_hex(md5(t.term))::BIT, b.bit::INT) = 1
+        |                  THEN t.tf ELSE -t.tf END) AS v
+        |  FROM tf t CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+        |  GROUP BY t.docno, b.bit),
+        |sig AS (
+        |  SELECT c.docno, b.bit, (coalesce(t.v, 0) > 0) AS s
+        |  FROM corpus c
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+        |  LEFT JOIN bitv t ON t.docno = c.docno AND t.bit = b.bit),
+        |ham AS (
+        |  SELECT a.docno AS docno_a, b.docno AS docno_b,
+        |         sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS hamming
+        |  FROM sig a JOIN sig b ON a.bit = b.bit AND a.docno < b.docno
+        |  GROUP BY 1, 2)
+        |SELECT docno_a, docno_b, hamming::BIGINT AS hamming
+        |FROM ham WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin),
+    // sign-LSH replay: hyperplane components from the same md5-hex → uint32
+    // construction (no conv() in DuckDB — '0x'-prefixed cast is equivalent),
+    // multi-probe = bucket0 xor {0, 1<<p}
+    "q_lsh_knn" ->
+      """WITH planes AS (
+        |  SELECT p.p, d.d,
+        |         (('0x' || substr(md5('p:' || p.p || ':' || d.d), 1, 8))::BIGINT
+        |          / 2147483648.0 - 1.0) AS comp
+        |  FROM (SELECT unnest(range(0, 8)) AS p) p
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
+        |proj AS (
+        |  SELECT e.vec_id, pl.p, sum(e.embedding[pl.d + 1]::DOUBLE * pl.comp) AS proj
+        |  FROM embeddings e JOIN planes pl ON pl.d < len(e.embedding)
+        |  GROUP BY e.vec_id, pl.p),
+        |bucket AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN proj >= 0 THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, b.bucket AS bucket0
+        |      FROM embeddings e JOIN bucket b USING (vec_id) WHERE e.vec_id < 5),
+        |probes AS (
+        |  SELECT q.qid, q.qv, xor(q.bucket0, f.f::BIGINT) AS bucket
+        |  FROM q CROSS JOIN (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS f) f),
+        |cand AS (
+        |  SELECT p.qid, e.vec_id, list_cosine_similarity(p.qv, e.embedding) AS cos
+        |  FROM probes p
+        |  JOIN bucket vb ON vb.bucket = p.bucket
+        |  JOIN embeddings e ON e.vec_id = vb.vec_id
+        |  WHERE e.vec_id <> p.qid),
+        |ranked AS (
+        |  SELECT qid, vec_id,
+        |         (row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) - 1) AS rank
+        |  FROM cand)
+        |SELECT qid, vec_id, rank FROM ranked WHERE rank < 10
+        |ORDER BY qid, rank""".stripMargin,
+    // MUST_NOT: BM25 over the positive terms, minus docs containing any
+    // negated term (excluded before ranking, so ranks close up)
+    "q_not_topk" -> withCtes(
+      s""",
+         |topics(qid, term) AS (VALUES
+         |  ('1','hash'),('1','join'),('1','merge'),
+         |  ('2','fast'),('2','table'),('2','scan')),
+         |neg(qid, term) AS (VALUES ('1','window'),('2','customer')),
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
+         |scored AS (
+         |  SELECT q.qid, f.docno,
+         |         sum(q.w * ((1.2 + 1.0) * f.tf)
+         |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
+         |  FROM qterm q
+         |  JOIN tf f ON f.term = q.term
+         |  JOIN dl d ON d.docno = f.docno
+         |  JOIN df v ON v.term = q.term
+         |  CROSS JOIN st
+         |  GROUP BY q.qid, f.docno
+         |),
+         |kept AS (
+         |  SELECT s.* FROM scored s
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM neg n JOIN tf f2 ON f2.term = n.term
+         |    WHERE n.qid = s.qid AND f2.docno = s.docno)
+         |),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM kept
+         |)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // capped-bucket MinHash: identical to q_minhash_pairs but band buckets
+    // larger than the cap are dropped before pair generation
+    "q_minhash_pairs_capped" ->
+      s"""WITH $CorpusCte,
+         |$ShingleCte,
+         |$MinHashCte,
+         |bsz AS (SELECT band_key, count(*) AS bs FROM bands GROUP BY band_key),
+         |capped AS (SELECT b.docno, b.band_key FROM bands b
+         |           JOIN bsz USING (band_key) WHERE bsz.bs <= 2),
+         |cand2 AS (
+         |  SELECT DISTINCT a.docno AS docno_a, b.docno AS docno_b
+         |  FROM capped a JOIN capped b
+         |    ON a.band_key = b.band_key AND a.docno < b.docno)
+         |SELECT docno_a, docno_b FROM cand2 ORDER BY docno_a, docno_b""".stripMargin
   )
 }

@@ -92,18 +92,54 @@ final class Searcher(val index: BuiltIndex) {
     pruningAccs.map { case (d, p) => (d.value.longValue, p.value.longValue) }
       .getOrElse((0L, 0L))
 
+  /** Full SimpleQueryParser-subset retrieval: parses each topic's text for
+    * `+` AND / `|` OR / `-` NOT / `"…"` phrase-as-conjunction (see
+    * [[SimpleQuery]]), analyzes every token with the index analyzer, and
+    * dispatches per-topic to the OR or AND scorer with MUST_NOT terms
+    * excluded before ranking (≙ `BatchSearch.java:252`'s parser over the
+    * same syntax).
+    */
+  def searchQuery(topics: Seq[Topic], k: Int = 1000,
+                  scorerName: String = "bm25"): Dataset[RunLine] = {
+    val parsed = topics.map(t => t -> SimpleQuery.parse(t.text))
+    def clausesOf(sel: Seq[(Topic, SimpleQuery)]): Seq[WeightedClause] =
+      sel.flatMap { case (t, q) =>
+        q.positive.flatMap(analyzer.analyze(_)).zipWithIndex
+          .map { case (term, i) => WeightedClause(t.qid, i, term, 1.0f) }
+      }
+    def negsOf(sel: Seq[(Topic, SimpleQuery)]): Seq[(String, String)] =
+      sel.flatMap { case (t, q) =>
+        q.negative.flatMap(analyzer.analyze(_)).map(t.qid -> _)
+      }
+    val (conj, disj) = parsed.partition(_._2.conjunctive)
+    val runs = Seq(
+      (disj, "or"),
+      (conj, "and")
+    ).filter(_._1.nonEmpty).map { case (sel, mode) =>
+      searchClauses(clausesOf(sel), k, scorerName, mode = mode,
+        negTerms = negsOf(sel))
+    }
+    runs.reduceOption(_ union _)
+      .getOrElse { import spark.implicits._; spark.emptyDataset[RunLine] }
+  }
+
   /** `mode = "or"` (default): disjunctive bag-of-words, the reference topic
     * behavior. `mode = "and"`: conjunctive — only docs matching EVERY
     * clause survive (posting-list intersection; available in the
     * reference's SimpleQueryParser `+` syntax but unused by its batch
     * driver, SURVEY.md §2.6). Pruning is OR-only (the seed threshold is
-    * not a valid lower bound under intersection).
+    * not a valid lower bound under intersection). `negTerms` are MUST_NOT
+    * (qid, analyzed-term) pairs: matching docs are removed BEFORE ranking
+    * via a distributed anti-join of the score stream against the negated
+    * terms' postings — never a driver-side doc set, so a stop-word-scale
+    * negation can't OOM the driver at 10^12 docs.
     */
   def searchClauses(clauses: Seq[WeightedClause], k: Int = 1000,
                     scorerName: String = "bm25",
                     excludeDocnos: Map[String, Set[String]] = Map.empty,
                     pruning: Boolean = false,
-                    mode: String = "or"): Dataset[RunLine] = {
+                    mode: String = "or",
+                    negTerms: Seq[(String, String)] = Nil): Dataset[RunLine] = {
     import spark.implicits._
     val scorer = Scorer.byName(scorerName)
     if (clauses.isEmpty) return spark.emptyDataset[RunLine]
@@ -262,12 +298,36 @@ final class Searcher(val index: BuiltIndex) {
       }
       .filter(t => !t._3.isNaN)
 
+    // MUST_NOT terms (SimpleQueryParser '-'): decode the negated terms'
+    // postings into (qid, docid) pairs and anti-join the score stream —
+    // excluded docs never reach the collector, exactly like a Lucene
+    // MUST_NOT clause (ranks close up, unlike the post-hoc feedback filter).
+    val scoresKept: Dataset[(String, Long, Float)] =
+      if (negTerms.isEmpty) scores
+      else {
+        val negByTerm: Map[String, Array[String]] =
+          negTerms.groupBy(_._2).map { case (t, qs) => t -> qs.map(_._1).distinct.toArray }
+        val negTermSeq = negByTerm.keys.toSeq
+        val negBuckets = negTermSeq.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+        val negPosts = index.postings
+          .where(col("bucket").isin(negBuckets: _*) && col("term").isin(negTermSeq: _*))
+          .as[PostingRun]
+        val negPairs = negPosts.flatMap { run =>
+          val qids = negByTerm(run.term)
+          PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
+            .flatMap(p => qids.iterator.map(q => (q, p.docid)))
+        }.toDF("qid", "docid")
+        scores.toDF("qid", "docid", "score")
+          .join(negPairs, Seq("qid", "docid"), "left_anti")
+          .as[(String, Long, Float)]
+      }
+
     // Bounded top-k per query (score desc, docid asc tie-break — the Lucene
     // collector contract, SURVEY.md §2.5).
     val agg = new TopKAgg(k, implicitly[Encoder[Seq[(Long, Float)]]],
       implicitly[Encoder[Seq[(Long, Float)]]])
     val top: Dataset[(String, Seq[(Long, Float)])] =
-      scores.groupByKey(_._1).agg(agg.toColumn)
+      scoresKept.groupByKey(_._1).agg(agg.toColumn)
 
     val ranked = top.flatMap { case (qid, hits) =>
       hits.iterator.zipWithIndex.map { case ((docid, score), i) =>
