@@ -76,11 +76,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = buildSec + lat.sum + results.map(_._2).sum
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""cpus":$cpus,"n_docs":$nDocs,"build_sec":$buildSec,""" +
-      s""""docs_per_sec":$docsPerSec,"search_p50_sec":$p50,"search_p95_sec":$p95}""")
+      s""""docs_per_sec":$docsPerSec,"search_p50_sec":$p50,"search_p95_sec":$p95}"""
+    // the metrics file survives even if a log line swallows stdout
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), json)
     spark.stop()
+    // LAST stdout line, after spark.stop() so no executor log can trail it
+    println(json)
+    System.out.flush()
   }
 
   private def deleteRecursively(spark: SparkSession, dir: String): Unit = {

@@ -2,9 +2,9 @@ package graft.analysis
 
 /** Suffix-stripping stemmer strategy — the reference loads these by class
   * name (`TrecAnalyzer.java:78-103`; options listed in `NOTES.txt:45-48`):
-  * Porter, Krovetz (dictionary-based, deferred), Snowball/Porter2 (deferred)
-  * and the minimal English S-stemmer. Default is none
-  * (`LTRSettings.java:23`).
+  * Porter, Krovetz (dictionary-based; rule subset here — see [[KStemmer]]),
+  * Snowball/Porter2 ([[SnowballStemmer]]) and the minimal English
+  * S-stemmer. Default is none (`LTRSettings.java:23`).
   */
 trait Stemmer extends Serializable {
   def name: String
@@ -41,10 +41,15 @@ object MinimalEnglishStemmer extends Stemmer {
 }
 
 object Stemmer {
+  /** All four reference stemmer names resolve (`TrecAnalyzer.java:78-103`,
+    * list `NOTES.txt:45-48`), plus the no-op default.
+    */
   def byName(name: String): Stemmer = name.toLowerCase match {
     case "none"                                          => NoStemmer
     case "porter" | "porterstemfilter"                   => PorterStemmer
     case "minimal" | "englishminimalstemfilter"          => MinimalEnglishStemmer
+    case "snowball" | "snowballfilter" | "porter2"       => SnowballStemmer
+    case "kstem" | "kstemfilter" | "krovetz"             => KStemmer
     case other => throw new IllegalArgumentException(s"unknown stemmer: $other")
   }
 }

@@ -38,11 +38,11 @@ final class WhitespaceTokenizer(maxTokenLen: Int = 255) extends Tokenizer {
 
 /** Approximation of Lucene's `ClassicTokenizer` (the JFlex grammar behind
   * the reference's `tokenizer: ClassicTokenizer` option,
-  * `TrecAnalyzer.java:57-59`): words, numbers with internal punctuation,
-  * apostrophe forms, acronyms, emails, hosts and company names survive as
-  * single tokens; other punctuation splits. Behavior is fixture-locked in
-  * `ClassicTokenizerSpec`; exotic JFlex edge cases (see SURVEY.md §7.6) are
-  * intentionally deferred.
+  * `TrecAnalyzer.java:57-59`): words, NUM forms (numbers with internal
+  * `,./-_` punctuation — "1,000", serials), apostrophe forms, acronyms,
+  * emails, hosts and company names survive as single tokens; other
+  * punctuation splits. Behavior is fixture-locked in AnalyzerSpec; the one
+  * known remaining JFlex deviation is documented on the NUM pattern below.
   */
 final class ClassicLikeTokenizer extends Tokenizer {
   val name = "classic"
@@ -61,17 +61,27 @@ final class ClassicLikeTokenizer extends Tokenizer {
 
 object ClassicLikeTokenizer {
   // Ordered alternation (Java regex is leftmost-first):
-  //   email | acronym | host | company | apostrophe | alphanum
-  // JFlex's NUM forms with internal commas (e.g. "1,000") intentionally
-  // split — covered by the deferred-edge-cases note in SURVEY.md §7.6.
+  //   email | acronym | num | host | company | apostrophe | alphanum
   private val EMAIL = """[A-Za-z0-9]+(?:[._\-][A-Za-z0-9]+)*@[A-Za-z0-9]+(?:[.\-][A-Za-z0-9]+)+"""
   private val HOST = """\p{Alnum}+(?:\.\p{Alnum}+)+"""
   private val ACRONYM = """\p{Alpha}\.(?:\p{Alpha}\.)+"""
   private val COMPANY = """\p{Alpha}+(?:[&@]\p{Alpha}+)+"""
   private val APOSTROPHE = """\p{Alpha}+(?:'\p{Alpha}+)+"""
   private val ALPHANUM = """\p{Alnum}+"""
+  // JFlex NUM (the Classic grammar's number forms, e.g. "1,000", "2-3-4",
+  // "a-1-b"): alphanumeric segments joined by single P = [_\-/.,] chars
+  // where every other segment contains a digit — expressed here as
+  // [A P] H ([A P] P H)* [P A] with H = digit-bearing segment, which
+  // generates exactly the grammar's six alternatives. Remaining known
+  // deviation (Java regex picks the FIRST matching alternative, JFlex the
+  // LONGEST rule): a digit-bearing host with >2 trailing digit-free labels
+  // ("a.b2.c.d") tokenizes shorter here than in JFlex.
+  private val HASDIGIT = """\p{Alnum}*[0-9]\p{Alnum}*"""
+  private val P = """[_\-/.,]"""
+  private val NUM =
+    s"(?:$ALPHANUM$P)?$HASDIGIT(?:(?:$P$ALPHANUM)?$P$HASDIGIT)*(?:$P$ALPHANUM)?"
   private[analysis] val TOKEN: Pattern =
-    Pattern.compile(Seq(EMAIL, ACRONYM, HOST, COMPANY, APOSTROPHE, ALPHANUM).mkString("|"))
+    Pattern.compile(Seq(EMAIL, ACRONYM, NUM, HOST, COMPANY, APOSTROPHE, ALPHANUM).mkString("|"))
 }
 
 object Tokenizer {

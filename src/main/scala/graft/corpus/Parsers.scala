@@ -150,19 +150,36 @@ object Parsers {
       val (docs, keep) =
         if (fb.find()) {
           val fblock = fb.group(1)
+          // self-closing <doc attrs/> OR <doc attrs>inline content</doc> —
+          // the reference accepts a docno attribute OR node text as the
+          // document content ("Text is ignored if docno is provided"), and
+          // errors when neither is present
+          // (`ExplicitFeedbackM1PreProcessor.java:226-240`).
           val docM = Pattern.compile(
-            "(?is)<doc\\s+([^>/]*)/?>").matcher(fblock)
+            "(?is)<doc\\b([^>]*?)/>|<doc\\b([^>]*?)>(.*?)</doc>").matcher(fblock)
           val ds = Seq.newBuilder[FeedbackDoc]
           while (docM.find()) {
-            val attrs = docM.group(1)
+            val selfClosing = docM.group(1) != null
+            val attrs = if (selfClosing) docM.group(1) else docM.group(2)
+            val body = if (selfClosing) "" else stripTags(docM.group(3)).trim
             def attr(name: String): Option[String] = {
               val am = Pattern.compile(s"""(?i)$name\\s*=\\s*"([^"]*)"""").matcher(attrs)
               if (am.find()) Some(am.group(1)) else None
             }
+            val rel = attr("relevant").getOrElse(throw new IllegalArgumentException(
+              s"Feedback <doc> missing 'relevant' attribute: $attrs"))
+            if (rel != "true" && rel != "false")
+              throw new IllegalArgumentException(
+                s"Feedback <doc> 'relevant' attribute value invalid: $rel")
+            val docno = attr("docno")
+            if (docno.isEmpty && body.isEmpty)
+              throw new IllegalArgumentException(
+                "Feedback <doc>s must have either a 'docno' attribute or " +
+                  "contain text to use as the document contents")
             ds += FeedbackDoc(
-              relevant = attr("relevant").contains("true"),
-              docno = attr("docno"),
-              content = None)
+              relevant = rel == "true",
+              docno = docno,
+              content = if (docno.nonEmpty) None else Some(body))
           }
           (ds.result(), firstTagText(fblock, "topTermsToKeep").map(_.toInt).getOrElse(-1))
         } else (Nil, -1)

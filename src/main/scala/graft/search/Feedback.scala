@@ -104,13 +104,24 @@ object Feedback {
     * the feedback docnos (≙ `FeedbackDocumentFilter.java:69-95` — filtering
     * happens BEFORE rank assignment).
     */
+  /** The expanded weighted clauses for a feedback topic (exposed so callers
+    * like the CLI's snippet path can see the final query terms, ≙ the
+    * reference highlighting with the expanded `query`,
+    * `BatchSearch.java:318`).
+    */
+  def expandedClauses(qid: String, docs: Seq[FeedbackDoc], corpus: DataFrame,
+                      analyzerCfg: AnalyzerConfig,
+                      topTermsToKeep: Int): Seq[WeightedClause] =
+    relevanceModel(docs, corpus, analyzerCfg, topTermsToKeep)
+      .zipWithIndex.map { case ((term, w), i) =>
+        WeightedClause(qid, i, term, w.toFloat)
+      }
+
   def searchWithFeedback(searcher: Searcher, corpus: DataFrame, qid: String,
                          docs: Seq[FeedbackDoc], topTermsToKeep: Int,
                          k: Int = 1000, scorerName: String = "bm25"): org.apache.spark.sql.Dataset[RunLine] = {
-    val model = relevanceModel(docs, corpus, searcher.index.cfg.analyzer, topTermsToKeep)
-    val clauses = model.zipWithIndex.map { case ((term, w), i) =>
-      WeightedClause(qid, i, term, w.toFloat)
-    }
+    val clauses = expandedClauses(qid, docs, corpus,
+      searcher.index.cfg.analyzer, topTermsToKeep)
     val excluded = docs.flatMap(_.docno).toSet
     searcher.searchClauses(clauses, k, scorerName,
       excludeDocnos = Map(qid -> excluded))

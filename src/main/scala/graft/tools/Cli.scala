@@ -47,6 +47,9 @@ object Cli {
       case "simple" => Parsers.readSimpleCorpus(spark, settings.docsPath)
       case _        => Parsers.readTrecCorpus(spark, settings.docsPath, settings.trecFieldsToIndex)
     }
+
+  def runBatchSearch(spark: SparkSession, settings: LtrSettings): Seq[String] =
+    BatchSearchRunner.run(spark, settings)
 }
 
 object IndexTrec {
@@ -68,6 +71,31 @@ object BatchSearch {
     val (file, ovs) = Cli.splitArgs(args)
     val settings = LtrSettings.load(file, ovs)
     val spark = Cli.session()
+    Cli.runBatchSearch(spark, settings).foreach(println)
+    spark.stop()
+  }
+}
+
+object BatchSearchRunner {
+  import graft.analysis.Analyzer
+  import graft.search.{RunLine, SimpleQuery, Snippets}
+  import org.apache.spark.sql.Dataset
+
+  /** The full BatchSearch flow, returned as output lines so CliSpec can
+    * assert on it (≙ `doBatchSearch` loop, `BatchSearch.java:193-338`).
+    *
+    * All PLAIN topics run as ONE batched Spark job (`Searcher.searchQuery`
+    * handles the SimpleQueryParser subset per topic) — the reference loops
+    * one `searcher.search` per topic, but it's single-JVM Lucene where that
+    * costs nothing; per-topic Spark jobs cost ~2 s each in job latency
+    * (BENCH.md measures ~5× amortization from batching). Feedback topics
+    * keep their per-topic pre/post-processor pipeline.
+    *
+    * With `includeSnippets`, each hit line is followed by a snippet line
+    * with the reference's "..." wrapping quirk (`BatchSearch.java:311-338`:
+    * trailing "...", leading "..." unless the fragment starts uppercase).
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, settings: LtrSettings): Seq[String] = {
     val idx = BuiltIndex.open(spark, settings.indexPath)
     val searcher = new Searcher(idx)
     val scorer = settings.scorerName
@@ -75,18 +103,56 @@ object BatchSearch {
     val topics = Parsers.parseTopics(
       java.nio.file.Files.readString(java.nio.file.Paths.get(settings.queryFile)))
 
-    topics.foreach { t =>
-      // Feedback topics run the preprocessor/postprocessor pipeline
-      // (≙ BatchSearch.java:204-249); plain topics are bag-of-words.
-      val run =
-        if (t.feedbackDocs.nonEmpty && t.preprocessor.nonEmpty) {
-          val corpus = Cli.readCorpus(spark, settings)
-          Feedback.searchWithFeedback(searcher, corpus, t.qid,
-            t.feedbackDocs, t.topTermsToKeep, k, scorer)
-        } else searcher.search(Seq(Topic(t.qid, t.text)), k, scorer)
-      val lines = run.collect()
-      lines.foreach(l => println(s"${l.qid} Q0 ${l.docno} ${l.rank} ${l.score} ${l.runtag}"))
+    val (fbTopics, plainTopics) =
+      topics.partition(t => t.feedbackDocs.nonEmpty && t.preprocessor.nonEmpty)
+    lazy val corpus = Cli.readCorpus(spark, settings)
+
+    val plainDs: Option[Dataset[RunLine]] =
+      if (plainTopics.isEmpty) None
+      else Some(searcher.searchQuery(
+        plainTopics.map(t => Topic(t.qid, t.text)), k, scorer))
+    val fbClauses = fbTopics.map { t =>
+      t.qid -> Feedback.expandedClauses(t.qid, t.feedbackDocs, corpus,
+        idx.cfg.analyzer, t.topTermsToKeep)
+    }.toMap
+    val fbDs: Seq[Dataset[RunLine]] = fbTopics.map { t =>
+      searcher.searchClauses(fbClauses(t.qid), k, scorer,
+        excludeDocnos = Map(t.qid -> t.feedbackDocs.flatMap(_.docno).toSet))
     }
-    spark.stop()
+    val allDs = (plainDs.toSeq ++ fbDs).reduceOption(_ union _)
+
+    val collected: Seq[(RunLine, Option[String])] = allDs match {
+      case None => Nil
+      case Some(ds) if !settings.includeSnippets =>
+        ds.collect().toSeq.map(_ -> None)
+      case Some(ds) =>
+        val analyzer = new Analyzer(idx.cfg.analyzer)
+        val termsByQid: Map[String, Set[String]] =
+          plainTopics.map { t =>
+            t.qid -> SimpleQuery.parse(t.text).positive
+              .flatMap(analyzer.analyze(_)).toSet
+          }.toMap ++
+          fbClauses.view.mapValues(_.map(_.term).toSet).toMap
+        Snippets.attach(ds, corpus, analyzer, termsByQid,
+            maxFragments = settings.maxSnippetFragments)
+          .collect().toSeq.map { r =>
+            (RunLine(r.getString(0), r.getString(1), r.getInt(2),
+              r.getFloat(3), r.getString(4)), Some(r.getString(5)))
+          }
+    }
+
+    // print in topic-file order, rank order within a topic
+    val byQid = collected.groupBy(_._1.qid)
+    topics.flatMap { t =>
+      byQid.getOrElse(t.qid, Nil).sortBy(_._1.rank).flatMap { case (l, snip) =>
+        val line = s"${l.qid} Q0 ${l.docno} ${l.rank} ${l.score} ${l.runtag}"
+        snip match {
+          case None => Seq(line)
+          case Some(s) =>
+            val f = s + "..."
+            Seq(line, if (!Character.isUpperCase(f.charAt(0))) "..." + f else f)
+        }
+      }
+    }
   }
 }

@@ -87,6 +87,21 @@ class AnalyzerSpec extends AnyFunSuite {
       List("semi", "colon", "comma", "done"))
   }
 
+  test("classic-like tokenizer keeps JFlex NUM forms intact") {
+    val t = new ClassicLikeTokenizer()
+    // the Lucene Classic grammar's documented number cases
+    assert(t.tokenize("paid 1,000 dollars").toList == List("paid", "1,000", "dollars"))
+    assert(t.tokenize("serial 2-3-4 ok").toList == List("serial", "2-3-4", "ok"))
+    assert(t.tokenize("part a-1-b here").toList == List("part", "a-1-b", "here"))
+    assert(t.tokenize("R2D2 c3po").toList == List("R2D2", "c3po"))
+    assert(t.tokenize("version 1.2,3").toList == List("version", "1.2,3"))
+    assert(t.tokenize("ref 12_34/56").toList == List("ref", "12_34/56"))
+    // digit-free separators still split (NUM needs a digit every other seg)
+    assert(t.tokenize("foo-bar a-b-1").toList == List("foo", "bar", "a", "b-1"))
+    // trailing punctuation never joins
+    assert(t.tokenize("1,000, then").toList == List("1,000", "then"))
+  }
+
   test("stop list parsing is a whitespace token scan") {
     assert(Analyzer.parseStopWords("a\nthe\tthat  ") == Set("a", "the", "that"))
     assert(Analyzer.parseStopWords("") == Set.empty)

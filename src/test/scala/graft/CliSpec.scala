@@ -67,6 +67,60 @@ class CliSpec extends AnyFunSuite {
     assert(run.minBy(_.rank).docno == "c-3")
   }
 
+  test("batched runner: plain topics in one job, topic order, snippets") {
+    val dir = TestSpark.tmpDir("clib")
+    val corpusDir = s"$dir/corpus"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(corpusDir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(corpusDir, "b.trec"),
+      """<DOC>
+        |<DOCNO>b-1</DOCNO>
+        |<TEXT>alpha beta gamma words continue alpha beta</TEXT>
+        |</DOC>
+        |<DOC>
+        |<DOCNO>b-2</DOCNO>
+        |<TEXT>delta epsilon words</TEXT>
+        |</DOC>""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "queries.txt"),
+      """<top><num>21</num><text>alpha</text></top>
+        |<top><num>22</num><text>delta -alpha</text></top>""".stripMargin)
+    val settings = LtrSettings(
+      indexPath = s"$dir/index", docsPath = corpusDir,
+      queryFile = s"$dir/queries.txt", returnedResultCount = 10,
+      includeSnippets = true)
+    val cfg = graft.index.IndexConfig(
+      analyzer = settings.analyzerConfig(Set.empty), groupShift = 1, mergeShift = 1)
+    graft.index.IndexBuilder.build(
+      tools.Cli.readCorpus(spark, settings), settings.indexPath, cfg)
+
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val lines = tools.Cli.runBatchSearch(spark, settings)
+    val after2 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // topic-file order; run lines interleaved with snippet lines
+    val runLines = lines.filter(_.contains(" Q0 "))
+    assert(runLines.map(_.split(" ")(0)) == Seq("21", "22"))
+    assert(runLines.head.startsWith("21 Q0 b-1 0 "))
+    assert(runLines(1).startsWith("22 Q0 b-2 0 "))
+    // each run line is followed by a "..."-wrapped snippet line
+    val i21 = lines.indexOf(runLines.head)
+    assert(lines(i21 + 1).contains("alpha") && lines(i21 + 1).endsWith("..."))
+
+    // batching property: 3x the plain topics must NOT cost ~3x the Spark
+    // jobs — the per-run overhead (index open, stats lookup, snippet join)
+    // dominates and the topic batch itself stays one job
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "queries.txt"),
+      """<top><num>21</num><text>alpha</text></top>
+        |<top><num>22</num><text>delta -alpha</text></top>
+        |<top><num>23</num><text>beta</text></top>
+        |<top><num>24</num><text>gamma</text></top>
+        |<top><num>25</num><text>epsilon</text></top>
+        |<top><num>26</num><text>words</text></top>""".stripMargin)
+    tools.Cli.runBatchSearch(spark, settings)
+    val after6 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val (jobs2, jobs6) = (after2 - before, after6 - after2)
+    assert(jobs6 <= jobs2 + 4,
+      s"job count scales with topic count: 2 topics → $jobs2 jobs, 6 topics → $jobs6")
+  }
+
   private object Parsers {
     def topicsOf(file: String): Seq[graft.search.Topic] =
       graft.corpus.Parsers.parseTopics(

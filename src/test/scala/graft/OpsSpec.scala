@@ -44,6 +44,13 @@ class OpsSpec extends AnyFunSuite {
     assert(!cand.contains(("d5", "d6")))
   }
 
+  test("minhash bucket cap drops degenerate buckets entirely") {
+    // every candidate pair above shares a bucket of size ≥ 2, so cap=1
+    // must drop all buckets and yield zero candidates
+    val capped = Dedup.minHashCandidates(corpusDF, an, 3, 12, 2, maxBucketSize = 1)
+    assert(capped.count() == 0)
+  }
+
   test("jaccard verification yields exact integer counts") {
     val sh = Dedup.shingles(corpusDF, an, 3)
     val cand = Dedup.minHashCandidates(corpusDF, an, 3, 12, 2)

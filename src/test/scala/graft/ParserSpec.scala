@@ -113,6 +113,37 @@ class ParserSpec extends AnyFunSuite {
     assert(fb.postprocessor.contains("FeedbackDocumentFilter"))
   }
 
+  test("topics parser: inline feedback-doc content, attr-precedence, errors") {
+    // ≙ ExplicitFeedbackM1PreProcessor.java:226-240: docno attr OR node
+    // text; text ignored when docno present; error when neither; error on
+    // missing/invalid 'relevant'.
+    val topics = Parsers.parseTopics(
+      """<top>
+        |  <num>9</num>
+        |  <feedback>
+        |    <doc relevant="true">inline relevant text</doc>
+        |    <doc relevant="false" docno="d-7">ignored because docno wins</doc>
+        |    <doc relevant="true" docno="d-8"/>
+        |  </feedback>
+        |</top>""".stripMargin)
+    assert(topics.head.feedbackDocs == Seq(
+      graft.search.Feedback.FeedbackDoc(true, None, Some("inline relevant text")),
+      graft.search.Feedback.FeedbackDoc(false, Some("d-7"), None),
+      graft.search.Feedback.FeedbackDoc(true, Some("d-8"), None)))
+    intercept[IllegalArgumentException] { // neither docno nor text
+      Parsers.parseTopics(
+        "<top><num>9</num><feedback><doc relevant=\"true\"/></feedback></top>")
+    }
+    intercept[IllegalArgumentException] { // missing relevant
+      Parsers.parseTopics(
+        "<top><num>9</num><feedback><doc docno=\"d-1\"/></feedback></top>")
+    }
+    intercept[IllegalArgumentException] { // invalid relevant value
+      Parsers.parseTopics(
+        "<top><num>9</num><feedback><doc relevant=\"yes\" docno=\"d-1\"/></feedback></top>")
+    }
+  }
+
   test("dataset-level trec reader round-trips through spark") {
     val dir = TestSpark.tmpDir("trec")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.trec"), trecFixture)

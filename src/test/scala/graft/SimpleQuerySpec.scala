@@ -1,0 +1,89 @@
+package graft
+
+import graft.analysis.AnalyzerConfig
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search.{Searcher, SimpleQuery, Topic}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SimpleQueryParser-subset semantics (≙ `BatchSearch.java:189-190,252`):
+  * parse shapes, then end-to-end retrieval — `-` MUST_NOT excludes before
+  * ranking, `+`/phrase force conjunction, `|` stays disjunctive.
+  */
+class SimpleQuerySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("parse: default OR, infix + and |, prefix -, phrase, rejects */~") {
+    assert(SimpleQuery.parse("alpha beta") ==
+      SimpleQuery(Seq("alpha", "beta"), Nil, conjunctive = false))
+    assert(SimpleQuery.parse("alpha | beta") ==
+      SimpleQuery(Seq("alpha", "beta"), Nil, conjunctive = false))
+    assert(SimpleQuery.parse("alpha|beta") ==
+      SimpleQuery(Seq("alpha", "beta"), Nil, conjunctive = false))
+    assert(SimpleQuery.parse("alpha + beta") ==
+      SimpleQuery(Seq("alpha", "beta"), Nil, conjunctive = true))
+    assert(SimpleQuery.parse("alpha+beta") ==
+      SimpleQuery(Seq("alpha", "beta"), Nil, conjunctive = true))
+    assert(SimpleQuery.parse("alpha -beta gamma") ==
+      SimpleQuery(Seq("alpha", "gamma"), Seq("beta"), conjunctive = false))
+    assert(SimpleQuery.parse("\"alpha beta\" gamma") ==
+      SimpleQuery(Seq("alpha", "beta", "gamma"), Seq(), conjunctive = true))
+    intercept[IllegalArgumentException](SimpleQuery.parse("alph*"))
+    intercept[IllegalArgumentException](SimpleQuery.parse("alpha~2"))
+  }
+
+  private lazy val searcher: Searcher = {
+    import spark.implicits._
+    val corpus = Seq(
+      "s-1" -> "alpha beta gamma",
+      "s-2" -> "alpha beta",
+      "s-3" -> "alpha delta",
+      "s-4" -> "beta delta").toDF("docno", "content")
+    val idx = IndexBuilder.build(corpus, TestSpark.tmpDir("sqp"),
+      IndexConfig(analyzer = AnalyzerConfig()))
+    new Searcher(idx)
+  }
+
+  test("searchQuery: '-' excludes matching docs BEFORE ranking (ranks close up)") {
+    val got = searcher.searchQuery(Seq(Topic("1", "alpha -gamma")), 10)
+      .collect().sortBy(_.rank).map(r => (r.docno, r.rank))
+    // s-1 contains gamma → excluded entirely; remaining ranks contiguous
+    assert(!got.map(_._1).contains("s-1"))
+    assert(got.map(_._2).toSeq == got.indices.toSeq)
+    assert(got.map(_._1).toSet == Set("s-2", "s-3"))
+  }
+
+  test("searchQuery: '+' requires every positive term (conjunctive)") {
+    val got = searcher.searchQuery(Seq(Topic("1", "alpha + beta")), 10)
+      .collect().map(_.docno).toSet
+    assert(got == Set("s-1", "s-2"))
+  }
+
+  test("searchQuery: phrase degrades to conjunction of its words") {
+    val got = searcher.searchQuery(Seq(Topic("1", "\"alpha delta\"")), 10)
+      .collect().map(_.docno).toSet
+    assert(got == Set("s-3"))
+  }
+
+  test("searchQuery: mixed-mode batch unions OR and AND topics") {
+    val got = searcher.searchQuery(
+        Seq(Topic("or1", "alpha delta"), Topic("and1", "alpha + delta")), 10)
+      .collect().groupBy(_.qid).view.mapValues(_.map(_.docno).toSet).toMap
+    assert(got("or1") == Set("s-1", "s-2", "s-3", "s-4"))
+    assert(got("and1") == Set("s-3"))
+  }
+
+  test("searchQuery: conjunctive NOT composes with AND mode") {
+    val got = searcher.searchQuery(Seq(Topic("1", "alpha + beta -gamma")), 10)
+      .collect().map(_.docno).toSet
+    assert(got == Set("s-2"))
+  }
+
+  test("searchQuery ranks match plain search when no operators are used") {
+    val topics = Seq(Topic("7", "alpha beta"))
+    val a = searcher.search(topics, 10).collect().sortBy(_.rank)
+      .map(r => (r.docno, r.rank, r.score)).toSeq
+    val b = searcher.searchQuery(topics, 10).collect().sortBy(_.rank)
+      .map(r => (r.docno, r.rank, r.score)).toSeq
+    assert(a == b)
+  }
+}
