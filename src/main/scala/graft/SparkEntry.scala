@@ -105,13 +105,16 @@ object SparkEntry {
             lit(0), (acc, x) => greatest(acc, x)).cast("long").as("max_term_len"))
         .orderBy("docno")
     }),
-    // rows-only checks (not SQL-expressible in the oracle): stemmed index,
-    // postings/segment metadata, byte-encoded-norm scoring variant
+    // stemmed-index df — oracled by a generated DuckDB replay of the full
+    // Porter algorithm (graft.PorterSql; cross-validated word-for-word on a
+    // 6.9k suffix battery by tools.PorterSqlCheck)
     "q_porter_df" -> ((s, dir) => {
       Engine.porterIndex(s, dir).termStats
         .select(col("term"), col("df").cast("long").as("df"))
         .orderBy("term")
     }),
+    // rows-only checks (not SQL-expressible in the oracle): postings/segment
+    // blob internals, byte-encoded-norm (Float-bit) scoring variant
     "q_postings_meta" -> ((s, dir) => {
       Engine.oracleIndex(s, dir).postings
         .select(col("term"), col("grp"), col("ndocs"),
@@ -611,6 +614,16 @@ object SparkEntry {
          |)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // document frequency over the PORTER-stemmed index: the oracle replays
+    // the full Porter algorithm in generated SQL (cv-map via iterated
+    // regexp passes, m() via 'v+c' run counting) — see graft.PorterSql
+    "q_porter_df" -> withCtes(
+      s""",
+         |pwords AS (SELECT DISTINCT term FROM tok),
+         |${PorterSql.ctes}
+         |SELECT p.stem AS term, count(DISTINCT t.docno)::BIGINT AS df
+         |FROM tok t JOIN porter p ON p.term = t.term
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
     // capped-bucket MinHash: identical to q_minhash_pairs but band buckets
     // larger than the cap are dropped before pair generation
     "q_minhash_pairs_capped" ->
