@@ -42,8 +42,13 @@ object Engine {
     })
   }
 
+  /** Positions on: the oracle index also serves the phrase-query gate entry
+    * (pos blobs are only decoded by phrase clauses; every other entry reads
+    * the same columns as before).
+    */
   def oracleIndex(spark: SparkSession, sfDir: String): BuiltIndex =
-    indexFor(spark, sfDir, IndexConfig(analyzer = OracleAnalyzer), "oracle")
+    indexFor(spark, sfDir,
+      IndexConfig(analyzer = OracleAnalyzer, indexPositions = true), "oracle")
 
   def porterIndex(spark: SparkSession, sfDir: String): BuiltIndex =
     indexFor(spark, sfDir, IndexConfig(analyzer = PorterAnalyzer), "porter")

@@ -218,6 +218,15 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // exact phrase retrieval over the positions blob: phraseFreq counted by
+    // position adjacency (stop gaps preserved), scored with the reference's
+    // accumulated multi-term idf (BM25.java:57,64-68) — ≙ an analyzed
+    // Lucene PhraseQuery under the custom BM25
+    "q_phrase_topk" -> ((s, dir) => {
+      Engine.searcher(s, dir).searchQuery(phraseTopics, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // production-shaped MinHash dedup: bucket cap ON (cap=2 is deliberately
     // tiny so the drop path actually fires at test scale; the 100 TB default
     // is 1000 — see ops.Dedup.minHashCandidates)
@@ -235,6 +244,13 @@ object SparkEntry {
   val notTopics: Seq[Topic] = Seq(
     Topic("1", "hash join merge -window"),
     Topic("2", "fast table scan -customer"))
+
+  /** Topics for the exact-phrase gate entry: a pure phrase query and a
+    * phrase mixed with a loose OR term.
+    */
+  val phraseTopics: Seq[Topic] = Seq(
+    Topic("1", "\"hash join\""),
+    Topic("2", "\"table scan\" merge"))
 
   // ---- DuckDB oracle -------------------------------------------------------
 
@@ -624,6 +640,61 @@ object SparkEntry {
          |SELECT p.stem AS term, count(DISTINCT t.docno)::BIGINT AS df
          |FROM tok t JOIN porter p ON p.term = t.term
          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // exact-phrase replay: raw token positions via DuckDB's zipped unnests
+    // (positions COUNT stop tokens, matching the engine's positionIncrement
+    // semantics), phraseFreq by self-join adjacency, BM25 with the
+    // accumulated multi-term idf, loose OR term summed per doc
+    "q_phrase_topk" -> withCtes(
+      s""",
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |rawt AS (SELECT docno,
+         |         list_filter(string_split_regex(lower(content), '\\s+'),
+         |                     x -> x <> '') AS l FROM corpus),
+         |rawpos AS (SELECT docno, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |           FROM rawt),
+         |widf AS (SELECT d.term,
+         |                ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) / ln(2.0) AS w
+         |         FROM df d CROSS JOIN st),
+         |ph1 AS (SELECT a.docno, count(*) AS freq
+         |        FROM rawpos a JOIN rawpos b
+         |          ON b.docno = a.docno AND b.pos = a.pos + 1
+         |        WHERE a.term = 'hash' AND b.term = 'join' GROUP BY a.docno),
+         |ph2 AS (SELECT a.docno, count(*) AS freq
+         |        FROM rawpos a JOIN rawpos b
+         |          ON b.docno = a.docno AND b.pos = a.pos + 1
+         |        WHERE a.term = 'table' AND b.term = 'scan' GROUP BY a.docno),
+         |partials AS (
+         |  SELECT '1' AS qid, p.docno,
+         |         ((1.2 + 1.0) * p.freq)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + p.freq)
+         |         * (1.0 + (SELECT w FROM widf WHERE term = 'hash')
+         |                + (SELECT w FROM widf WHERE term = 'join')) AS score
+         |  FROM ph1 p JOIN dl d USING (docno) CROSS JOIN st
+         |  UNION ALL
+         |  SELECT '2' AS qid, p.docno,
+         |         ((1.2 + 1.0) * p.freq)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + p.freq)
+         |         * (1.0 + (SELECT w FROM widf WHERE term = 'table')
+         |                + (SELECT w FROM widf WHERE term = 'scan')) AS score
+         |  FROM ph2 p JOIN dl d USING (docno) CROSS JOIN st
+         |  UNION ALL
+         |  SELECT '2' AS qid, f.docno,
+         |         ((1.2 + 1.0) * f.tf)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |         * (SELECT w FROM widf WHERE term = 'merge') AS score
+         |  FROM tf f JOIN dl d USING (docno) CROSS JOIN st WHERE f.term = 'merge'
+         |),
+         |scored AS (SELECT qid, docno, sum(score) AS score FROM partials GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scored)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
     // capped-bucket MinHash: identical to q_minhash_pairs but band buckets
     // larger than the cap are dropped before pair generation
     "q_minhash_pairs_capped" ->

@@ -65,6 +65,54 @@ final class Analyzer(val cfg: AnalyzerConfig) extends Serializable {
     out.result()
   }
 
+  /** Analyzed (term, position) pairs, where position is the token's index
+    * in the post-tokenize stream COUNTING stopped tokens — Lucene's
+    * positionIncrement semantics (StopFilter leaves gaps), so phrase
+    * matching across a stopped word behaves like the reference's analyzer
+    * chain would.
+    */
+  def analyzeWithPositions(text: String): Array[(String, Int)] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = Array.newBuilder[(String, Int)]
+    val it = tokenizer.tokenize(text)
+    var pos = 0
+    while (it.hasNext) {
+      val low = lowercase(it.next())
+      if (!stopping || !stop.contains(low)) {
+        out += ((if (stemming) stemmer.stem(low) else low, pos))
+      }
+      pos += 1
+    }
+    out.result()
+  }
+
+  /** (term, tf, positions) triples for one document plus its doc length —
+    * one pass, no shuffle; positions ascending per term.
+    */
+  def termFreqsWithPositions(text: String): (Array[(String, Int, Array[Int])], Int) = {
+    val tps = analyzeWithPositions(text)
+    if (tps.isEmpty) return (Array.empty, 0)
+    val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
+    var i = 0
+    while (i < tps.length) {
+      val (t, p) = tps(i)
+      var b = m.get(t)
+      if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofInt; m.put(t, b) }
+      b += p
+      i += 1
+    }
+    val out = new Array[(String, Int, Array[Int])](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val ps = e.getValue.result()
+      out(k) = (e.getKey, ps.length, ps)
+      k += 1
+    }
+    (out, tps.length)
+  }
+
   /** (term, tf) pairs for one document plus its doc length — one pass, no
     * shuffle: tf is computed within the row (SURVEY.md §2.4).
     */

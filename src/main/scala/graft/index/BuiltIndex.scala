@@ -40,6 +40,7 @@ object BuiltIndex {
     p.setProperty("buckets", cfg.buckets.toString)
     p.setProperty("groupShift", cfg.groupShift.toString)
     p.setProperty("mergeShift", cfg.mergeShift.toString)
+    p.setProperty("indexPositions", cfg.indexPositions.toString)
     val out = new ByteArrayOutputStream()
     p.store(out, "graft index config")
     val path = new Path(dir, PropsFile)
@@ -65,7 +66,8 @@ object BuiltIndex {
         stemmer = p.getProperty("stemmer", "none")),
       buckets = p.getProperty("buckets", "64").toInt,
       groupShift = p.getProperty("groupShift", "18").toInt,
-      mergeShift = p.getProperty("mergeShift", "4").toInt)
+      mergeShift = p.getProperty("mergeShift", "4").toInt,
+      indexPositions = p.getProperty("indexPositions", "false").toBoolean)
     new BuiltIndex(spark, dir, cfg)
   }
 }

@@ -67,10 +67,17 @@ object IndexBuilder {
           val text = if (content == null) "" else content
           val docid = (pid.toLong << 40) | idx
           idx += 1
-          val (tfs, dl) = analyzer.termFreqs(text)
+          val terms =
+            if (cfg.indexPositions) {
+              val (tfs, d) = analyzer.termFreqsWithPositions(text)
+              (tfs.map { case (t, f, ps) => TermTF(t, f, ps) }, d)
+            } else {
+              val (tfs, d) = analyzer.termFreqs(text)
+              (tfs.map { case (t, f) => TermTF(t, f) }, d)
+            }
           md.reset()
           val sha = hex(md.digest(text.getBytes("UTF-8")))
-          (TokenizedDoc(docid, docno, sha, dl, tfs.map { case (t, f) => TermTF(t, f) }),
+          (TokenizedDoc(docid, docno, sha, terms._2, terms._1),
             text.length.toLong)
         }
       }
@@ -136,10 +143,11 @@ object IndexBuilder {
 
     def explodedPostings = tokenized
       .select($"docid", $"dl", explode($"terms").as("t"))
-      .select($"t.term".as("term"), $"docid", $"t.tf".as("tf"), $"dl")
+      .select($"t.term".as("term"), $"docid", $"t.tf".as("tf"), $"dl",
+        $"t.pos".as("pos"))
       .withColumn("grp", shiftright($"docid", cfg.groupShift))
 
-    def encodeChunks(sorted: Dataset[(String, Long, Int, Int, Long)],
+    def encodeChunks(sorted: Dataset[(String, Long, Int, Int, Long, Array[Int])],
                      acc: CollectionAccumulator[(Int, Long, Long)]) =
       sorted.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
@@ -155,14 +163,16 @@ object IndexBuilder {
                 rows.hasNext && rows.head._1 == term && rows.head._5 == grp
               def next(): DecodedPosting = {
                 val r = rows.next()
-                DecodedPosting(r._2, r._3, r._4)
+                DecodedPosting(r._2, r._3, r._4,
+                  if (r._6 == null || r._6.isEmpty) PostingCodec.NoPositions else r._6)
               }
             }
             toRun(term, grp, PostingCodec.encode(chunk), buckets)
           }
         }
         metered(rawRuns, acc, pid)(r =>
-          (r, r.doc_blob.length.toLong + r.tf_blob.length + r.dl_blob.length))
+          (r, r.doc_blob.length.toLong + r.tf_blob.length + r.dl_blob.length
+            + r.pos_blob.length))
       }
 
     if (!cfg.twoPhase) {
@@ -175,8 +185,8 @@ object IndexBuilder {
           .join(broadcast(mgrpMapDF), Seq("grp"))
           .repartition($"term", $"mgrp")
           .sortWithinPartitions($"term", $"mgrp", $"docid")
-          .select($"term", $"docid", $"tf", $"dl", $"mgrp")
-          .as[(String, Long, Int, Int, Long)]
+          .select($"term", $"docid", $"tf", $"dl", $"mgrp", $"pos")
+          .as[(String, Long, Int, Int, Long, Array[Int])]
         Checkpoint.atomically(postDir, conf) { tmp =>
           encodeChunks(sorted, acc)
             .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
@@ -192,8 +202,8 @@ object IndexBuilder {
         val sorted = explodedPostings
           .repartition($"term", $"grp")
           .sortWithinPartitions($"term", $"grp", $"docid")
-          .select($"term", $"docid", $"tf", $"dl", $"grp")
-          .as[(String, Long, Int, Int, Long)]
+          .select($"term", $"docid", $"tf", $"dl", $"grp", $"pos")
+          .as[(String, Long, Int, Int, Long, Array[Int])]
         Checkpoint.atomically(runsDir, conf) { tmp =>
           encodeChunks(sorted, acc).write.mode("overwrite").parquet(tmp)
         }
@@ -207,8 +217,8 @@ object IndexBuilder {
         val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("postings_parts")
         val runCols = Seq("term", "bucket", "grp", "ndocs", "first_docid",
           "last_docid", "max_tf", "sum_tf", "doc_blob", "tf_blob", "dl_blob",
-          "block_last_docid", "block_max_tf", "block_min_dl",
-          "block_doc_off", "block_tf_off", "block_dl_off")
+          "pos_blob", "block_last_docid", "block_max_tf", "block_min_dl",
+          "block_doc_off", "block_tf_off", "block_dl_off", "block_pos_off")
         val merged = spark.read.parquet(runsDir)
           .join(broadcast(mgrpMapDF), Seq("grp"))
           .repartition($"term", $"mgrp")
@@ -321,7 +331,7 @@ object IndexBuilder {
 
   private[index] def toRun(term: String, grp: Long, e: EncodedRun, buckets: Int): PostingRun =
     PostingRun(term, bucketOf(term, buckets), grp, e.ndocs, e.firstDocid, e.lastDocid,
-      e.maxTf, e.sumTf, e.docBlob, e.tfBlob, e.dlBlob,
+      e.maxTf, e.sumTf, e.docBlob, e.tfBlob, e.dlBlob, e.posBlob,
       e.blockLastDocid, e.blockMaxTf, e.blockMinDl,
-      e.blockDocOff, e.blockTfOff, e.blockDlOff)
+      e.blockDocOff, e.blockTfOff, e.blockDlOff, e.blockPosOff)
 }

@@ -13,7 +13,11 @@ final case class TokenizedDoc(
     dl: Int,
     terms: Array[TermTF]
 )
-final case class TermTF(term: String, tf: Int)
+/** Per-(doc, term): tf and, when `IndexConfig.indexPositions`, the in-doc
+  * token positions of the tf occurrences (Lucene positionIncrement
+  * semantics: stopped tokens consume a position); empty otherwise.
+  */
+final case class TermTF(term: String, tf: Int, pos: Array[Int] = Array.emptyIntArray)
 
 /** Doc-length table row (≙ Lucene norms + stored docno: the reference
   * persists dl as a per-doc norm via `Similarity.computeNorm`,
@@ -46,12 +50,14 @@ final case class PostingRun(
     doc_blob: Array[Byte],
     tf_blob: Array[Byte],
     dl_blob: Array[Byte],
+    pos_blob: Array[Byte], // empty unless IndexConfig.indexPositions
     block_last_docid: Array[Long],
     block_max_tf: Array[Int],
     block_min_dl: Array[Int],
     block_doc_off: Array[Int],
     block_tf_off: Array[Int],
-    block_dl_off: Array[Int]
+    block_dl_off: Array[Int],
+    block_pos_off: Array[Int]
 )
 
 /** Per-term global statistics (≙ `TermStatistics.docFreq`, consumed at
@@ -75,10 +81,11 @@ final case class IndexConfig(
     mergeShift: Int = 4,        // 2^4 adjacent groups per final (merged) run
     rangePartitions: Int = 0,   // 0 = spark.sql.shuffle.partitions
     fingerprint: String = "keys", // "keys" | "none" — resume-safety fingerprint
-    twoPhase: Boolean = false
+    twoPhase: Boolean = false,
+    indexPositions: Boolean = false // store in-doc positions (phrase queries)
 ) {
   def id: String =
-    s"v3;${analyzer.id};b=$buckets;g=$groupShift;m=$mergeShift;tp=$twoPhase"
+    s"v4;${analyzer.id};b=$buckets;g=$groupShift;m=$mergeShift;tp=$twoPhase;pos=$indexPositions"
 }
 
 object IndexLayout {

@@ -34,14 +34,14 @@ object SegmentMerger {
         }
         val e = PostingCodec.encode(chunkRuns.flatMap(decode))
         PostingRun(term, bucket, mgrp, e.ndocs, e.firstDocid, e.lastDocid,
-          e.maxTf, e.sumTf, e.docBlob, e.tfBlob, e.dlBlob,
+          e.maxTf, e.sumTf, e.docBlob, e.tfBlob, e.dlBlob, e.posBlob,
           e.blockLastDocid, e.blockMaxTf, e.blockMinDl,
-          e.blockDocOff, e.blockTfOff, e.blockDlOff)
+          e.blockDocOff, e.blockTfOff, e.blockDlOff, e.blockPosOff)
       }
     }
   }
 
-  /** Decode one run's postings (streaming). */
+  /** Decode one run's postings (streaming; positions carried when stored). */
   def decode(r: PostingRun): Iterator[DecodedPosting] =
-    PostingCodec.decodeBlobs(r.ndocs, r.doc_blob, r.tf_blob, r.dl_blob)
+    PostingCodec.decodeBlobs(r.ndocs, r.doc_blob, r.tf_blob, r.dl_blob, r.pos_blob)
 }

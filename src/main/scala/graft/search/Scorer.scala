@@ -29,6 +29,18 @@ trait Scorer extends Serializable {
   def termWeight(docFreq: Long, cf: Long, stats: CollStats): Float
   /** Per-posting score (≙ SimScorer.score — `BM25.java:98-107`). */
   def score(tf: Int, dl: Int, weight: Float, stats: CollStats): Float
+  /** Combined weight for a multi-term clause (a PhraseQuery hands the
+    * similarity ONE TermStatistics per phrase term). The reference's
+    * multi-stats branch ACCUMULATES from 1.0f (`BM25.java:57,64-68`:
+    * `idf = 1.0f; ... idf += log(...)` per term — including duplicated
+    * phrase terms), a quirk preserved here; scoring then uses phraseFreq
+    * as tf against this weight (`BM25.java:98-107` via ExactPhraseScorer).
+    */
+  def phraseWeight(termStats: Seq[(Long, Long)], stats: CollStats): Float = {
+    var w = 1.0f
+    termStats.foreach { case (df, cf) => w += termWeight(df, cf, stats) }
+    w
+  }
   /** Query-level normalization from the clause weights (≙ Similarity
     * .queryNorm over sumOfSquaredWeights). The reference's own models
     * override this to 1 (`BM25.java:44-47`); classic TF-IDF does not.

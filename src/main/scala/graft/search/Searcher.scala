@@ -20,6 +20,15 @@ final case class RunLine(qid: String, docno: String, rank: Int, score: Float, ru
 /** One boosted term clause of a query (≙ a SHOULD TermQuery with boost). */
 final case class WeightedClause(qid: String, qidx: Int, term: String, boost: Float)
 
+/** One exact-phrase clause (≙ an analyzed Lucene PhraseQuery): `terms` are
+  * the analyzed (term, offset) slots where offset is the token's position
+  * within the phrase COUNTING stopped words (positionIncrement gaps), so
+  * "quick the fox" with "the" stopped matches quick@p ∧ fox@p+2. Requires a
+  * positions-enabled index (`IndexConfig.indexPositions`).
+  */
+final case class PhraseClause(qid: String, qidx: Int,
+                              terms: Seq[(String, Int)], boost: Float)
+
 /** Batch retrieval — the Spark-native reimplementation of the reference's
   * `BatchSearch` lifecycle (SURVEY.md §3.2). The Lucene boolean OR scorer
   * (union of query-term posting lists, per-doc float score sum, bounded
@@ -101,23 +110,53 @@ final class Searcher(val index: BuiltIndex) {
     */
   def searchQuery(topics: Seq[Topic], k: Int = 1000,
                   scorerName: String = "bm25"): Dataset[RunLine] = {
+    val hasPositions = index.cfg.indexPositions
     val parsed = topics.map(t => t -> SimpleQuery.parse(t.text))
-    def clausesOf(sel: Seq[(Topic, SimpleQuery)]): Seq[WeightedClause] =
-      sel.flatMap { case (t, q) =>
-        q.positive.flatMap(analyzer.analyze(_)).zipWithIndex
-          .map { case (term, i) => WeightedClause(t.qid, i, term, 1.0f) }
+
+    // Per topic: loose positive terms + (exact phrase clauses when the index
+    // stores positions, else phrase words degrade to required co-occurring
+    // terms — documented fallback). Clause indexes stay disjoint per topic.
+    def clausesOf(sel: Seq[(Topic, SimpleQuery)])
+        : (Seq[WeightedClause], Seq[PhraseClause]) = {
+      val wc = Seq.newBuilder[WeightedClause]
+      val pc = Seq.newBuilder[PhraseClause]
+      sel.foreach { case (t, q) =>
+        var i = 0
+        q.positive.flatMap(analyzer.analyze(_)).foreach { term =>
+          wc += WeightedClause(t.qid, i, term, 1.0f); i += 1
+        }
+        q.phrases.foreach { p =>
+          if (hasPositions) {
+            val slots = analyzer.analyzeWithPositions(p)
+            if (slots.length == 1) { // 1-term phrase ≡ TermQuery (Lucene rewrite)
+              wc += WeightedClause(t.qid, i, slots.head._1, 1.0f); i += 1
+            } else if (slots.nonEmpty) {
+              pc += PhraseClause(t.qid, i, slots.toSeq, 1.0f); i += 1
+            }
+          } else {
+            analyzer.analyze(p).foreach { term =>
+              wc += WeightedClause(t.qid, i, term, 1.0f); i += 1
+            }
+          }
+        }
       }
+      (wc.result(), pc.result())
+    }
     def negsOf(sel: Seq[(Topic, SimpleQuery)]): Seq[(String, String)] =
       sel.flatMap { case (t, q) =>
         q.negative.flatMap(analyzer.analyze(_)).map(t.qid -> _)
       }
-    val (conj, disj) = parsed.partition(_._2.conjunctive)
+    // without positions, a phrase forces conjunction (legacy fallback)
+    def isConj(q: SimpleQuery): Boolean =
+      q.conjunctive || (!hasPositions && q.phrases.nonEmpty)
+    val (conj, disj) = parsed.partition(p => isConj(p._2))
     val runs = Seq(
       (disj, "or"),
       (conj, "and")
     ).filter(_._1.nonEmpty).map { case (sel, mode) =>
-      searchClauses(clausesOf(sel), k, scorerName, mode = mode,
-        negTerms = negsOf(sel))
+      val (wc, pc) = clausesOf(sel)
+      searchClauses(wc, k, scorerName, mode = mode,
+        negTerms = negsOf(sel), phraseClauses = pc)
     }
     runs.reduceOption(_ union _)
       .getOrElse { import spark.implicits._; spark.emptyDataset[RunLine] }
@@ -139,12 +178,16 @@ final class Searcher(val index: BuiltIndex) {
                     excludeDocnos: Map[String, Set[String]] = Map.empty,
                     pruning: Boolean = false,
                     mode: String = "or",
-                    negTerms: Seq[(String, String)] = Nil): Dataset[RunLine] = {
+                    negTerms: Seq[(String, String)] = Nil,
+                    phraseClauses: Seq[PhraseClause] = Nil): Dataset[RunLine] = {
     import spark.implicits._
     val scorer = Scorer.byName(scorerName)
-    if (clauses.isEmpty) return spark.emptyDataset[RunLine]
+    if (clauses.isEmpty && phraseClauses.isEmpty) return spark.emptyDataset[RunLine]
+    require(phraseClauses.isEmpty || index.cfg.indexPositions,
+      "phrase clauses need a positions-enabled index (IndexConfig.indexPositions)")
     val conjunctive = mode == "and"
-    val prune = pruning && scorer.supportsPruning && !conjunctive
+    val prune = pruning && scorer.supportsPruning && !conjunctive &&
+      phraseClauses.isEmpty
 
     // Resolve excluded docnos → docids (tiny point lookup on the doc table,
     // ≙ the reference's docno TermQuery lookups §2.3).
@@ -157,7 +200,8 @@ final class Searcher(val index: BuiltIndex) {
         excludeDocnos.map { case (qid, ds) => qid -> ds.flatMap(ids.get) }
       }
 
-    val terms = clauses.map(_.term).distinct
+    val phraseTerms = phraseClauses.flatMap(_.terms.map(_._1)).distinct
+    val terms = (clauses.map(_.term) ++ phraseTerms).distinct
     val buckets = terms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
     val stats = CollStats(index.stats.max_doc, index.stats.sum_total_term_freq)
 
@@ -179,25 +223,38 @@ final class Searcher(val index: BuiltIndex) {
     // Per-query normalization (1.0 for all reference models, which override
     // queryNorm — only classic TF-IDF uses it): sumOfSquaredWeights over
     // ALL clauses, including unmatched terms, like Lucene's weight phase.
-    val qnByQid: Map[String, Float] = clauses.groupBy(_.qid).map { case (qid, cs) =>
-      val ws = cs.sortBy(_.qidx).map { c =>
+    // phrase clause weight = the reference's accumulate-from-1.0 multi-stats
+    // branch (`BM25.java:57,64-68`), duplicated phrase terms included
+    val phraseWeights: Map[(String, Int), Float] = phraseClauses.map { pc =>
+      (pc.qid, pc.qidx) ->
+        scorer.phraseWeight(pc.terms.map(t => dfs.getOrElse(t._1, (0L, 0L))), stats)
+    }.toMap
+
+    val qnByQid: Map[String, Float] =
+      (clauses.map(c => (c.qid, c.qidx, {
         val (df, cf) = dfs.getOrElse(c.term, (0L, 0L))
         scorer.termWeight(df, cf, stats) * c.boost
+      })) ++ phraseClauses.map(pc =>
+        (pc.qid, pc.qidx, phraseWeights((pc.qid, pc.qidx)) * pc.boost)))
+      .groupBy(_._1).map { case (qid, ws) =>
+        qid -> scorer.queryNorm(ws.sortBy(_._2).map(_._3))
       }
-      qid -> scorer.queryNorm(ws)
-    }
     val maxOverlap: Map[String, Int] =
-      clauses.groupBy(_.qid).map { case (q, cs) => q -> cs.size }
+      (clauses.map(c => (c.qid, c.qidx)) ++
+        phraseClauses.map(pc => (pc.qid, pc.qidx)))
+        .groupBy(_._1).map { case (q, cs) => q -> cs.size }
 
-    // AND mode: a query with any unindexed clause term can match nothing.
-    val liveClauses =
-      if (!conjunctive) clauses
-      else {
-        val deadQids = clauses.groupBy(_.qid)
-          .collect { case (q, cs) if cs.exists(c => !dfs.contains(c.term)) => q }
-          .toSet
-        clauses.filterNot(c => deadQids(c.qid))
-      }
+    // AND mode: a query with any unindexed clause term (or phrase term) can
+    // match nothing.
+    val deadQids: Set[String] =
+      if (!conjunctive) Set.empty
+      else (clauses.groupBy(_.qid)
+        .collect { case (q, cs) if cs.exists(c => !dfs.contains(c.term)) => q } ++
+        phraseClauses.groupBy(_.qid)
+          .collect { case (q, ps) if ps.exists(_.terms.exists(t => !dfs.contains(t._1))) => q })
+        .toSet
+    val liveClauses = clauses.filterNot(c => deadQids(c.qid))
+    val livePhrases = phraseClauses.filterNot(pc => deadQids(pc.qid))
 
     // Driver-side query plan: term → (idf, clauses using it), queryNorm
     // folded into the clause boost.
@@ -208,7 +265,7 @@ final class Searcher(val index: BuiltIndex) {
                    cs.map(c => (c.qid, c.qidx, c.boost * qnByQid(c.qid))).toArray)
         }
       }
-    if (plan.isEmpty) return spark.emptyDataset[RunLine]
+    if (plan.isEmpty && livePhrases.isEmpty) return spark.emptyDataset[RunLine]
 
     // Postings lookup: bucket prunes parquet partitions, term pushes down.
     val posts = index.postings
@@ -235,7 +292,8 @@ final class Searcher(val index: BuiltIndex) {
     // Decode → per-clause partial scores (qid, docid, clauseIdx, partial);
     // clause boost multiplies like a Lucene query-term boost.
     val partials: Dataset[(String, Long, Int, Float)] =
-      if (!prune || theta.isEmpty) posts.flatMap { run =>
+      if (plan.isEmpty) spark.emptyDataset[(String, Long, Int, Float)]
+      else if (!prune || theta.isEmpty) posts.flatMap { run =>
         val (idf, cs) = plan(run.term)
         PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
           .flatMap { p =>
@@ -274,13 +332,92 @@ final class Searcher(val index: BuiltIndex) {
         }
       }
 
+    // Phrase clause partials: decode the phrase terms' postings WITH
+    // positions, co-group per (phrase, doc), count exact phrase occurrences
+    // (anchor scan from the sparsest slot, binary-search the rest — the
+    // distributed analog of Lucene's ExactPhraseScorer), score phraseFreq
+    // against the accumulated multi-term weight. One extra shuffle, paid
+    // only by queries that contain phrases.
+    val phrasePartials: Dataset[(String, Long, Int, Float)] =
+      if (livePhrases.isEmpty) spark.emptyDataset[(String, Long, Int, Float)]
+      else {
+        val phArr = livePhrases.toArray
+        val termSlots: Map[String, Array[(Int, Int)]] =
+          phArr.zipWithIndex.toSeq.flatMap { case (pc, pi) =>
+            pc.terms.zipWithIndex.map { case ((term, _), si) => (term, pi, si) }
+          }.groupBy(_._1).map { case (t, xs) => t -> xs.map(x => (x._2, x._3)).toArray }
+        val pTerms = termSlots.keys.toSeq
+        val pBuckets = pTerms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+        val pPosts = index.postings
+          .where(col("bucket").isin(pBuckets: _*) && col("term").isin(pTerms: _*))
+          .as[PostingRun]
+        val occ: Dataset[(Int, Long, Int, Array[Int], Int)] = pPosts.flatMap { run =>
+          val slots = termSlots(run.term)
+          PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob,
+              run.dl_blob, run.pos_blob)
+            .flatMap { p =>
+              slots.iterator.map { case (pi, si) => (pi, p.docid, si, p.pos, p.dl) }
+            }
+        }
+        val weights = phraseWeights
+        val qnB = qnByQid
+        val scorerB = scorer
+        val statsB = stats
+        occ.groupByKey(t => (t._1, t._2))
+          .flatMapGroups[(String, Long, Int, Float)] {
+            (key: (Int, Long), it: Iterator[(Int, Long, Int, Array[Int], Int)]) =>
+            val pc = phArr(key._1)
+            val nSlots = pc.terms.length
+            val posBySlot = new Array[Array[Int]](nSlots)
+            var dl = 0
+            var matched = 0
+            it.foreach { r =>
+              if (posBySlot(r._3) == null) matched += 1
+              posBySlot(r._3) = r._4
+              dl = r._5
+            }
+            if (matched < nSlots) Iterator.empty
+            else {
+              val offs = pc.terms.map(_._2).toArray
+              var minSlot = 0
+              var s = 1
+              while (s < nSlots) {
+                if (posBySlot(s).length < posBySlot(minSlot).length) minSlot = s
+                s += 1
+              }
+              var freq = 0
+              val anchorOff = offs(minSlot)
+              posBySlot(minSlot).foreach { p0 =>
+                val base = p0 - anchorOff // phrase start position in the doc
+                var ok = base >= 0
+                var j = 0
+                while (ok && j < nSlots) {
+                  if (j != minSlot)
+                    ok = java.util.Arrays.binarySearch(posBySlot(j), base + offs(j)) >= 0
+                  j += 1
+                }
+                if (ok) freq += 1
+              }
+              if (freq == 0) Iterator.empty
+              else {
+                val boost = pc.boost * qnB(pc.qid)
+                val sc = scorerB.score(freq, dl, weights((pc.qid, pc.qidx)), statsB)
+                Iterator.single((pc.qid, key._2, pc.qidx,
+                  if (boost == 1.0f) sc else sc * boost))
+              }
+            }
+          }
+      }
+    val allPartials =
+      if (livePhrases.isEmpty) partials else partials.union(phrasePartials)
+
     // Per-(query, doc) float sum in clause order (≙ boolean scorer sum),
     // per-query doc exclusion BEFORE ranking, coord factor from
     // matched/total clauses (1.0 for all reference models).
     val excluded = excludedByQid
     val maxOv = maxOverlap
     val requireAll = conjunctive
-    val scores: Dataset[(String, Long, Float)] = partials
+    val scores: Dataset[(String, Long, Float)] = allPartials
       .filter(t => excluded.get(t._1).forall(!_.contains(t._2)))
       .groupByKey(t => (t._1, t._2))
       .mapGroups[(String, Long, Float)] {

@@ -8,19 +8,21 @@ package graft.search
   *   - whitespace / `|` between tokens → SHOULD (bag-of-words OR), the
   *     reference default operator;
   *   - any `+` between tokens → the whole query becomes conjunctive (every
-  *     positive term required) — Lucene's AND for the flat no-parentheses
-  *     queries the reference's batch driver actually sees;
+  *     positive clause required) — Lucene's AND for the flat
+  *     no-parentheses queries the reference's batch driver actually sees;
   *   - a leading `-` negates its token: documents containing the term are
   *     excluded BEFORE ranking (MUST_NOT — they never enter the collector);
-  *   - `"…"` phrases degrade to required co-occurring terms (all words must
-  *     match, adjacency is NOT enforced: the index stores no positions —
-  *     see README "Known gaps" for the positions-blob design note);
+  *   - `"…"` phrases are kept as phrase clauses: exact adjacency matching
+  *     against a positions-enabled index (`IndexConfig.indexPositions`),
+  *     degrading to required co-occurrence when the index stores no
+  *     positions (Searcher.searchQuery documents the fallback);
   *   - `*` prefix and `~N` fuzzy are rejected as unsupported.
   */
 final case class SimpleQuery(
-    positive: Seq[String],  // raw positive tokens, in query order
+    positive: Seq[String],  // raw positive loose tokens, in query order
     negative: Seq[String],  // raw negated tokens (without the '-')
-    conjunctive: Boolean)   // true if any '+' operator or phrase appeared
+    phrases: Seq[String],   // raw quoted phrase texts, in query order
+    conjunctive: Boolean)   // true if any '+' operator appeared
 
 object SimpleQuery {
 
@@ -32,13 +34,14 @@ object SimpleQuery {
   def parse(text: String): SimpleQuery = {
     val pos = Seq.newBuilder[String]
     val neg = Seq.newBuilder[String]
+    val phr = Seq.newBuilder[String]
     var conj = false
     // split out quoted phrases first
     val phrase = """"([^"]*)"""".r
     var rest = text
     phrase.findAllMatchIn(text).foreach { m =>
-      conj = true
-      m.group(1).trim.split("\\s+").filter(_.nonEmpty).foreach(pos += _)
+      val p = m.group(1).trim
+      if (p.nonEmpty) phr += p
     }
     rest = phrase.replaceAllIn(rest, " ")
     rest.split("\\s+").filter(_.nonEmpty).foreach { tok0 =>
@@ -52,11 +55,11 @@ object SimpleQuery {
         else if (tok == "|" || tok == "-") () // bare operators
         else if (tok.endsWith("*") || tok.matches(".*~\\d*$"))
           throw new IllegalArgumentException(
-            s"unsupported SimpleQueryParser operator in '$tok' (prefix/fuzzy need index positions/automata)")
+            s"unsupported SimpleQueryParser operator in '$tok' (prefix/fuzzy need index automata)")
         else if (tok.startsWith("-")) neg += tok.substring(1)
         else pos += tok
       }
     }
-    SimpleQuery(pos.result(), neg.result(), conj)
+    SimpleQuery(pos.result(), neg.result(), phr.result(), conj)
   }
 }

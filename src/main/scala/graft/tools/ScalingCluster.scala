@@ -32,15 +32,20 @@ object ScalingCluster {
 
     for (r <- 1 to rounds; workers <- levels) {
       val cores = workers * 8
+      // NOTE: in standalone/local-cluster mode spark.local.dir is overridden
+      // by the cluster manager — executor shuffle dirs come from the
+      // SPARK_LOCAL_DIRS env var of the worker process (inherited from this
+      // JVM), so the launcher must export SPARK_LOCAL_DIRS=/dev/shm/... for
+      // tmpfs shuffle (the single virtual disk serializes I/O otherwise).
       val spark = SparkSession.builder()
         .master(s"local-cluster[$workers,8,16384]")
         .appName(s"graft-cluster-w$workers-r$r")
-        .config("spark.executor.memory", "14g")
+        .config("spark.executor.memory", "12g")
         .config("spark.executor.extraClassPath", classesDir)
         .config("spark.sql.shuffle.partitions", (cores * 4).toString)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.local.dir", "/dev/shm/graft-shuffle")
+        .config("spark.locality.wait", "0s")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -14,19 +14,19 @@ class SimpleQuerySpec extends AnyFunSuite {
 
   test("parse: default OR, infix + and |, prefix -, phrase, rejects */~") {
     assert(SimpleQuery.parse("alpha beta") ==
-      SimpleQuery(Seq("alpha", "beta"), Nil, conjunctive = false))
+      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, conjunctive = false))
     assert(SimpleQuery.parse("alpha | beta") ==
-      SimpleQuery(Seq("alpha", "beta"), Nil, conjunctive = false))
+      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, conjunctive = false))
     assert(SimpleQuery.parse("alpha|beta") ==
-      SimpleQuery(Seq("alpha", "beta"), Nil, conjunctive = false))
+      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, conjunctive = false))
     assert(SimpleQuery.parse("alpha + beta") ==
-      SimpleQuery(Seq("alpha", "beta"), Nil, conjunctive = true))
+      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, conjunctive = true))
     assert(SimpleQuery.parse("alpha+beta") ==
-      SimpleQuery(Seq("alpha", "beta"), Nil, conjunctive = true))
+      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, conjunctive = true))
     assert(SimpleQuery.parse("alpha -beta gamma") ==
-      SimpleQuery(Seq("alpha", "gamma"), Seq("beta"), conjunctive = false))
+      SimpleQuery(Seq("alpha", "gamma"), Seq("beta"), Nil, conjunctive = false))
     assert(SimpleQuery.parse("\"alpha beta\" gamma") ==
-      SimpleQuery(Seq("alpha", "beta", "gamma"), Seq(), conjunctive = true))
+      SimpleQuery(Seq("gamma"), Nil, Seq("alpha beta"), conjunctive = false))
     intercept[IllegalArgumentException](SimpleQuery.parse("alph*"))
     intercept[IllegalArgumentException](SimpleQuery.parse("alpha~2"))
   }
@@ -58,7 +58,8 @@ class SimpleQuerySpec extends AnyFunSuite {
     assert(got == Set("s-1", "s-2"))
   }
 
-  test("searchQuery: phrase degrades to conjunction of its words") {
+  test("searchQuery: phrase degrades to conjunction on a no-positions index") {
+    // the spec index stores no positions → documented fallback
     val got = searcher.searchQuery(Seq(Topic("1", "\"alpha delta\"")), 10)
       .collect().map(_.docno).toSet
     assert(got == Set("s-3"))
