@@ -211,6 +211,24 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // training-pipeline op: winnowing document fingerprints (SIGMOD'03) —
+    // k-gram md5-hashes, per-window rightmost minimum
+    "q_winnow" -> ((s, dir) => {
+      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+      ops.Fingerprint.fingerprints(corpus.Corpus.fromDocuments(s, dir), an, k = 3, w = 4)
+        .select(col("docno"), col("pos").cast("long").as("pos"),
+          col("fp").cast("long").as("fp"))
+        .orderBy("docno", "pos")
+    }),
+    // training-pipeline op: embedding-cosine near-dup pairs via sign-LSH
+    // blocking + exact cosine verify
+    "q_emb_neardup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      ops.Dedup.embeddingNearDups(emb, minCos = 0.4, nPlanes = 8)
+        .select(col("vec_a").cast("long").as("vec_a"),
+          col("vec_b").cast("long").as("vec_b"))
+        .orderBy("vec_a", "vec_b")
+    }),
     // SimpleQueryParser '-' NOT: docs containing a negated term are
     // anti-joined out BEFORE ranking (≙ Lucene MUST_NOT — ranks close up)
     "q_not_topk" -> ((s, dir) => {
@@ -640,6 +658,66 @@ object SparkEntry {
          |SELECT p.stem AS term, count(DISTINCT t.docno)::BIGINT AS df
          |FROM tok t JOIN porter p ON p.term = t.term
          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // winnowing replay: k-gram hashes = '0x'-cast first 8 md5 hex chars
+    // (≙ Fingerprint.gramHash's first 4 digest bytes), per-window rightmost
+    // minimum via row_number (h ASC, pos DESC), distinct selections.
+    // (Docs with fewer than w k-grams would take the engine's single-
+    // fingerprint branch — none exist at gate scale, min dl = 8; the branch
+    // is spec-locked in OpsSpec.)
+    "q_winnow" ->
+      s"""WITH $CorpusCte,
+         |toksl AS (SELECT docno,
+         |          list_filter(string_split_regex(lower(content), '\\s+'),
+         |                      x -> x <> '' AND x NOT IN ('a', 'the')) AS l
+         |          FROM corpus),
+         |grams AS (
+         |  SELECT docno, unnest(range(0, len(l) - 2)) AS pos,
+         |         list_transform(range(0, len(l) - 2),
+         |           p -> ('0x' || substr(md5(array_to_string(list_slice(l, p + 1, p + 3), ' ')), 1, 8))::BIGINT) AS hs
+         |  FROM toksl WHERE len(l) >= 3),
+         |gh AS (SELECT docno, pos, hs[pos + 1] AS h FROM grams),
+         |starts AS (SELECT docno, unnest(range(0, len(l) - 2 - 4 + 1)) AS s
+         |           FROM toksl WHERE len(l) - 2 >= 4),
+         |wins AS (SELECT st.docno, st.s, g.pos, g.h
+         |         FROM starts st JOIN gh g
+         |           ON g.docno = st.docno AND g.pos BETWEEN st.s AND st.s + 3),
+         |sel AS (SELECT docno, s, pos, h,
+         |               row_number() OVER (PARTITION BY docno, s
+         |                                  ORDER BY h ASC, pos DESC) AS rn
+         |        FROM wins)
+         |SELECT DISTINCT docno, pos::BIGINT AS pos, h::BIGINT AS fp
+         |FROM sel WHERE rn = 1 ORDER BY docno, pos""".stripMargin,
+    // embedding near-dup replay: same hyperplane/probe construction as
+    // q_lsh_knn, candidates = bucket hamming ≤ 1, exact double cosine
+    // threshold (boundary margin at gate scale: 1.3e-4 ≫ float noise)
+    "q_emb_neardup" ->
+      """WITH planes AS (
+        |  SELECT p.p, d.d,
+        |         (('0x' || substr(md5('p:' || p.p || ':' || d.d), 1, 8))::BIGINT
+        |          / 2147483648.0 - 1.0) AS comp
+        |  FROM (SELECT unnest(range(0, 8)) AS p) p
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
+        |proj AS (
+        |  SELECT e.vec_id, pl.p, sum(e.embedding[pl.d + 1]::DOUBLE * pl.comp) AS proj
+        |  FROM embeddings e JOIN planes pl ON pl.d < len(e.embedding)
+        |  GROUP BY e.vec_id, pl.p),
+        |bucket AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN proj >= 0 THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |probes AS (
+        |  SELECT b.vec_id, xor(b.bucket, f.f::BIGINT) AS pbucket
+        |  FROM bucket b CROSS JOIN (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS f) f),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM probes a JOIN bucket b ON b.bucket = a.pbucket AND a.vec_id < b.vec_id),
+        |verified AS (
+        |  SELECT c.vec_a, c.vec_b FROM cand c
+        |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = c.vec_b
+        |  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4)
+        |SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b
+        |FROM verified ORDER BY 1, 2""".stripMargin,
     // exact-phrase replay: raw token positions via DuckDB's zipped unnests
     // (positions COUNT stop tokens, matching the engine's positionIncrement
     // semantics), phraseFreq by self-join adjacency, BM25 with the

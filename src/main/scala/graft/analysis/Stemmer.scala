@@ -50,6 +50,7 @@ object Stemmer {
     case "minimal" | "englishminimalstemfilter"          => MinimalEnglishStemmer
     case "snowball" | "snowballfilter" | "porter2"       => SnowballStemmer
     case "kstem" | "kstemfilter" | "krovetz"             => KStemmer
-    case other => throw new IllegalArgumentException(s"unknown stemmer: $other")
+    // reflective FQCN fallback ≙ TrecAnalyzer.java:78-103 Class.forName
+    case _ => Reflective.instance[Stemmer](name, "stemmer")
   }
 }

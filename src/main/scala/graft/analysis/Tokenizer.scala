@@ -85,10 +85,37 @@ object ClassicLikeTokenizer {
 }
 
 object Tokenizer {
-  /** Registry mirroring the reference's by-name tokenizer selection. */
+  /** Registry mirroring the reference's by-name tokenizer selection, with a
+    * reflective FQCN fallback (≙ `TrecAnalyzer.java:63-70` Class.forName):
+    * any class on the classpath implementing [[Tokenizer]] with a no-arg
+    * constructor loads by its fully-qualified name.
+    */
   def byName(name: String): Tokenizer = name.toLowerCase match {
     case "whitespace" | "whitespacetokenizer" => new WhitespaceTokenizer()
     case "classic" | "classictokenizer"       => new ClassicLikeTokenizer()
-    case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
+    case _ => Reflective.instance[Tokenizer](name, "tokenizer")
   }
+}
+
+/** Shared Class.forName loader for the three extension seams — the engine
+  * analog of the reference's reflective plugin loading
+  * (`TrecAnalyzer.java:63-70,78-103`, `BatchSearch.java:155-158`).
+  */
+private[graft] object Reflective {
+  def instance[T](name: String, kind: String)(implicit ct: scala.reflect.ClassTag[T]): T =
+    try {
+      val cls = Class.forName(name)
+      val obj =
+        try cls.getField("MODULE$").get(null) // Scala object
+        catch { case _: NoSuchFieldException =>
+          cls.getDeclaredConstructor().newInstance()
+        }
+      ct.runtimeClass.cast(obj).asInstanceOf[T]
+    } catch {
+      case e: ClassNotFoundException =>
+        throw new IllegalArgumentException(s"unknown $kind: $name", e)
+      case e: ClassCastException =>
+        throw new IllegalArgumentException(
+          s"$kind class $name does not implement ${ct.runtimeClass.getName}", e)
+    }
 }

@@ -105,6 +105,34 @@ object Dedup {
         (col("na") + col("nb") - col("inter")).cast("long").as("uni"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: sign-LSH bucket blocking
+    * (multi-probe over 1-bit flips on one side, so pairs straddling a
+    * hyperplane are still candidates) verified by exact cosine ≥ `minCos`.
+    * Candidates come only from bucket joins — never an all-pairs cross —
+    * so at 10^12 vectors the pair count tracks bucket co-occupancy, not N².
+    * Deterministic (md5-derived hyperplanes); recall vs brute force is
+    * measured in OpsSpec.
+    */
+  def embeddingNearDups(vectors: DataFrame, minCos: Double,
+                        nPlanes: Int = 8): DataFrame = {
+    val vb = vectors.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", Knn.signBucket(col("embedding"), nPlanes))
+    val probes = vb.select(col("vec_id"), col("embedding"),
+      explode(array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
+        .map(f => col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
+    val a = probes.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = vb.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Knn.cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .where(col("cos") >= minCos)
+      .select("vec_a", "vec_b")
+      .distinct() // a pair can share several probe buckets
+  }
+
   /** 64-bit SimHash fingerprint per doc from analyzed term frequencies
     * (bits drawn from md5(term), weighted by tf).
     */

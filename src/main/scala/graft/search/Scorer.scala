@@ -77,7 +77,8 @@ object Scorer {
     case "lmdirichletl" => LmDirichletScorer
     case "dfrl"         => DfrScorer
     case "ibl"          => IbScorer
-    case other => throw new IllegalArgumentException(s"unknown scorer: $other")
+    // reflective FQCN fallback ≙ BatchSearch.java:155-158 Class.forName
+    case _ => graft.analysis.Reflective.instance[Scorer](name, "scorer")
   }
 }
 

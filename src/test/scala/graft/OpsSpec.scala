@@ -115,6 +115,48 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == lsh2)
   }
 
+  test("winnowing fingerprints: window coverage, rightmost-min, short docs") {
+    import graft.ops.Fingerprint
+    val toks = "alpha beta gamma delta epsilon zeta eta theta iota".split(" ").toIndexedSeq
+    val k = 3; val w = 4
+    val got = Fingerprint.winnow(toks, k, w)
+    // independent brute-force reference: rightmost minimum of each window
+    val hs = (0 to toks.length - k).map(i => Fingerprint.gramHash(toks.slice(i, i + k).mkString(" ")))
+    val expect = (0 to hs.length - w).map { s =>
+      val win = (s until s + w)
+      val best = win.maxBy(i => (-hs(i), i)) // min hash, rightmost on ties
+      (best, hs(best))
+    }.distinct
+    assert(got == expect)
+    // guarantee: every window contributed a fingerprint that lies inside it
+    (0 to hs.length - w).foreach { s =>
+      assert(got.exists { case (p, _) => p >= s && p < s + w }, s"window $s uncovered")
+    }
+    // short docs: fewer grams than a window → exactly one fingerprint
+    val short = Fingerprint.winnow(IndexedSeq("a", "b", "c", "d"), 3, 4)
+    assert(short.size == 1)
+    assert(Fingerprint.winnow(IndexedSeq("a", "b"), 3, 4).isEmpty) // < k tokens
+    // shared text ⇒ shared fingerprints (the near-copy detection property)
+    val df = Fingerprint.fingerprints(corpusDF, an, 3, 4)
+    val byDoc = df.collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc("d1") & byDoc("d2")).nonEmpty) // near-dup docs share fps
+    assert(byDoc("d3") == byDoc("d4"))           // identical docs: identical fps
+  }
+
+  test("embedding near-dups: planted dups found via LSH blocking, exact verify") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val noisy = base.clone(); noisy(0) += 0.01f
+    val ortho = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val vecs = Seq((0L, base), (1L, noisy), (2L, ortho))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // the planted near-dup, nothing else
+  }
+
   test("language classification: marker argmax, first-wins ties, und fallback") {
     import spark.implicits._
     val c = Seq(

@@ -70,6 +70,19 @@ class SnowballSpec extends AnyFunSuite {
     assert(Stemmer.byName("none").name == "none")
   }
 
+  test("reflective FQCN fallback loads plugin classes like the reference") {
+    import graft.analysis.Tokenizer
+    // Scala object by its $ class name (≙ Class.forName in TrecAnalyzer)
+    assert(Stemmer.byName("graft.analysis.PorterStemmer$").name == "porter")
+    // plain class with a no-arg constructor
+    assert(Tokenizer.byName("graft.analysis.ClassicLikeTokenizer").name == "classic")
+    assert(graft.search.Scorer.byName("graft.search.Bm25Scorer$").name == "bm25")
+    intercept[IllegalArgumentException](Stemmer.byName("no.such.Class"))
+    // wrong trait → rejected, not a runtime surprise later
+    intercept[IllegalArgumentException](
+      Stemmer.byName("graft.analysis.ClassicLikeTokenizer"))
+  }
+
   test("kstem: inflectional rules with embedded-lexicon guards") {
     assert(KStemmer.stem("tables") == "table")
     assert(KStemmer.stem("queries") == "query")
