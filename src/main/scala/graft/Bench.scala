@@ -39,8 +39,11 @@ object Bench {
     val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "4").toInt
     // persist: the derived corpus feeds both the fingerprint scan and the
     // tokenize stage — at bench scale recomputing the lineitem aggregation
-    // twice would just measure Spark twice
+    // twice would just measure Spark twice. Repartition first: the explode
+    // replication otherwise leaves ~6 AQE-coalesced fat blocks that cap
+    // input-stage parallelism (see ScalingCluster).
     val corpus = Corpus.replicated(Corpus.fromLineitem(spark, sfDir), mult)
+      .repartition(cpus.toInt * 4)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nDocs = corpus.count()
     val tBuild0 = System.nanoTime()

@@ -62,6 +62,31 @@ object Checkpoint {
       txt.contains(s""""configId":"$configId"""")
   }
 
+  /** Parse a stage manifest back (engine-written JSON — field regexes are
+    * sufficient). Powers job-free derivations downstream: docs counts, the
+    * grp→mgrp map and collection stats all come from (pid, rows) lineage
+    * instead of re-reading whole tables.
+    */
+  def readManifest(dir: String, conf: Configuration): Option[Manifest] = {
+    val p = new Path(dir, ManifestFile)
+    val f = fs(p, conf)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val txt =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    def field(name: String): Option[String] =
+      (s""""$name":"([^"]*)"""").r.findFirstMatchIn(txt).map(_.group(1))
+    def num(name: String): Long =
+      (s""""$name":(-?\\d+)""").r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
+    val parts = """\{"pid":(\d+),"rows":(\d+),"bytes":(\d+)\}""".r
+      .findAllMatchIn(txt)
+      .map(m => PartitionMetric(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong))
+      .toSeq
+    Some(Manifest(field("stage").getOrElse(""), field("fingerprint").getOrElse(""),
+      field("configId").getOrElse(""), num("rowsOut"), num("wallMs"), parts))
+  }
+
   def writeManifest(dir: String, m: Manifest, conf: Configuration): Unit = {
     val p = new Path(dir, ManifestFile)
     val f = fs(p, conf)

@@ -49,10 +49,15 @@ object IndexBuilder {
 
     // ---- stage: tokenized ------------------------------------------------
     val tokDir = s"$dir/$TokenizedDir"
+    // Σdl per partition, accumulated alongside the row metrics so the stats
+    // stage needs no table re-read (deduped by pid like the manifest — task
+    // retries re-add and the last report wins).
+    var freshDl: Option[Long] = None
     if (!Checkpoint.isComplete(tokDir, fp, cfg.id, conf)) {
       force = true
       val t0 = System.nanoTime()
       val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("tokenized_parts")
+      val dlAcc = spark.sparkContext.collectionAccumulator[(Int, Long)]("tokenized_dl")
       val parts = if (cfg.rangePartitions > 0) cfg.rangePartitions
                   else spark.sessionState.conf.numShufflePartitions
       val sorted = corpus.select($"docno".cast("string"), $"content".cast("string"))
@@ -63,7 +68,9 @@ object IndexBuilder {
         val pid = TaskContext.getPartitionId()
         val md = MessageDigest.getInstance("SHA-256")
         var idx = 0L
-        metered(it, acc, pid) { case (docno, content) =>
+        var dlLocal = 0L
+        var dlReported = false
+        val base = metered(it, acc, pid) { case (docno, content) =>
           val text = if (content == null) "" else content
           val docid = (pid.toLong << 40) | idx
           idx += 1
@@ -75,18 +82,33 @@ object IndexBuilder {
               val (tfs, d) = analyzer.termFreqs(text)
               (tfs.map { case (t, f) => TermTF(t, f) }, d)
             }
+          dlLocal += terms._2
           md.reset()
           val sha = hex(md.digest(text.getBytes("UTF-8")))
           (TokenizedDoc(docid, docno, sha, terms._2, terms._1),
             text.length.toLong)
+        }
+        new Iterator[TokenizedDoc] {
+          def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h && !dlReported) { dlAcc.add((pid, dlLocal)); dlReported = true }
+            h
+          }
+          def next(): TokenizedDoc = base.next()
         }
       }
       Checkpoint.atomically(tokDir, conf) { tmp =>
         tokenized.write.mode("overwrite").parquet(tmp)
       }
       publishManifest(tokDir, "tokenized", fp, cfg.id, acc, t0, conf)
+      import scala.jdk.CollectionConverters._
+      freshDl = Some(dlAcc.value.asScala.groupBy(_._1)
+        .map { case (_, xs) => xs.last._2 }.sum)
     }
     val tokenized = spark.read.parquet(tokDir)
+    // (pid, rows) lineage of the tokenize stage — docids are (pid<<40 | idx),
+    // so downstream counts and the grp universe derive from it with no jobs
+    val tokManifest = Checkpoint.readManifest(tokDir, conf)
 
     // ---- stage: docs -----------------------------------------------------
     val docsDir = s"$dir/$DocsDir"
@@ -103,7 +125,10 @@ object IndexBuilder {
           .sortWithinPartitions($"grp", $"docid")
           .write.mode("overwrite").partitionBy("grp").parquet(tmp)
       }
-      val n = spark.read.parquet(docsDir).count()
+      // row count = tokenize manifest rowsOut (1 row in = 1 row out): no
+      // count() job over the just-written table
+      val n = tokManifest.map(_.rowsOut)
+        .getOrElse(spark.read.parquet(docsDir).count())
       Checkpoint.writeManifest(docsDir,
         Checkpoint.Manifest("docs", fp, cfg.id, n, msSince(t0), Nil), conf)
     }
@@ -114,10 +139,17 @@ object IndexBuilder {
       force = true
       val t0 = System.nanoTime()
       Checkpoint.atomically(statsDir, conf) { tmp =>
-        spark.read.parquet(docsDir)
-          .agg(count(lit(1)).as("max_doc"),
-               coalesce(sum($"dl"), lit(0L)).as("sum_total_term_freq"))
-          .write.mode("overwrite").parquet(tmp)
+        (freshDl, tokManifest) match {
+          case (Some(sumDl), Some(m)) =>
+            // N and Σdl accumulated during tokenize — 1-row write, no scan
+            Seq((m.rowsOut, sumDl)).toDF("max_doc", "sum_total_term_freq")
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+          case _ => // resume path: tokenize was skipped, derive from docs
+            spark.read.parquet(docsDir)
+              .agg(count(lit(1)).as("max_doc"),
+                   coalesce(sum($"dl"), lit(0L)).as("sum_total_term_freq"))
+              .write.mode("overwrite").parquet(tmp)
+        }
       }
       Checkpoint.writeManifest(statsDir,
         Checkpoint.Manifest("stats", fp, cfg.id, 1L, msSince(t0), Nil), conf)
@@ -127,15 +159,30 @@ object IndexBuilder {
     // grp values embed the range-partition id in their high bits (docid
     // packing), so merged groups come from the global SORTED grp rank —
     // bit-shifting grp could never merge across range partitions. The map
-    // is tiny (one entry per 2^groupShift docids) and broadcast.
+    // is tiny (one entry per 2^groupShift docids) and broadcast. Docids are
+    // (pid << 40 | idx), so each partition's grp set is the contiguous
+    // range [(pid<<40)>>shift, ((pid<<40)|(rows-1))>>shift] — the whole
+    // universe derives from the tokenize manifest's (pid, rows) lineage
+    // with NO Spark job (fallback: distinct scan when lineage is absent).
     val postDir = s"$dir/$PostingsDir"
     val runsDir = s"$dir/$RunsDir"
     lazy val mgrpMapDF = {
-      val grps = tokenized
-        .select(shiftright($"docid", cfg.groupShift).as("grp"))
-        .distinct().orderBy("grp").as[Long].collect()
+      val fromLineage: Option[Seq[Long]] = tokManifest
+        .filter(_.partitions.nonEmpty)
+        .map(_.partitions.flatMap { pm =>
+          if (pm.rows <= 0) Nil
+          else {
+            val base = pm.pid.toLong << 40
+            (base >> cfg.groupShift) to ((base | (pm.rows - 1)) >> cfg.groupShift)
+          }
+        }.distinct.sorted)
+      val grps: Seq[Long] = fromLineage.getOrElse {
+        tokenized
+          .select(shiftright($"docid", cfg.groupShift).as("grp"))
+          .distinct().orderBy("grp").as[Long].collect().toSeq
+      }
       val mShift = cfg.mergeShift
-      grps.zipWithIndex.toSeq
+      grps.zipWithIndex
         .map { case (g, i) => (g, (i >> mShift).toLong) }
         .toDF("grp", "mgrp")
     }

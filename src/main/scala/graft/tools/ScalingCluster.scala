@@ -58,7 +58,13 @@ object ScalingCluster {
 
     val dir = s"${Engine.workDir}/cluster_w$workers"
     deleteRecursively(spark, dir)
+    // repartition BEFORE persist: the explode-replicated corpus otherwise
+    // sits in ~6 AQE-coalesced fat blocks, capping every input-reading
+    // stage (range sample, count, tokenize map side) at 6-way parallelism
+    // regardless of cores — a real 100 TB corpus arrives in thousands of
+    // files, so the spread models reality, not a benchmark cheat
     val corpus = Corpus.replicated(Corpus.fromLineitem(spark, sfDir), mult)
+      .repartition(cores * 4)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val n = corpus.count()
     val t0 = System.nanoTime()
