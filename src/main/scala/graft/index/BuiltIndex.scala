@@ -16,7 +16,7 @@ import java.util.Properties
   * and query time (`SearchFiles.java:76-89` hardcodes a different analyzer),
   * a failure mode this design rules out.
   */
-final class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig) {
+class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig) {
   import IndexLayout._
 
   def docs: DataFrame = spark.read.parquet(s"$dir/$DocsDir")

@@ -70,9 +70,10 @@ object IndexBuilder {
         var idx = 0L
         var dlLocal = 0L
         var dlReported = false
+        val epochBase = cfg.docidEpoch.toLong << 52
         val base = metered(it, acc, pid) { case (docno, content) =>
           val text = if (content == null) "" else content
-          val docid = (pid.toLong << 40) | idx
+          val docid = epochBase | (pid.toLong << 40) | idx
           idx += 1
           val terms =
             if (cfg.indexPositions) {
@@ -172,7 +173,7 @@ object IndexBuilder {
         .map(_.partitions.flatMap { pm =>
           if (pm.rows <= 0) Nil
           else {
-            val base = pm.pid.toLong << 40
+            val base = (cfg.docidEpoch.toLong << 52) | (pm.pid.toLong << 40)
             (base >> cfg.groupShift) to ((base | (pm.rows - 1)) >> cfg.groupShift)
           }
         }.distinct.sorted)

@@ -82,10 +82,12 @@ final case class IndexConfig(
     rangePartitions: Int = 0,   // 0 = spark.sql.shuffle.partitions
     fingerprint: String = "keys", // "keys" | "none" — resume-safety fingerprint
     twoPhase: Boolean = false,
-    indexPositions: Boolean = false // store in-doc positions (phrase queries)
+    indexPositions: Boolean = false, // store in-doc positions (phrase queries)
+    docidEpoch: Int = 0 // high docid bits (bit 52+): streaming batch isolation
 ) {
+  require(docidEpoch >= 0 && docidEpoch < (1 << 11), "docidEpoch must fit 11 bits")
   def id: String =
-    s"v4;${analyzer.id};b=$buckets;g=$groupShift;m=$mergeShift;tp=$twoPhase;pos=$indexPositions"
+    s"v4;${analyzer.id};b=$buckets;g=$groupShift;m=$mergeShift;tp=$twoPhase;pos=$indexPositions;e=$docidEpoch"
 }
 
 object IndexLayout {

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.index.{BuiltIndex, IndexBuilder, IndexConfig, IndexLayout, StatsRow}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Structured-Streaming ingest: continuous corpus arrival → an append-only
+  * sequence of immutable delta indexes, searchable as one.
+  *
+  * The reference is batch-only (`OpenMode.CREATE` full rebuilds,
+  * `IndexTREC.java:94-101`); at 100 TB a rebuild per arrival is untenable,
+  * so this module adds the Lucene-segment-like growth path Spark-natively:
+  *
+  *   readStream (file source) → foreachBatch →
+  *     IndexBuilder.build(batch, …/batches/batch_<id>, epoch = id + 1)
+  *
+  * Each micro-batch becomes a full mini-index (checkpointed stages, atomic
+  * publish — a killed batch resumes via the same manifests), with its
+  * docids namespaced by an epoch in bits 52+ so ids never collide across
+  * batches. [[UnionIndex]] presents the batch set as ONE index: postings
+  * and docs are unioned scans, per-term stats re-aggregate additively at
+  * lookup time, and collection stats sum — BM25 over the union is
+  * float-identical to a monolithic build of the same rows
+  * (StreamingSpec locks this). Re-ingested docnos behave like Lucene
+  * addDocument without deletes: both postings exist; the searcher's
+  * docno-dedup keeps the best-ranked surrogate.
+  */
+object StreamingIngest {
+
+  /** The north-rule corpus schema for the file stream. */
+  val corpusSchema: StructType = StructType(Seq(
+    StructField("docno", StringType, nullable = false),
+    StructField("content", StringType, nullable = true)))
+
+  private def batchesDir(rootDir: String) = s"$rootDir/batches"
+
+  /** Build one micro-batch's delta index (also usable directly for testing
+    * or manual backfill). Epoch = batchId + 1 keeps epoch 0 = batch builds.
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, rootDir: String,
+                  cfg: IndexConfig): BuiltIndex = {
+    require(batchId + 1 < (1 << 11), "batch id exceeds the docid epoch space")
+    IndexBuilder.build(batch, s"${batchesDir(rootDir)}/batch_$batchId",
+      cfg.copy(docidEpoch = (batchId + 1).toInt))
+  }
+
+  /** Start the stream: every arriving parquet file under `sourceDir`
+    * becomes (part of) a micro-batch delta index under `rootDir/batches`.
+    * Streaming checkpoint lives inside `rootDir`, so a restarted query
+    * resumes at the first unprocessed file and a killed mid-batch build
+    * resumes from its stage manifests.
+    */
+  def start(spark: SparkSession, sourceDir: String, rootDir: String,
+            cfg: IndexConfig,
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    spark.readStream
+      .schema(corpusSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"$rootDir/_stream_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, rootDir, cfg)
+        ()
+      }
+      .start()
+  }
+
+  /** Open the union of all completed delta indexes under `rootDir`. */
+  def openUnion(spark: SparkSession, rootDir: String): UnionIndex = {
+    val p = new org.apache.hadoop.fs.Path(batchesDir(rootDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no ingested batches under $rootDir")
+    val dirs = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.toString)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_graft_index.properties")))
+      .sorted
+    require(dirs.nonEmpty, s"no completed batches under $rootDir")
+    val first = BuiltIndex.open(spark, dirs.head)
+    new UnionIndex(spark, dirs, first.cfg.copy(docidEpoch = 0))
+  }
+}
+
+/** One searchable handle over many delta indexes. Scans union; per-term
+  * stats re-aggregate (sum df/cf, max max_tf) inside the pruned lookup, so
+  * the searcher sees exactly one row per (term, bucket); collection stats
+  * sum. Dynamic-partition pruning of the docno-attach join applies per
+  * union branch.
+  */
+final class UnionIndex(spark0: SparkSession, val dirs: Seq[String], cfg0: IndexConfig)
+    extends BuiltIndex(spark0, dirs.head, cfg0) {
+  import IndexLayout._
+
+  private def unioned(sub: String): DataFrame =
+    dirs.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
+
+  override def docs: DataFrame = unioned(DocsDir)
+  override def postings: DataFrame = unioned(PostingsDir)
+  override def termStats: DataFrame =
+    unioned(TermStatsDir)
+      .groupBy(col("term"), col("bucket"))
+      .agg(sum(col("df")).cast("long").as("df"),
+        max(col("max_tf")).as("max_tf"),
+        sum(col("cf")).cast("long").as("cf"))
+
+  override lazy val stats: StatsRow = {
+    val rows = dirs.map { d =>
+      val r = spark.read.parquet(s"$d/$StatsDir").head()
+      (r.getAs[Long]("max_doc"), r.getAs[Long]("sum_total_term_freq"))
+    }
+    StatsRow(rows.map(_._1).sum, rows.map(_._2).sum)
+  }
+}

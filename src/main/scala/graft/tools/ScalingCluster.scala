@@ -56,6 +56,12 @@ object ScalingCluster {
     require(executors() == workers,
       s"leg invalid: got ${executors()} executors, wanted $workers")
 
+    // grp granularity must track corpus size: at bench scale one range
+    // partition holds ~1 grp at the 2^18 default, collapsing hot terms to
+    // a handful of (term, mgrp) reducer keys — the very skew the key is
+    // meant to prevent (at 10^12 docs the default yields millions of grps).
+    val gShift = sys.env.getOrElse("GRAFT_GROUP_SHIFT", "15").toInt
+    val mShift = sys.env.getOrElse("GRAFT_MERGE_SHIFT", "2").toInt
     val dir = s"${Engine.workDir}/cluster_w$workers"
     deleteRecursively(spark, dir)
     // repartition BEFORE persist: the explode-replicated corpus otherwise
@@ -69,7 +75,8 @@ object ScalingCluster {
     val n = corpus.count()
     val t0 = System.nanoTime()
     val idx = IndexBuilder.build(corpus, dir,
-      IndexConfig(analyzer = Engine.OracleAnalyzer, fingerprint = "none"),
+      IndexConfig(analyzer = Engine.OracleAnalyzer, fingerprint = "none",
+        groupShift = gShift, mergeShift = mShift),
       verifySha = false)
     val buildSec = (System.nanoTime() - t0) / 1e9
     corpus.unpersist()
@@ -84,6 +91,14 @@ object ScalingCluster {
       s"leg invalid: executor count changed to ${executors()} mid-leg")
     println(f"SCALING-CLUSTER workers=$workers cores=$cores n=$n " +
       f"build=${buildSec}%.1fs docs_per_sec=${tput}%.0f query_batch=${batchSec}%.2fs")
+    // per-stage attribution from the checkpoint manifests
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (st <- Seq(graft.index.IndexLayout.TokenizedDir, graft.index.IndexLayout.DocsDir,
+        graft.index.IndexLayout.StatsDir, graft.index.IndexLayout.PostingsDir,
+        graft.index.IndexLayout.TermStatsDir)) {
+      graft.index.Checkpoint.readManifest(s"$dir/$st", conf).foreach(m =>
+        println(s"SCALING-STAGE workers=$workers $st ${m.wallMs}ms"))
+    }
     deleteRecursively(spark, dir)
     spark.stop()
   }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.analysis.AnalyzerConfig
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search.{Searcher, Topic}
+import graft.streaming.StreamingIngest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured-Streaming ingest: file-source micro-batches become delta
+  * indexes; search over the union is FLOAT-IDENTICAL to a monolithic batch
+  * build of the same rows; a restarted stream picks up only new files.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val batch1 = Seq(
+    "s-01" -> "spark streams process data continuously",
+    "s-02" -> "batch jobs process data at rest",
+    "s-03" -> "data pipelines move data between systems")
+  private val batch2 = Seq(
+    "s-04" -> "streams and batches unify in one engine",
+    "s-05" -> "process everything incrementally with streams")
+  private val batch3 = Seq(
+    "s-06" -> "late arriving data joins the index too")
+
+  private val cfg = IndexConfig(
+    analyzer = AnalyzerConfig(stopWords = Set("the", "and", "at", "in", "with")),
+    groupShift = 1, mergeShift = 1, fingerprint = "none")
+
+  private def writeFile(dir: String, name: String, rows: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    // one file per batch: write to a scratch dir, move the part file in
+    val tmp = TestSpark.tmpDir("streamfile")
+    rows.toDF("docno", "content").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name"))
+  }
+
+  test("streamed delta indexes union to the exact monolithic-build ranking") {
+    import spark.implicits._
+    val src = TestSpark.tmpDir("stream-src")
+    val root = TestSpark.tmpDir("stream-root")
+    writeFile(src, "b1.parquet", batch1)
+    writeFile(src, "b2.parquet", batch2)
+
+    val q = StreamingIngest.start(spark, src, root, cfg)
+    q.awaitTermination()
+
+    val union = StreamingIngest.openUnion(spark, root)
+    assert(union.dirs.size == 2) // maxFilesPerTrigger=1 → one delta per file
+    assert(union.stats.max_doc == 5)
+
+    val topics = Seq(Topic("1", "process data streams"), Topic("2", "batch engine"))
+    val streamed = new Searcher(union).search(topics, 10)
+      .collect().sortBy(r => (r.qid, r.rank))
+      .map(r => (r.qid, r.docno, r.rank, r.score)).toSeq
+
+    val mono = IndexBuilder.build((batch1 ++ batch2).toDF("docno", "content"),
+      TestSpark.tmpDir("stream-mono"), cfg)
+    val batch = new Searcher(mono).search(topics, 10)
+      .collect().sortBy(r => (r.qid, r.rank))
+      .map(r => (r.qid, r.docno, r.rank, r.score)).toSeq
+
+    assert(streamed == batch) // ranks AND float scores identical
+
+    // restart: only the NEW file becomes a batch
+    writeFile(src, "b3.parquet", batch3)
+    val q2 = StreamingIngest.start(spark, src, root, cfg)
+    q2.awaitTermination()
+    val union2 = StreamingIngest.openUnion(spark, root)
+    assert(union2.dirs.size == 3)
+    assert(union2.stats.max_doc == 6)
+    val late = new Searcher(union2).search(Seq(Topic("3", "late arriving")), 10)
+      .collect().map(_.docno).toSet
+    assert(late.contains("s-06"))
+  }
+}
