@@ -26,7 +26,10 @@ final case class LtrSettings(
     maxSnippetFragments: Int = 4,
     fileFormat: String = "trec",
     trecFieldsToIndex: Seq[String] = Nil,
-    warcFieldsToIndex: Seq[String] = Nil
+    warcFieldsToIndex: Seq[String] = Nil,
+    // engine extension (no reference analog): store in-doc positions so
+    // SimpleQueryParser "..." phrases match by exact adjacency
+    indexPositions: Boolean = false
 ) {
   /** Engine analyzer config from the reference-style settings. */
   def analyzerConfig(stopWords: Set[String]): AnalyzerConfig =
@@ -106,6 +109,7 @@ object LtrSettings {
       case ("fileFormat", v)          => s = s.copy(fileFormat = v)
       case ("trecFieldsToIndex", v)   => s = s.copy(trecFieldsToIndex = parseList(v))
       case ("warcFieldsToIndex", v)   => s = s.copy(warcFieldsToIndex = parseList(v))
+      case ("indexPositions", v)      => s = s.copy(indexPositions = v.toBoolean)
       case _                          => // unknown keys ignored like Gson does
     }
     s

@@ -211,6 +211,41 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // Structured-Streaming ingest end-to-end: the corpus arrives as two
+    // file-source micro-batches (AvailableNow), each becoming an immutable
+    // delta index; BM25 over the UnionIndex is float-identical to a
+    // monolithic build (StreamingSpec), so the ranks hash-match the exact
+    // same DuckDB oracle as q_bm25_topk
+    "q_stream_topk" -> ((s, dir) => {
+      val safeSf = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val root = s"${Engine.workDir}/stream_$safeSf"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      val ingested =
+        try { streaming.StreamingIngest.openUnion(s, root).dirs.size >= 2 }
+        catch { case _: Exception => false }
+      if (!ingested) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val src = s"$root/src"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+        val c = corpus.Corpus.fromDocuments(s, dir).select(col("docno"), col("content"))
+        Seq(0, 1).foreach { half =>
+          val tmp = s"$root/srctmp_$half"
+          c.where(pmod(crc32(col("docno")), lit(2)) === half)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/half_$half.parquet"))
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        }
+        streaming.StreamingIngest.start(s, src, root,
+          graft.index.IndexConfig(analyzer = Engine.OracleAnalyzer))
+          .awaitTermination()
+      }
+      val union = streaming.StreamingIngest.openUnion(s, root)
+      new graft.search.Searcher(union).search(topics, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // training-pipeline op: winnowing document fingerprints (SIGMOD'03) —
     // k-gram md5-hashes, per-window rightmost minimum
     "q_winnow" -> ((s, dir) => {
@@ -345,10 +380,44 @@ object SparkEntry {
       |  ('3','dup'),('3','customer'),('3','data'),
       |  ('4','slow'),('4','query'),('4','window'))""".stripMargin
 
+  /** The BM25 top-k oracle — shared verbatim by q_bm25_topk and
+    * q_stream_topk: BM25 over the streamed UnionIndex is float-identical
+    * to the monolithic build, so both engines' ranks replay the same SQL.
+    */
+  private lazy val Bm25TopkSql: String = withCtes(
+    s""",
+       |$TopicsCte,
+       |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+       |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+       |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+       |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+       |              (SELECT count(*) FROM tok) AS sumttf),
+       |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
+       |scored AS (
+       |  SELECT q.qid, f.docno,
+       |         sum(q.w * ((1.2 + 1.0) * f.tf)
+       |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+       |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
+       |  FROM qterm q
+       |  JOIN tf f ON f.term = q.term
+       |  JOIN dl d ON d.docno = f.docno
+       |  JOIN df v ON v.term = q.term
+       |  CROSS JOIN st
+       |  GROUP BY q.qid, f.docno
+       |),
+       |ranked AS (
+       |  SELECT qid, docno,
+       |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+       |ORDER BY qid, rank""".stripMargin)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "q_stream_topk" -> Bm25TopkSql,
     "q_corpus" ->
       s"""WITH $CorpusCte
          |SELECT docno, repo, path, commit_sha AS "commit", lang,
@@ -370,34 +439,7 @@ object SparkEntry {
     "q_tf" -> withCtes(
       """SELECT term, docno, count(*)::BIGINT AS tf
         |FROM tok GROUP BY term, docno ORDER BY term, docno""".stripMargin),
-    "q_bm25_topk" -> withCtes(
-      s""",
-         |$TopicsCte,
-         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
-         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
-         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
-         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
-         |              (SELECT count(*) FROM tok) AS sumttf),
-         |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
-         |scored AS (
-         |  SELECT q.qid, f.docno,
-         |         sum(q.w * ((1.2 + 1.0) * f.tf)
-         |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
-         |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
-         |  FROM qterm q
-         |  JOIN tf f ON f.term = q.term
-         |  JOIN dl d ON d.docno = f.docno
-         |  JOIN df v ON v.term = q.term
-         |  CROSS JOIN st
-         |  GROUP BY q.qid, f.docno
-         |),
-         |ranked AS (
-         |  SELECT qid, docno,
-         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
-         |  FROM scored
-         |)
-         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
-         |ORDER BY qid, rank""".stripMargin),
+    "q_bm25_topk" -> Bm25TopkSql,
     "q_top_terms" -> withCtes(
       """SELECT term, count(DISTINCT docno)::BIGINT AS df
         |FROM tok GROUP BY term

@@ -57,7 +57,8 @@ object IndexTrec {
     val (file, ovs) = Cli.splitArgs(args)
     val settings = LtrSettings.load(file, ovs)
     val spark = Cli.session()
-    val cfg = IndexConfig(analyzer = settings.analyzerConfig(Cli.stopWords(settings)))
+    val cfg = IndexConfig(analyzer = settings.analyzerConfig(Cli.stopWords(settings)),
+      indexPositions = settings.indexPositions)
     val corpus = Cli.readCorpus(spark, settings)
     val idx = IndexBuilder.build(corpus, settings.indexPath, cfg, verifySha = true)
     println(s"indexed ${idx.stats.max_doc} docs, " +

@@ -82,13 +82,15 @@ class CliSpec extends AnyFunSuite {
         |</DOC>""".stripMargin)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "queries.txt"),
       """<top><num>21</num><text>alpha</text></top>
-        |<top><num>22</num><text>delta -alpha</text></top>""".stripMargin)
+        |<top><num>22</num><text>delta -alpha</text></top>
+        |<top><num>23</num><text>"epsilon words"</text></top>""".stripMargin)
     val settings = LtrSettings(
       indexPath = s"$dir/index", docsPath = corpusDir,
       queryFile = s"$dir/queries.txt", returnedResultCount = 10,
-      includeSnippets = true)
+      includeSnippets = true, indexPositions = true)
     val cfg = graft.index.IndexConfig(
-      analyzer = settings.analyzerConfig(Set.empty), groupShift = 1, mergeShift = 1)
+      analyzer = settings.analyzerConfig(Set.empty), groupShift = 1, mergeShift = 1,
+      indexPositions = settings.indexPositions)
     graft.index.IndexBuilder.build(
       tools.Cli.readCorpus(spark, settings), settings.indexPath, cfg)
 
@@ -97,9 +99,12 @@ class CliSpec extends AnyFunSuite {
     val after2 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     // topic-file order; run lines interleaved with snippet lines
     val runLines = lines.filter(_.contains(" Q0 "))
-    assert(runLines.map(_.split(" ")(0)) == Seq("21", "22"))
+    assert(runLines.map(_.split(" ")(0)) == Seq("21", "22", "23"))
     assert(runLines.head.startsWith("21 Q0 b-1 0 "))
     assert(runLines(1).startsWith("22 Q0 b-2 0 "))
+    // exact phrase through the CLI: "epsilon words" adjacent only in b-2
+    assert(runLines(2).startsWith("23 Q0 b-2 0 "))
+    assert(runLines.count(_.startsWith("23 ")) == 1) // b-1 has words, not the phrase
     // each run line is followed by a "..."-wrapped snippet line
     val i21 = lines.indexOf(runLines.head)
     assert(lines(i21 + 1).contains("alpha") && lines(i21 + 1).endsWith("..."))
