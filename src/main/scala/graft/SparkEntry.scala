@@ -264,6 +264,14 @@ object SparkEntry {
           col("vec_b").cast("long").as("vec_b"))
         .orderBy("vec_a", "vec_b")
     }),
+    // SimpleQueryParser '*' prefix (CONSTANT_SCORE expansion ≙ Lucene's
+    // PrefixQuery rewrite): OR with a scored term, and AND with a required
+    // term — both through the full term_stats-expansion path
+    "q_prefix_topk" -> ((s, dir) => {
+      Engine.searcher(s, dir).searchQuery(prefixTopics, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // SimpleQueryParser '-' NOT: docs containing a negated term are
     // anti-joined out BEFORE ranking (≙ Lucene MUST_NOT — ranks close up)
     "q_not_topk" -> ((s, dir) => {
@@ -304,6 +312,13 @@ object SparkEntry {
   val phraseTopics: Seq[Topic] = Seq(
     Topic("1", "\"hash join\""),
     Topic("2", "\"table scan\" merge"))
+
+  /** Topics for the prefix gate entry: constant-score expansion OR'd with a
+    * scored term, and AND'd with a required term.
+    */
+  val prefixTopics: Seq[Topic] = Seq(
+    Topic("1", "s* merge"),
+    Topic("2", "value + qu*"))
 
   // ---- DuckDB oracle -------------------------------------------------------
 
@@ -651,6 +666,43 @@ object SparkEntry {
         |  FROM cand)
         |SELECT qid, vec_id, rank FROM ranked WHERE rank < 10
         |ORDER BY qid, rank""".stripMargin,
+    // prefix replay: expansion docs = any term LIKE 'prefix%', constant 1.0
+    // per clause per doc; topic 1 sums it with the merge BM25 partial (OR),
+    // topic 2 requires both the value term AND a qu*-match (AND)
+    "q_prefix_topk" -> withCtes(
+      s""",
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |s_docs AS (SELECT DISTINCT docno FROM tok WHERE term LIKE 's%'),
+         |qu_docs AS (SELECT DISTINCT docno FROM tok WHERE term LIKE 'qu%'),
+         |bm25 AS (
+         |  SELECT f.term, f.docno,
+         |         ((1.2 + 1.0) * f.tf)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |         * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0)) AS score
+         |  FROM tf f JOIN dl d USING (docno) JOIN df v ON v.term = f.term
+         |  CROSS JOIN st WHERE f.term IN ('merge', 'value')),
+         |p1 AS (
+         |  SELECT docno, sum(score) AS score FROM (
+         |    SELECT docno, 1.0 AS score FROM s_docs
+         |    UNION ALL
+         |    SELECT docno, score FROM bm25 WHERE term = 'merge') GROUP BY docno),
+         |p2 AS (
+         |  SELECT b.docno, b.score + 1.0 AS score
+         |  FROM bm25 b JOIN qu_docs q USING (docno) WHERE b.term = 'value'),
+         |ranked AS (
+         |  SELECT '1' AS qid, docno,
+         |         (row_number() OVER (ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM p1
+         |  UNION ALL
+         |  SELECT '2' AS qid, docno,
+         |         (row_number() OVER (ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM p2)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
     // MUST_NOT: BM25 over the positive terms, minus docs containing any
     // negated term (excluded before ranking, so ranks close up)
     "q_not_topk" -> withCtes(

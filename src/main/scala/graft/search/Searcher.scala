@@ -29,6 +29,16 @@ final case class WeightedClause(qid: String, qidx: Int, term: String, boost: Flo
 final case class PhraseClause(qid: String, qidx: Int,
                               terms: Seq[(String, Int)], boost: Float)
 
+/** One term-expansion clause (≙ PrefixQuery / FuzzyQuery under Lucene's
+  * CONSTANT_SCORE rewrite): every document containing ANY of the expanded
+  * vocabulary terms scores the clause boost exactly once. Expansion happens
+  * driver-side against term_stats (a vocabulary-sized scan, never a
+  * postings scan); FuzzyQuery's blended-term-frequency rewrite is
+  * deliberately simplified to the same constant score (documented).
+  */
+final case class ExpansionClause(qid: String, qidx: Int,
+                                 terms: Seq[String], boost: Float)
+
 /** Batch retrieval — the Spark-native reimplementation of the reference's
   * `BatchSearch` lifecycle (SURVEY.md §3.2). The Lucene boolean OR scorer
   * (union of query-term posting lists, per-doc float score sum, bounded
@@ -115,11 +125,13 @@ final class Searcher(val index: BuiltIndex) {
 
     // Per topic: loose positive terms + (exact phrase clauses when the index
     // stores positions, else phrase words degrade to required co-occurring
-    // terms — documented fallback). Clause indexes stay disjoint per topic.
+    // terms — documented fallback) + prefix/fuzzy expansion clauses.
+    // Clause indexes stay disjoint per topic.
     def clausesOf(sel: Seq[(Topic, SimpleQuery)])
-        : (Seq[WeightedClause], Seq[PhraseClause]) = {
+        : (Seq[WeightedClause], Seq[PhraseClause], Seq[ExpansionClause]) = {
       val wc = Seq.newBuilder[WeightedClause]
       val pc = Seq.newBuilder[PhraseClause]
+      val ec = Seq.newBuilder[ExpansionClause]
       sel.foreach { case (t, q) =>
         var i = 0
         q.positive.flatMap(analyzer.analyze(_)).foreach { term =>
@@ -139,8 +151,19 @@ final class Searcher(val index: BuiltIndex) {
             }
           }
         }
+        // prefix/fuzzy are normalized (lowercased) but NOT stemmed/stopped —
+        // they match the vocabulary as stored, like Lucene's multi-term
+        // query normalization
+        q.prefixes.foreach { p =>
+          ec += ExpansionClause(t.qid, i, expandPrefix(analyzer.lowercase(p)), 1.0f)
+          i += 1
+        }
+        q.fuzzies.foreach { case (b, d) =>
+          ec += ExpansionClause(t.qid, i, expandFuzzy(analyzer.lowercase(b), d), 1.0f)
+          i += 1
+        }
       }
-      (wc.result(), pc.result())
+      (wc.result(), pc.result(), ec.result())
     }
     def negsOf(sel: Seq[(Topic, SimpleQuery)]): Seq[(String, String)] =
       sel.flatMap { case (t, q) =>
@@ -154,12 +177,36 @@ final class Searcher(val index: BuiltIndex) {
       (disj, "or"),
       (conj, "and")
     ).filter(_._1.nonEmpty).map { case (sel, mode) =>
-      val (wc, pc) = clausesOf(sel)
+      val (wc, pc, ec) = clausesOf(sel)
       searchClauses(wc, k, scorerName, mode = mode,
-        negTerms = negsOf(sel), phraseClauses = pc)
+        negTerms = negsOf(sel), phraseClauses = pc, expansionClauses = ec)
     }
     runs.reduceOption(_ union _)
       .getOrElse { import spark.implicits._; spark.emptyDataset[RunLine] }
+  }
+
+  /** Vocabulary terms starting with `prefix` (driver-side term_stats scan,
+    * capped — a degenerate one-letter prefix over a web vocabulary must
+    * fail loudly, not OOM the driver).
+    */
+  def expandPrefix(prefix: String, cap: Int = 4096): Seq[String] = {
+    import spark.implicits._
+    val out = index.termStats.where(col("term").startsWith(prefix))
+      .select("term").as[String].take(cap + 1).toSeq
+    require(out.size <= cap, s"prefix '$prefix*' expands past $cap terms")
+    out
+  }
+
+  /** Vocabulary terms within Levenshtein distance `maxEdits` of `base`
+    * (Spark's native levenshtein over the term_stats scan).
+    */
+  def expandFuzzy(base: String, maxEdits: Int, cap: Int = 4096): Seq[String] = {
+    import spark.implicits._
+    val out = index.termStats
+      .where(levenshtein(col("term"), lit(base)) <= maxEdits)
+      .select("term").as[String].take(cap + 1).toSeq
+    require(out.size <= cap, s"fuzzy '$base~$maxEdits' expands past $cap terms")
+    out
   }
 
   /** `mode = "or"` (default): disjunctive bag-of-words, the reference topic
@@ -179,15 +226,17 @@ final class Searcher(val index: BuiltIndex) {
                     pruning: Boolean = false,
                     mode: String = "or",
                     negTerms: Seq[(String, String)] = Nil,
-                    phraseClauses: Seq[PhraseClause] = Nil): Dataset[RunLine] = {
+                    phraseClauses: Seq[PhraseClause] = Nil,
+                    expansionClauses: Seq[ExpansionClause] = Nil): Dataset[RunLine] = {
     import spark.implicits._
     val scorer = Scorer.byName(scorerName)
-    if (clauses.isEmpty && phraseClauses.isEmpty) return spark.emptyDataset[RunLine]
+    if (clauses.isEmpty && phraseClauses.isEmpty && expansionClauses.isEmpty)
+      return spark.emptyDataset[RunLine]
     require(phraseClauses.isEmpty || index.cfg.indexPositions,
       "phrase clauses need a positions-enabled index (IndexConfig.indexPositions)")
     val conjunctive = mode == "and"
     val prune = pruning && scorer.supportsPruning && !conjunctive &&
-      phraseClauses.isEmpty
+      phraseClauses.isEmpty && expansionClauses.isEmpty
 
     // Resolve excluded docnos → docids (tiny point lookup on the doc table,
     // ≙ the reference's docno TermQuery lookups §2.3).
@@ -235,26 +284,32 @@ final class Searcher(val index: BuiltIndex) {
         val (df, cf) = dfs.getOrElse(c.term, (0L, 0L))
         scorer.termWeight(df, cf, stats) * c.boost
       })) ++ phraseClauses.map(pc =>
-        (pc.qid, pc.qidx, phraseWeights((pc.qid, pc.qidx)) * pc.boost)))
+        (pc.qid, pc.qidx, phraseWeights((pc.qid, pc.qidx)) * pc.boost)) ++
+        expansionClauses.map(e => (e.qid, e.qidx, e.boost))) // constant weight
       .groupBy(_._1).map { case (qid, ws) =>
         qid -> scorer.queryNorm(ws.sortBy(_._2).map(_._3))
       }
     val maxOverlap: Map[String, Int] =
       (clauses.map(c => (c.qid, c.qidx)) ++
-        phraseClauses.map(pc => (pc.qid, pc.qidx)))
+        phraseClauses.map(pc => (pc.qid, pc.qidx)) ++
+        expansionClauses.map(e => (e.qid, e.qidx)))
         .groupBy(_._1).map { case (q, cs) => q -> cs.size }
 
-    // AND mode: a query with any unindexed clause term (or phrase term) can
-    // match nothing.
+    // AND mode: a query with any unindexed clause term (or phrase term, or
+    // empty expansion) can match nothing.
     val deadQids: Set[String] =
       if (!conjunctive) Set.empty
       else (clauses.groupBy(_.qid)
         .collect { case (q, cs) if cs.exists(c => !dfs.contains(c.term)) => q } ++
         phraseClauses.groupBy(_.qid)
-          .collect { case (q, ps) if ps.exists(_.terms.exists(t => !dfs.contains(t._1))) => q })
+          .collect { case (q, ps) if ps.exists(_.terms.exists(t => !dfs.contains(t._1))) => q } ++
+        expansionClauses.groupBy(_.qid)
+          .collect { case (q, es) if es.exists(_.terms.isEmpty) => q })
         .toSet
     val liveClauses = clauses.filterNot(c => deadQids(c.qid))
     val livePhrases = phraseClauses.filterNot(pc => deadQids(pc.qid))
+    val liveExpansions = expansionClauses
+      .filterNot(e => deadQids(e.qid)).filter(_.terms.nonEmpty)
 
     // Driver-side query plan: term → (idf, clauses using it), queryNorm
     // folded into the clause boost.
@@ -265,7 +320,8 @@ final class Searcher(val index: BuiltIndex) {
                    cs.map(c => (c.qid, c.qidx, c.boost * qnByQid(c.qid))).toArray)
         }
       }
-    if (plan.isEmpty && livePhrases.isEmpty) return spark.emptyDataset[RunLine]
+    if (plan.isEmpty && livePhrases.isEmpty && liveExpansions.isEmpty)
+      return spark.emptyDataset[RunLine]
 
     // Postings lookup: bucket prunes parquet partitions, term pushes down.
     val posts = index.postings
@@ -408,8 +464,32 @@ final class Searcher(val index: BuiltIndex) {
             }
           }
       }
-    val allPartials =
-      if (livePhrases.isEmpty) partials else partials.union(phrasePartials)
+    // Expansion clause partials (CONSTANT_SCORE): decode the expanded
+    // terms' postings; a doc matching several expanded terms of one clause
+    // still scores the boost ONCE (distinct on the identical partial rows).
+    val expPartials: Dataset[(String, Long, Int, Float)] =
+      if (liveExpansions.isEmpty) spark.emptyDataset[(String, Long, Int, Float)]
+      else {
+        val byTerm: Map[String, Array[(String, Int, Float)]] = liveExpansions
+          .flatMap(e => e.terms.map(t => (t, (e.qid, e.qidx, e.boost * qnByQid(e.qid)))))
+          .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
+        val eTerms = byTerm.keys.toSeq
+        val eBuckets = eTerms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+        val ePosts = index.postings
+          .where(col("bucket").isin(eBuckets: _*) && col("term").isin(eTerms: _*))
+          .as[PostingRun]
+        ePosts.flatMap { run =>
+          val cs = byTerm(run.term)
+          PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
+            .flatMap(p => cs.iterator.map { case (qid, qidx, b) => (qid, p.docid, qidx, b) })
+        }.distinct()
+      }
+
+    val allPartials = Seq(
+      Some(partials),
+      if (livePhrases.isEmpty) None else Some(phrasePartials),
+      if (liveExpansions.isEmpty) None else Some(expPartials)
+    ).flatten.reduce(_ union _)
 
     // Per-(query, doc) float sum in clause order (≙ boolean scorer sum),
     // per-query doc exclusion BEFORE ranking, coord factor from

@@ -16,12 +16,18 @@ package graft.search
   *     against a positions-enabled index (`IndexConfig.indexPositions`),
   *     degrading to required co-occurrence when the index stores no
   *     positions (Searcher.searchQuery documents the fallback);
-  *   - `*` prefix and `~N` fuzzy are rejected as unsupported.
+  *   - `tok*` prefix and `tok~N` fuzzy become term-EXPANSION clauses:
+  *     matching vocabulary terms come from a term_stats scan and every
+  *     matching document scores the clause boost once — Lucene's
+  *     CONSTANT_SCORE rewrite for PrefixQuery (FuzzyQuery's blended-freq
+  *     rewrite is simplified to the same constant score; documented).
   */
 final case class SimpleQuery(
     positive: Seq[String],  // raw positive loose tokens, in query order
     negative: Seq[String],  // raw negated tokens (without the '-')
     phrases: Seq[String],   // raw quoted phrase texts, in query order
+    prefixes: Seq[String],  // raw prefix tokens (without the '*')
+    fuzzies: Seq[(String, Int)], // raw fuzzy tokens with max edit distance
     conjunctive: Boolean)   // true if any '+' operator appeared
 
 object SimpleQuery {
@@ -35,6 +41,8 @@ object SimpleQuery {
     val pos = Seq.newBuilder[String]
     val neg = Seq.newBuilder[String]
     val phr = Seq.newBuilder[String]
+    val pre = Seq.newBuilder[String]
+    val fuz = Seq.newBuilder[(String, Int)]
     var conj = false
     // split out quoted phrases first
     val phrase = """"([^"]*)"""".r
@@ -44,6 +52,7 @@ object SimpleQuery {
       if (p.nonEmpty) phr += p
     }
     rest = phrase.replaceAllIn(rest, " ")
+    val fuzzy = """^(.+?)~(\d*)$""".r
     rest.split("\\s+").filter(_.nonEmpty).foreach { tok0 =>
       // infix operators without spaces: a+b, a|b
       val parts: Seq[String] =
@@ -53,13 +62,24 @@ object SimpleQuery {
       parts.filter(_.nonEmpty).foreach { tok =>
         if (tok == "+") conj = true
         else if (tok == "|" || tok == "-") () // bare operators
-        else if (tok.endsWith("*") || tok.matches(".*~\\d*$"))
-          throw new IllegalArgumentException(
-            s"unsupported SimpleQueryParser operator in '$tok' (prefix/fuzzy need index automata)")
-        else if (tok.startsWith("-")) neg += tok.substring(1)
-        else pos += tok
+        else {
+          val negFlag = tok.startsWith("-") && tok.length > 1
+          val t = if (negFlag) tok.substring(1) else tok
+          if (t.endsWith("*") && t.length > 1) {
+            require(!negFlag, s"negated prefix is not supported: $tok")
+            pre += t.dropRight(1)
+          } else t match {
+            case fuzzy(base, n) if base.nonEmpty =>
+              require(!negFlag, s"negated fuzzy is not supported: $tok")
+              // SimpleQueryParser: bare ~ means maxEdits = 2
+              fuz += ((base, if (n.isEmpty) 2 else math.min(n.toInt, 2)))
+            case _ =>
+              if (negFlag) neg += t else pos += t
+          }
+        }
       }
     }
-    SimpleQuery(pos.result(), neg.result(), phr.result(), conj)
+    SimpleQuery(pos.result(), neg.result(), phr.result(), pre.result(),
+      fuz.result(), conj)
   }
 }

@@ -12,23 +12,58 @@ import org.scalatest.funsuite.AnyFunSuite
 class SimpleQuerySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("parse: default OR, infix + and |, prefix -, phrase, rejects */~") {
+  test("parse: default OR, infix + and |, prefix -, phrase, * and ~N") {
     assert(SimpleQuery.parse("alpha beta") ==
-      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, conjunctive = false))
+      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, Nil, Nil, conjunctive = false))
     assert(SimpleQuery.parse("alpha | beta") ==
-      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, conjunctive = false))
+      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, Nil, Nil, conjunctive = false))
     assert(SimpleQuery.parse("alpha|beta") ==
-      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, conjunctive = false))
+      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, Nil, Nil, conjunctive = false))
     assert(SimpleQuery.parse("alpha + beta") ==
-      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, conjunctive = true))
+      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, Nil, Nil, conjunctive = true))
     assert(SimpleQuery.parse("alpha+beta") ==
-      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, conjunctive = true))
+      SimpleQuery(Seq("alpha", "beta"), Nil, Nil, Nil, Nil, conjunctive = true))
     assert(SimpleQuery.parse("alpha -beta gamma") ==
-      SimpleQuery(Seq("alpha", "gamma"), Seq("beta"), Nil, conjunctive = false))
+      SimpleQuery(Seq("alpha", "gamma"), Seq("beta"), Nil, Nil, Nil, conjunctive = false))
     assert(SimpleQuery.parse("\"alpha beta\" gamma") ==
-      SimpleQuery(Seq("gamma"), Nil, Seq("alpha beta"), conjunctive = false))
-    intercept[IllegalArgumentException](SimpleQuery.parse("alph*"))
-    intercept[IllegalArgumentException](SimpleQuery.parse("alpha~2"))
+      SimpleQuery(Seq("gamma"), Nil, Seq("alpha beta"), Nil, Nil, conjunctive = false))
+    assert(SimpleQuery.parse("alph* beta") ==
+      SimpleQuery(Seq("beta"), Nil, Nil, Seq("alph"), Nil, conjunctive = false))
+    assert(SimpleQuery.parse("alpha~1 beta~ beta~9") ==
+      SimpleQuery(Nil, Nil, Nil, Nil,
+        Seq(("alpha", 1), ("beta", 2), ("beta", 2)), conjunctive = false))
+    intercept[IllegalArgumentException](SimpleQuery.parse("-alph*"))
+    intercept[IllegalArgumentException](SimpleQuery.parse("-alpha~1"))
+  }
+
+  test("prefix expansion: constant score, OR and AND composition") {
+    // alph* matches only "alpha"; docs containing alpha score exactly 1.0
+    val or = searcher.searchQuery(Seq(Topic("1", "alph*")), 10).collect()
+    assert(or.map(_.docno).toSet == Set("s-1", "s-2", "s-3"))
+    assert(or.forall(_.score == 1.0f)) // CONSTANT_SCORE, once per doc
+    // d* ∪ beta: delta docs get 1.0, beta docs add their BM25 partial
+    val mixed = searcher.searchQuery(Seq(Topic("1", "d* beta")), 10)
+      .collect().map(r => r.docno -> r.score).toMap
+    assert(mixed.keySet == Set("s-1", "s-2", "s-3", "s-4"))
+    assert(mixed("s-4") > 1.0f) // delta AND beta
+    // AND with an empty expansion matches nothing
+    val and = searcher.searchQuery(Seq(Topic("1", "zzz* + alpha")), 10).collect()
+    assert(and.isEmpty)
+    // AND: required term + prefix both present
+    val and2 = searcher.searchQuery(Seq(Topic("1", "beta + d*")), 10)
+      .collect().map(_.docno).toSet
+    assert(and2 == Set("s-4")) // beta ∧ delta
+  }
+
+  test("fuzzy expansion: levenshtein over the vocabulary, constant score") {
+    // "alpka"~1 → alpha (distance 1)
+    val got = searcher.searchQuery(Seq(Topic("1", "alpka~1")), 10)
+      .collect().map(_.docno).toSet
+    assert(got == Set("s-1", "s-2", "s-3"))
+    // distance 2 also reaches "delta"? levenshtein(alpka, delta) = 4 → no
+    val far = searcher.searchQuery(Seq(Topic("1", "alpka~2")), 10)
+      .collect().map(_.docno).toSet
+    assert(far == Set("s-1", "s-2", "s-3"))
   }
 
   private lazy val searcher: Searcher = {
