@@ -218,7 +218,13 @@ object SparkEntry {
     // same DuckDB oracle as q_bm25_topk
     "q_stream_topk" -> ((s, dir) => {
       val safeSf = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val root = s"${Engine.workDir}/stream_$safeSf"
+      // corpus key-fingerprint in the root path (same n+crc scheme as
+      // IndexBuilder's resume fingerprint) so a regenerated fixture can
+      // never serve stale streamed batches
+      val fpRow = corpus.Corpus.fromDocuments(s, dir)
+        .agg(count(lit(1)), coalesce(sum(crc32(col("docno"))), lit(0L))).head()
+      val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(fpRow.getLong(1))}"
+      val root = s"${Engine.workDir}/stream_${safeSf}_$fp"
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
       val ingested =
@@ -229,9 +235,17 @@ object SparkEntry {
         val src = s"$root/src"
         fs.mkdirs(new org.apache.hadoop.fs.Path(src))
         val c = corpus.Corpus.fromDocuments(s, dir).select(col("docno"), col("content"))
+        // Split by docno RANGE (not hash): batch 0 holds the low docnos and
+        // becomes the lower docid epoch, so cross-batch docid order stays
+        // ≡ docno order and the engine's (score, docid) tie-break keeps
+        // matching the oracle's (score, docno) — a hash split would
+        // interleave docnos across epochs and flip tied ranks.
+        import s.implicits._
+        val docnos = c.select("docno").as[String].collect().sorted
+        val mid = docnos(docnos.length / 2)
         Seq(0, 1).foreach { half =>
           val tmp = s"$root/srctmp_$half"
-          c.where(pmod(crc32(col("docno")), lit(2)) === half)
+          (if (half == 0) c.where(col("docno") < mid) else c.where(col("docno") >= mid))
             .coalesce(1).write.mode("overwrite").parquet(tmp)
           val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
           fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/half_$half.parquet"))

@@ -74,8 +74,8 @@ object ClassicLikeTokenizer {
   // [A P] H ([A P] P H)* [P A] with H = digit-bearing segment, which
   // generates exactly the grammar's six alternatives. Remaining known
   // deviation (Java regex picks the FIRST matching alternative, JFlex the
-  // LONGEST rule): a digit-bearing host with >2 trailing digit-free labels
-  // ("a.b2.c.d") tokenizes shorter here than in JFlex.
+  // LONGEST rule): a digit-bearing host with 2+ trailing digit-free labels
+  // ("a.b2.c.d" → "a.b2.c" + "d" here; JFlex keeps the whole host).
   private val HASDIGIT = """\p{Alnum}*[0-9]\p{Alnum}*"""
   private val P = """[_\-/.,]"""
   private val NUM =

@@ -30,7 +30,7 @@ class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig)
 }
 
 object BuiltIndex {
-  private val PropsFile = "_graft_index.properties"
+  private val PropsFile = IndexLayout.PropsFile
 
   def writeProps(spark: SparkSession, dir: String, cfg: IndexConfig): Unit = {
     val p = new Properties()

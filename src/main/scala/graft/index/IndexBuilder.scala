@@ -60,6 +60,11 @@ object IndexBuilder {
       val dlAcc = spark.sparkContext.collectionAccumulator[(Int, Long)]("tokenized_dl")
       val parts = if (cfg.rangePartitions > 0) cfg.rangePartitions
                   else spark.sessionState.conf.numShufflePartitions
+      // epoch-namespaced docids (streaming deltas) reserve bits 52+ for the
+      // epoch, leaving 12 bits for the range-partition id — a larger build
+      // must fail loudly, never silently collide docids across batches
+      require(cfg.docidEpoch == 0 || parts <= (1 << 12),
+        s"docidEpoch > 0 limits range partitions to 4096 (got $parts)")
       val sorted = corpus.select($"docno".cast("string"), $"content".cast("string"))
         .repartitionByRange(parts, $"docno")
         .sortWithinPartitions($"docno")

@@ -91,6 +91,8 @@ final case class IndexConfig(
 }
 
 object IndexLayout {
+  /** Marker + config file of a completed index dir (written last). */
+  val PropsFile = "_graft_index.properties"
   val TokenizedDir = "stage_tokenized"
   val DocsDir = "docs"
   val StatsDir = "stats"

@@ -21,9 +21,17 @@ import org.apache.spark.sql.DataFrame
   */
 object Fingerprint {
 
+  // one digest per thread, reset per gram — a fresh getInstance per k-gram
+  // would be a provider lookup + allocation on the per-token hot path
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First 8 md5 hex chars of the gram, as an unsigned 32-bit Long. */
   def gramHash(gram: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
+    md.reset()
     val d = md.digest(gram.getBytes("UTF-8"))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }

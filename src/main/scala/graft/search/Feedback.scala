@@ -99,11 +99,6 @@ object Feedback {
     if (topTermsToKeep < 0) ordered else ordered.take(topTermsToKeep)
   }
 
-  /** Run a feedback query end-to-end: expand, search with boosts (analyzer
-    * terms are pre-analyzed, so clauses bypass re-analysis), anti-filter
-    * the feedback docnos (≙ `FeedbackDocumentFilter.java:69-95` — filtering
-    * happens BEFORE rank assignment).
-    */
   /** The expanded weighted clauses for a feedback topic (exposed so callers
     * like the CLI's snippet path can see the final query terms, ≙ the
     * reference highlighting with the expanded `query`,
@@ -117,6 +112,11 @@ object Feedback {
         WeightedClause(qid, i, term, w.toFloat)
       }
 
+  /** Run a feedback query end-to-end: expand, search with boosts (analyzer
+    * terms are pre-analyzed, so clauses bypass re-analysis), anti-filter
+    * the feedback docnos (≙ `FeedbackDocumentFilter.java:69-95` — filtering
+    * happens BEFORE rank assignment).
+    */
   def searchWithFeedback(searcher: Searcher, corpus: DataFrame, qid: String,
                          docs: Seq[FeedbackDoc], topTermsToKeep: Int,
                          k: Int = 1000, scorerName: String = "bm25"): org.apache.spark.sql.Dataset[RunLine] = {

@@ -71,8 +71,9 @@ object SimpleQuery {
           } else t match {
             case fuzzy(base, n) if base.nonEmpty =>
               require(!negFlag, s"negated fuzzy is not supported: $tok")
-              // SimpleQueryParser: bare ~ means maxEdits = 2
-              fuz += ((base, if (n.isEmpty) 2 else math.min(n.toInt, 2)))
+              // SimpleQueryParser: bare ~ means maxEdits = 2; clamp to 2
+              // (n.take(9) keeps absurd digit runs from overflowing toInt)
+              fuz += ((base, if (n.isEmpty) 2 else math.min(n.take(9).toInt, 2)))
             case _ =>
               if (negFlag) neg += t else pos += t
           }

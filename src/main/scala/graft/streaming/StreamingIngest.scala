@@ -78,7 +78,7 @@ object StreamingIngest {
     val dirs = fs.listStatus(p).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.toString)
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_graft_index.properties")))
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, IndexLayout.PropsFile)))
       .sorted
     require(dirs.nonEmpty, s"no completed batches under $rootDir")
     val first = BuiltIndex.open(spark, dirs.head)
