@@ -70,17 +70,27 @@ object Bench {
     val p50 = pct(0.50)
     val p95 = pct(0.95)
 
-    // ---- per-SparkEntry-query timings on the shared (warm) engine cache --
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> secs(t0)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = buildSec + lat.sum + results.map(_._2).sum
+    // ---- per-SparkEntry-query timings -------------------------------------
+    // Two passes: the FIRST pays one-time engine-cache effects (oracle/
+    // porter/stream index builds and JIT) on whichever entries trigger
+    // them; "queries" reports the per-entry BEST of the two (steady-state
+    // query cost, robust to the measured 8× VM noise — BENCH.md §method),
+    // "queries_cold" keeps pass 1 so build attribution stays visible.
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        name -> secs(t0)
+      }
+    val cold = pass()
+    val warm = pass()
+    val best = cold.zip(warm).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    def fmt(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = buildSec + lat.sum + cold.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},""" +
+      s""""queries_cold":${fmt(cold)},"sf":"$sfDir",""" +
       s""""cpus":$cpus,"n_docs":$nDocs,"build_sec":$buildSec,""" +
       s""""docs_per_sec":$docsPerSec,"search_p50_sec":$p50,"search_p95_sec":$p95}"""
     // the metrics file survives even if a log line swallows stdout

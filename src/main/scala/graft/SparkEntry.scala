@@ -218,11 +218,14 @@ object SparkEntry {
     // same DuckDB oracle as q_bm25_topk
     "q_stream_topk" -> ((s, dir) => {
       val safeSf = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-      // corpus key-fingerprint in the root path (same n+crc scheme as
-      // IndexBuilder's resume fingerprint) so a regenerated fixture can
-      // never serve stale streamed batches
+      // corpus CONTENT fingerprint in the root path (keys + content, unlike
+      // IndexBuilder's keys-only scheme) so a regenerated fixture — even one
+      // with identical docnos but changed text — can never serve stale
+      // streamed batches
       val fpRow = corpus.Corpus.fromDocuments(s, dir)
-        .agg(count(lit(1)), coalesce(sum(crc32(col("docno"))), lit(0L))).head()
+        .agg(count(lit(1)),
+          coalesce(sum(crc32(concat_ws(" ", col("docno"), col("content")))), lit(0L)))
+        .head()
       val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(fpRow.getLong(1))}"
       val root = s"${Engine.workDir}/stream_${safeSf}_$fp"
       val conf = s.sparkContext.hadoopConfiguration
@@ -241,8 +244,16 @@ object SparkEntry {
         // matching the oracle's (score, docno) — a hash split would
         // interleave docnos across epochs and flip tied ranks.
         import s.implicits._
-        val docnos = c.select("docno").as[String].collect().sorted
-        val mid = docnos(docnos.length / 2)
+        // Split point = the smallest docno of range-partition 1 of 2 — a
+        // distributed range split (no driver-side collect of the key set;
+        // any docno-range boundary works, batches only need docno order).
+        val mid = c.select($"docno").as[String]
+          .repartitionByRange(2, col("docno"))
+          .mapPartitions { it =>
+            if (org.apache.spark.TaskContext.getPartitionId() == 1)
+              it.reduceOption((a, b) => if (a <= b) a else b).iterator
+            else Iterator.empty
+          }.collect().headOption.getOrElse("")
         Seq(0, 1).foreach { half =>
           val tmp = s"$root/srctmp_$half"
           (if (half == 0) c.where(col("docno") < mid) else c.where(col("docno") >= mid))
@@ -310,8 +321,74 @@ object SparkEntry {
       ops.Dedup.minHashCandidates(corpus.Corpus.fromDocuments(s, dir), an,
           shingleN = 3, k = 12, rowsPerBand = 2, maxBucketSize = 2)
         .orderBy("docno_a", "docno_b")
+    }),
+    // explicit relevance feedback, model half: the M1 relevance-model term
+    // weights (exact doubles — the whole computation is double arithmetic
+    // replayed term-for-term by the oracle, ≙
+    // ExplicitFeedbackM1PreProcessor.java:79-152)
+    "q_feedback_weights" -> ((s, dir) => {
+      import s.implicits._
+      graft.search.Feedback.relevanceModel(feedbackDocs,
+          corpus.Corpus.fromDocuments(s, dir), Engine.OracleAnalyzer,
+          FeedbackTopTerms)
+        .toDF("term", "weight").orderBy("term")
+    }),
+    // explicit relevance feedback, search half: expanded weighted-clause
+    // retrieval with the feedback docs anti-filtered BEFORE ranking
+    // (≙ FeedbackDocumentFilter.java:69-95 — ranks close up)
+    "q_feedback_topk" -> ((s, dir) => {
+      graft.search.Feedback.searchWithFeedback(Engine.searcher(s, dir),
+          corpus.Corpus.fromDocuments(s, dir), "1", feedbackDocs,
+          FeedbackTopTerms, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // sloppy phrase retrieval `"…"~N` (SimpleQueryParser NEAR): anchor-slot
+    // occurrences whose other slots all fall within ±slop of their expected
+    // positions (PhraseClause scaladoc documents the Lucene sloppyFreq
+    // deviation); oracle replays via position self-joins with abs() windows
+    "q_phrase_slop_topk" -> ((s, dir) => {
+      Engine.searcher(s, dir).searchQuery(phraseSlopTopics, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // fuzzy retrieval `tok~N` under the blended-frequency rewrite
+    // (≙ Lucene 5.4 FuzzyQuery → TopTermsBlendedFreqScoringRewrite(50)):
+    // expansion terms score as real TermQuerys against ONE blended
+    // (max-df) idf, boosted 1 − d/min(|q|,|t|)
+    "q_fuzzy_topk" -> ((s, dir) => {
+      Engine.searcher(s, dir).searchQuery(fuzzyTopics, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
     })
   )
+
+  /** Feedback fixture: 2 relevant + 2 non-relevant docs by docno (present
+    * at every sf — doc_ids 0-3), mirroring the reference's explicit-feedback
+    * topics that name docs by docno (`ExplicitFeedbackM1PreProcessor`).
+    */
+  val feedbackDocs: Seq[graft.search.Feedback.FeedbackDoc] = Seq(
+    graft.search.Feedback.FeedbackDoc(relevant = true, Some("doc-00000000"), None),
+    graft.search.Feedback.FeedbackDoc(relevant = true, Some("doc-00000001"), None),
+    graft.search.Feedback.FeedbackDoc(relevant = false, Some("doc-00000002"), None),
+    graft.search.Feedback.FeedbackDoc(relevant = false, Some("doc-00000003"), None))
+  val FeedbackTopTerms = 8
+
+  /** Topics for the sloppy-phrase gate entry: a pure `~N` phrase and one
+    * mixed with a loose OR term (the reversed "join hash" order needs the
+    * slop to match the corpus's dominant "hash … join" sequences).
+    */
+  val phraseSlopTopics: Seq[Topic] = Seq(
+    Topic("1", "\"hash merge\"~2"),
+    Topic("2", "\"join hash\"~3 customer"))
+
+  /** Topics for the fuzzy gate entry: a multi-term expansion with distinct
+    * distances (lin~2 → line d1, big/join d2) mixed with a loose term, and
+    * a single-expansion query.
+    */
+  val fuzzyTopics: Seq[Topic] = Seq(
+    Topic("1", "lin~2 window"),
+    Topic("2", "valu~1"))
 
   /** Topics for the `-`-negation gate entry: positive bag-of-words terms
     * with one MUST_NOT term each.
@@ -397,6 +474,36 @@ object SparkEntry {
       |  FROM bands a JOIN bands b
       |    ON a.band_key = b.band_key AND a.docno < b.docno
       |)""".stripMargin
+
+  /** Relevance-model (M1) replay: per-feedback-doc tf/dl, rel/nonrel sums
+    * (non-relevant sums only for terms already in the model), OOV = 0.001,
+    * weight = (|NR|+1)(relSum+OOV) / ((|R|+1)(nonrelSum+OOV)) — all double
+    * arithmetic in the exact operation order of Feedback.relevanceModel, so
+    * the weights are bit-identical (sums have ≤2 addends per side, and
+    * two-addend double addition is order-independent). Top-terms selection
+    * is weight desc, term desc (the reference's TreeSet comparator quirk).
+    */
+  private val FeedbackCte =
+    s"""fb(docno, rel) AS (VALUES
+       |  ('doc-00000000', 1), ('doc-00000001', 1),
+       |  ('doc-00000002', 0), ('doc-00000003', 0)),
+       |fbtf AS (SELECT f.rel, t.docno, t.term, count(*) AS tf
+       |         FROM tok t JOIN fb f USING (docno) GROUP BY 1, 2, 3),
+       |fbdl AS (SELECT docno, cast(count(*) AS DOUBLE) AS dl
+       |         FROM tok JOIN fb USING (docno) GROUP BY 1),
+       |rsum AS (SELECT t.term, sum(t.tf / d.dl) AS rs
+       |         FROM fbtf t JOIN fbdl d USING (docno)
+       |         WHERE t.rel = 1 GROUP BY 1),
+       |nsum AS (SELECT t.term, sum(t.tf / d.dl) AS ns
+       |         FROM fbtf t JOIN fbdl d USING (docno)
+       |         WHERE t.rel = 0 AND t.term IN (SELECT term FROM rsum)
+       |         GROUP BY 1),
+       |fw AS (SELECT r.term,
+       |              (3 * (r.rs + 0.001)) / (3 * (coalesce(n.ns, 0) + 0.001)) AS weight
+       |       FROM rsum r LEFT JOIN nsum n USING (term)),
+       |fsel AS (SELECT term, weight,
+       |                row_number() OVER (ORDER BY weight DESC, term DESC) AS rn
+       |         FROM fw)""".stripMargin
 
   /** The topic batch as SQL VALUES of (qid, clause term) rows — one row per
     * analyzed token occurrence, after stop-filtering (term weights = row
@@ -873,6 +980,157 @@ object SparkEntry {
          |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
          |         * (SELECT w FROM widf WHERE term = 'merge') AS score
          |  FROM tf f JOIN dl d USING (docno) CROSS JOIN st WHERE f.term = 'merge'
+         |),
+         |scored AS (SELECT qid, docno, sum(score) AS score FROM partials GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scored)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // M1 relevance-model weights (exact doubles; see FeedbackCte scaladoc)
+    "q_feedback_weights" -> withCtes(
+      s""",
+         |$FeedbackCte
+         |SELECT term, weight FROM fsel WHERE rn <= $FeedbackTopTerms
+         |ORDER BY term""".stripMargin),
+    // feedback-expanded retrieval: BM25 partials boosted by the M1 weights,
+    // feedback docs excluded BEFORE ranking (ranks close up)
+    "q_feedback_topk" -> withCtes(
+      s""",
+         |$FeedbackCte,
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |scored AS (
+         |  SELECT f.docno,
+         |         sum(w.weight * ((1.2 + 1.0) * f.tf)
+         |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
+         |  FROM (SELECT term, weight FROM fsel WHERE rn <= $FeedbackTopTerms) w
+         |  JOIN tf f ON f.term = w.term
+         |  JOIN dl d ON d.docno = f.docno
+         |  JOIN df v ON v.term = w.term
+         |  CROSS JOIN st
+         |  WHERE f.docno NOT IN ('doc-00000000', 'doc-00000001',
+         |                        'doc-00000002', 'doc-00000003')
+         |  GROUP BY f.docno
+         |),
+         |ranked AS (
+         |  SELECT '1' AS qid, docno,
+         |         (row_number() OVER (ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scored
+         |)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // sloppy-phrase replay: anchor = first phrase slot; a match needs every
+    // other slot within ±slop of its expected raw position (raw positions
+    // COUNT stop tokens, engine positionIncrement semantics); freq = count
+    // of matching anchor positions, scored with the accumulated multi-term
+    // idf exactly like the exact-phrase oracle
+    "q_phrase_slop_topk" -> withCtes(
+      s""",
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |rawt AS (SELECT docno,
+         |         list_filter(string_split_regex(lower(content), '\\s+'),
+         |                     x -> x <> '') AS l FROM corpus),
+         |rawpos AS (SELECT docno, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |           FROM rawt),
+         |widf AS (SELECT d.term,
+         |                ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) / ln(2.0) AS w
+         |         FROM df d CROSS JOIN st),
+         |ph1 AS (SELECT a.docno, count(*) AS freq
+         |        FROM rawpos a
+         |        WHERE a.term = 'hash' AND EXISTS (
+         |          SELECT 1 FROM rawpos b
+         |          WHERE b.docno = a.docno AND b.term = 'merge'
+         |            AND abs(b.pos - (a.pos + 1)) <= 2)
+         |        GROUP BY a.docno),
+         |ph2 AS (SELECT a.docno, count(*) AS freq
+         |        FROM rawpos a
+         |        WHERE a.term = 'join' AND EXISTS (
+         |          SELECT 1 FROM rawpos b
+         |          WHERE b.docno = a.docno AND b.term = 'hash'
+         |            AND abs(b.pos - (a.pos + 1)) <= 3)
+         |        GROUP BY a.docno),
+         |partials AS (
+         |  SELECT '1' AS qid, p.docno,
+         |         ((1.2 + 1.0) * p.freq)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + p.freq)
+         |         * (1.0 + (SELECT w FROM widf WHERE term = 'hash')
+         |                + (SELECT w FROM widf WHERE term = 'merge')) AS score
+         |  FROM ph1 p JOIN dl d USING (docno) CROSS JOIN st
+         |  UNION ALL
+         |  SELECT '2' AS qid, p.docno,
+         |         ((1.2 + 1.0) * p.freq)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + p.freq)
+         |         * (1.0 + (SELECT w FROM widf WHERE term = 'join')
+         |                + (SELECT w FROM widf WHERE term = 'hash')) AS score
+         |  FROM ph2 p JOIN dl d USING (docno) CROSS JOIN st
+         |  UNION ALL
+         |  SELECT '2' AS qid, f.docno,
+         |         ((1.2 + 1.0) * f.tf)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |         * (SELECT w FROM widf WHERE term = 'customer') AS score
+         |  FROM tf f JOIN dl d USING (docno) CROSS JOIN st WHERE f.term = 'customer'
+         |),
+         |scored AS (SELECT qid, docno, sum(score) AS score FROM partials GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scored)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // blended-frequency fuzzy replay: expansion = levenshtein ≤ N over the
+    // vocabulary (well under maxExpansions=50 here), ONE idf from the max
+    // df across the expansion, per-term boost 1 − d/min(|q|,|t|), a doc
+    // matching several expansions sums them (BooleanQuery SHOULD)
+    "q_fuzzy_topk" -> withCtes(
+      s""",
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |widf AS (SELECT d.term,
+         |                ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) / ln(2.0) AS w
+         |         FROM df d CROSS JOIN st),
+         |exp1 AS (SELECT term, df, levenshtein(term, 'lin') AS d
+         |         FROM df WHERE levenshtein(term, 'lin') <= 2),
+         |idf1 AS (SELECT ln(1.0 + (st.n - b.bdf + 0.5) / (b.bdf + 0.5)) / ln(2.0) AS w
+         |         FROM (SELECT max(df) AS bdf FROM exp1) b CROSS JOIN st),
+         |exp2 AS (SELECT term, df, levenshtein(term, 'valu') AS d
+         |         FROM df WHERE levenshtein(term, 'valu') <= 1),
+         |idf2 AS (SELECT ln(1.0 + (st.n - b.bdf + 0.5) / (b.bdf + 0.5)) / ln(2.0) AS w
+         |         FROM (SELECT max(df) AS bdf FROM exp2) b CROSS JOIN st),
+         |partials AS (
+         |  SELECT '1' AS qid, f.docno,
+         |         ((1.2 + 1.0) * f.tf)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |         * (SELECT w FROM idf1)
+         |         * (1.0 - e.d / CAST(least(3, length(e.term)) AS DOUBLE)) AS score
+         |  FROM exp1 e JOIN tf f ON f.term = e.term
+         |  JOIN dl d USING (docno) CROSS JOIN st
+         |  UNION ALL
+         |  SELECT '1' AS qid, f.docno,
+         |         ((1.2 + 1.0) * f.tf)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |         * (SELECT w FROM widf WHERE term = 'window') AS score
+         |  FROM tf f JOIN dl d USING (docno) CROSS JOIN st WHERE f.term = 'window'
+         |  UNION ALL
+         |  SELECT '2' AS qid, f.docno,
+         |         ((1.2 + 1.0) * f.tf)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |         * (SELECT w FROM idf2)
+         |         * (1.0 - e.d / CAST(least(4, length(e.term)) AS DOUBLE)) AS score
+         |  FROM exp2 e JOIN tf f ON f.term = e.term
+         |  JOIN dl d USING (docno) CROSS JOIN st
          |),
          |scored AS (SELECT qid, docno, sum(score) AS score FROM partials GROUP BY 1, 2),
          |ranked AS (

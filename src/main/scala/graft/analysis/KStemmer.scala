@@ -6,44 +6,205 @@ package graft.analysis
   * (`TrecAnalyzer.java:78-103`, `NOTES.txt:45-48`).
   *
   * KStem is dictionary-driven: the published implementations consult a
-  * ~30k-entry head-word lexicon before and after every rule so that
-  * irregular forms ("calves", "indices") conflate correctly. That lexicon
-  * is NOT reproducible in this sandbox (no external data), so this class
-  * implements the paper's three inflectional steps — plural, past tense,
-  * aspect ('-ing') with consonant-doubling undo and '-e' restoration — plus
-  * the common derivational endings, with a small embedded word list
-  * standing in for the lexicon membership tests. **Documented deviation:**
-  * irregular forms outside the embedded list follow the rules instead of a
-  * dictionary lookup, so outputs can differ from Lucene's KStemFilter on
-  * such words (see README "Known gaps").
+  * ~30k-entry head-word lexicon plus direct-conflation exception tables
+  * before and after every rule so that irregular forms conflate correctly.
+  * The full 30k list is NOT reproducible in this sandbox (no external
+  * data), so this class carries:
+  *
+  *   1. [[DirectConflations]] — the classic irregular forms the published
+  *      exception tables handle (Latin/Greek plurals, `-ves` plurals,
+  *      mutated plurals, the `-ying` verbs), applied before any rule, the
+  *      way Lucene's `directConflations`/dictionary exceptions are;
+  *   2. an embedded head-word [[Lexicon]] (~700 common English words — a
+  *      curated, documented stand-in superset of round-2's list) guarding
+  *      the same membership tests the paper's dictionary serves: early
+  *      exit for head words and `-e` restoration after `-ed`/`-ing`;
+  *   3. the paper's three inflectional steps — plural, past tense, aspect
+  *      (`-ing`) with consonant-doubling undo and `-e` restoration.
+  *
+  * **Documented deviation:** words outside both tables follow the rules
+  * instead of a 30k-dictionary lookup, so outputs can differ from Lucene's
+  * KStemFilter on uncommon irregulars (see README "Known gaps").
   */
 object KStemmer extends Stemmer {
   val name = "kstem"
 
-  /** Stand-in lexicon: words the rules must treat as head words (no further
-    * stemming) — common English forms whose endings look inflectional.
+  /** Irregular form → head word, applied before any rule — the classic
+    * entries of the published exception tables: `-ves` plurals, Latin/Greek
+    * plurals, mutated plurals, irregular `-ying`/`-ing` verbs.
+    */
+  private val DirectConflations: Map[String, String] = Map(
+    // -ves plurals (dictionary-mediated f/fe restoration)
+    "calves" -> "calf", "halves" -> "half", "knives" -> "knife",
+    "leaves" -> "leaf", "lives" -> "life", "loaves" -> "loaf",
+    "selves" -> "self", "shelves" -> "shelf", "thieves" -> "thief",
+    "wives" -> "wife", "wolves" -> "wolf", "scarves" -> "scarf",
+    "hooves" -> "hoof", "elves" -> "elf", "dwarves" -> "dwarf",
+    "sheaves" -> "sheaf", "wharves" -> "wharf",
+    // Latin/Greek plurals
+    "indices" -> "index", "matrices" -> "matrix", "vertices" -> "vertex",
+    "appendices" -> "appendix", "apices" -> "apex", "radices" -> "radix",
+    "criteria" -> "criterion", "phenomena" -> "phenomenon",
+    "analyses" -> "analysis", "theses" -> "thesis", "crises" -> "crisis",
+    "hypotheses" -> "hypothesis", "diagnoses" -> "diagnosis",
+    "synopses" -> "synopsis", "emphases" -> "emphasis", "oases" -> "oasis",
+    "parentheses" -> "parenthesis", "syntheses" -> "synthesis",
+    "alumni" -> "alumnus", "fungi" -> "fungus", "nuclei" -> "nucleus",
+    "radii" -> "radius", "stimuli" -> "stimulus", "syllabi" -> "syllabus",
+    "algae" -> "alga", "larvae" -> "larva", "antennae" -> "antenna",
+    "bacteria" -> "bacterium", "curricula" -> "curriculum",
+    "memoranda" -> "memorandum", "strata" -> "stratum", "errata" -> "erratum",
+    "automata" -> "automaton", "schemata" -> "schema", "corpora" -> "corpus",
+    "genera" -> "genus",
+    // mutated plurals
+    "men" -> "man", "women" -> "woman", "children" -> "child",
+    "feet" -> "foot", "geese" -> "goose", "teeth" -> "tooth",
+    "mice" -> "mouse", "lice" -> "louse", "oxen" -> "ox", "dice" -> "die",
+    "pence" -> "penny",
+    // irregular -ing/-ies verbs (Lucene directConflations entries)
+    "dying" -> "die", "lying" -> "lie", "tying" -> "tie", "vying" -> "vie",
+    "aging" -> "age", "going" -> "go", "goes" -> "go", "dies" -> "die",
+    "lies" -> "lie", "ties" -> "tie")
+
+  /** Stand-in head-word lexicon (documented superset, see class scaladoc):
+    * words the rules must treat as head words (no further stemming) or must
+    * be able to restore to (`-e` restoration after `-ed`/`-ing`).
     */
   private val Lexicon: Set[String] = Set(
+    // function-ish words whose endings look inflectional
     "is", "was", "this", "his", "as", "us", "series", "species", "news",
-    "yes", "does", "goes", "its", "de", "always", "perhaps",
+    "yes", "does", "its", "de", "always", "perhaps", "various", "previous",
+    "analysis", "basis", "crisis", "thesis", "axis", "lens", "gas", "bus",
+    "canvas", "chaos", "bias", "atlas", "bonus", "census", "circus",
+    "campus", "corpus", "focus", "genius", "radius", "status", "surplus",
+    "virus", "famous", "nervous", "obvious", "serious", "curious",
+    "jealous", "dangerous", "enormous", "numerous", "gorgeous",
+    // -ing head words
     "during", "thing", "king", "ring", "sing", "spring", "string", "wing",
     "bring", "being", "nothing", "something", "anything", "everything",
-    "morning", "evening", "meeting",
+    "morning", "evening", "meeting", "building", "ceiling", "clothing",
+    "darling", "dumpling", "duckling", "earring", "feeling", "herring",
+    "lightning", "offspring", "pudding", "sibling", "sterling", "swing",
+    "sling", "cling", "fling", "sting", "strings",
+    // -ed head words
     "red", "bed", "fed", "led", "wed", "need", "feed", "seed", "speed",
-    "indeed", "deed", "proceed", "exceed", "succeed",
-    "table", "able", "possible", "simple", "single", "little", "are", "store",
-    "more", "before", "size", "line", "one", "none", "done", "gone", "here",
-    "there", "where", "base", "case", "close", "use", "value", "merge",
-    "sale", "state", "date", "rate", "note", "name", "same", "time", "type",
-    "file", "node", "code", "mode", "make", "take", "sample", "while",
-    "change", "charge", "source", "service", "machine", "engine", "image",
-    "edge", "range", "stage", "page", "space", "force", "face", "place")
+    "indeed", "deed", "proceed", "exceed", "succeed", "breed", "bleed",
+    "creed", "greed", "shed", "shred", "sled", "bred", "hundred", "naked",
+    "sacred", "wicked", "wretched", "rugged", "ragged", "crooked", "hatred",
+    // -e words the restoration step must be able to produce
+    "table", "able", "possible", "simple", "single", "little", "are",
+    "store", "more", "before", "size", "line", "one", "none", "done",
+    "gone", "here", "there", "where", "base", "case", "close", "use",
+    "value", "merge", "sale", "state", "date", "rate", "note", "name",
+    "same", "time", "type", "file", "node", "code", "mode", "make", "take",
+    "sample", "while", "change", "charge", "source", "service", "machine",
+    "engine", "image", "edge", "range", "stage", "page", "space", "force",
+    "face", "place", "race", "trace", "pace", "price", "slice", "voice",
+    "choice", "piece", "peace", "office", "notice", "practice", "device",
+    "advice", "police", "surface", "balance", "distance", "instance",
+    "sentence", "science", "silence", "absence", "presence", "essence",
+    "license", "defense", "expense", "response", "sense", "house", "mouse",
+    "cause", "pause", "phrase", "praise", "raise", "rise", "wise", "else",
+    "horse", "nurse", "purse", "course", "pulse", "false", "dense", "tense",
+    "immense", "universe", "reverse", "converse", "diverse", "verse",
+    "promise", "premise", "exercise", "surprise", "disguise", "cruise",
+    "bruise", "blue", "true", "due", "sue", "cue", "queue", "argue",
+    "continue", "issue", "tissue", "venue", "avenue", "revenue", "rescue",
+    "pursue", "clue", "glue", "virtue", "statue", "vague", "league",
+    "fatigue", "unique", "technique", "antique", "cheque", "pipe", "ripe",
+    "wipe", "hope", "rope", "scope", "slope", "shape", "tape", "escape",
+    "grape", "stripe", "swipe", "type", "hype", "bike", "hike", "like",
+    "strike", "smoke", "joke", "poke", "stroke", "wake", "lake", "cake",
+    "bake", "rake", "shake", "snake", "stake", "brake", "awake", "mistake",
+    "bite", "kite", "site", "suite", "quite", "white", "write", "invite",
+    "unite", "ignite", "polite", "definite", "opposite", "favorite",
+    "granite", "website", "byte", "vote", "quote", "remote", "promote",
+    "devote", "dote", "cute", "mute", "route", "minute", "dispute",
+    "execute", "absolute", "attribute", "institute", "substitute",
+    "compute", "acute", "salute", "tribute", "gaze", "maze", "blaze",
+    "craze", "graze", "freeze", "breeze", "squeeze", "seize", "prize",
+    "bronze", "dose", "rose", "nose", "pose", "hose", "chose", "those",
+    "whose", "suppose", "propose", "expose", "compose", "dispose",
+    "oppose", "impose", "purpose", "loose", "choose", "goose", "moose",
+    "cheese", "please", "tease", "cease", "crease", "increase", "decrease",
+    "release", "disease", "lease", "grease", "lose", "love", "move",
+    "prove", "drove", "grove", "stove", "above", "give", "live", "five",
+    "hive", "dive", "drive", "alive", "active", "native", "motive",
+    "captive", "festive", "massive", "passive", "relative", "negative",
+    "positive", "primitive", "sensitive", "creative", "olive", "have",
+    "gave", "save", "wave", "cave", "pave", "rave", "shave", "brave",
+    "crave", "grave", "slave", "leave", "weave", "behave", "solve",
+    "involve", "evolve", "revolve", "resolve", "valve", "curve", "nerve",
+    "serve", "deserve", "observe", "preserve", "reserve", "swerve",
+    "carve", "starve", "achieve", "believe", "relieve", "retrieve",
+    "receive", "deceive", "perceive", "conceive", "sleeve", "free",
+    "three", "tree", "agree", "degree", "knee", "see", "flee", "guarantee",
+    "committee", "coffee", "bee", "fee", "die", "lie", "tie", "vie", "pie",
+    "age", "cage", "wage", "rage", "sage", "village", "manage", "damage",
+    "garage", "message", "package", "passage", "cottage", "courage",
+    "average", "storage", "voyage", "luggage", "baggage", "language",
+    "marriage", "carriage", "advantage", "percentage", "mortgage",
+    "knowledge", "college", "privilege", "bridge", "fridge", "judge",
+    "badge", "lodge", "dodge", "hedge", "ledge", "pledge", "wedge",
+    "huge", "refuge", "orange", "strange", "arrange", "exchange",
+    "challenge", "revenge", "lounge", "sponge", "plunge", "large",
+    "barge", "surge", "urge", "purge", "forge", "gorge", "george",
+    "emerge", "submerge", "converge", "diverge", "bathe", "breathe",
+    "soothe", "clothe", "scene", "gene", "theme", "scheme", "extreme",
+    "supreme", "regime", "welcome", "income", "outcome", "become", "come",
+    "some", "home", "dome", "chrome", "volume", "costume", "assume",
+    "resume", "consume", "perfume", "flame", "frame", "blame", "shame",
+    "game", "fame", "dame", "lame", "tame", "crime", "prime", "climb",
+    "lime", "dime", "mime", "rhyme", "thyme", "fume", "plume", "one",
+    "bone", "cone", "zone", "tone", "stone", "phone", "alone", "clone",
+    "drone", "prone", "throne", "ozone", "dine", "fine", "mine", "nine",
+    "pine", "vine", "wine", "shine", "spine", "swine", "twine", "whine",
+    "brine", "shrine", "decline", "define", "refine", "combine", "examine",
+    "imagine", "machine", "routine", "marine", "cuisine", "medicine",
+    "discipline", "genuine", "magazine", "gasoline", "vaccine", "engine",
+    "determine", "undermine", "online", "outline", "deadline", "headline",
+    "pipeline", "guideline", "baseline", "airline", "hairline", "lane",
+    "cane", "crane", "plane", "insane", "humane", "mundane", "membrane",
+    "hurricane", "cube", "tube", "robe", "globe", "probe", "tribe",
+    "bribe", "scribe", "describe", "subscribe", "prescribe", "ascribe",
+    "vibe", "safe", "cafe", "life", "wife", "knife", "strife", "rife",
+    "fife", "calf", "half", "leaf", "loaf", "self", "shelf", "thief",
+    "wolf", "scarf", "hoof", "elf", "dwarf", "sheaf", "wharf", "chief",
+    "brief", "grief", "belief", "relief", "proof", "roof", "kite", "mile",
+    "pile", "tile", "smile", "style", "aisle", "exile", "fragile",
+    "hostile", "mobile", "missile", "profile", "reptile", "textile",
+    "compile", "awhile", "rule", "mule", "module", "schedule", "capsule",
+    "formula", "circle", "cycle", "uncle", "angle", "ankle", "apple",
+    "battle", "bottle", "bubble", "bundle", "candle", "castle", "cattle",
+    "couple", "cradle", "eagle", "gentle", "giggle", "handle", "hassle",
+    "humble", "idle", "jungle", "kettle", "middle", "muscle", "needle",
+    "noble", "noodle", "paddle", "pebble", "people", "pickle", "puddle",
+    "purple", "puzzle", "riddle", "saddle", "settle", "shuttle", "stable",
+    "staple", "struggle", "stumble", "subtle", "temple", "title",
+    "trouble", "turtle", "twinkle", "vehicle", "whistle", "wrinkle",
+    "article", "bicycle", "capable", "durable", "enable", "disable",
+    "example", "flexible", "horrible", "terrible", "visible", "invisible",
+    "multiple", "particle", "principle", "probable", "reliable",
+    "responsible", "sensible", "suitable", "valuable", "variable",
+    "double", "triple", "ample", "maple",
+    // common head words that guard plural/past exits
+    "boss", "class", "glass", "grass", "mass", "pass", "press", "stress",
+    "address", "process", "access", "success", "express", "progress",
+    "business", "witness", "analysis", "index", "matrix", "vertex",
+    "appendix", "apex", "radix", "criterion", "phenomenon", "man",
+    "woman", "child", "foot", "tooth", "die", "penny", "ox", "run",
+    "plan", "stop", "drop", "trip", "chat", "swim", "begin", "win",
+    "set", "put", "cut", "hit", "let", "get", "big", "hot", "red",
+    "data", "media", "metadata", "schema", "quota", "area", "idea",
+    "sea", "tea", "spark", "query", "batch", "stream", "filter", "join",
+    "sort", "hash", "scan", "column", "row", "window", "vector", "order",
+    "key", "part", "customer", "small", "fast", "slow", "group", "agg")
 
   private def vowel(c: Char): Boolean = "aeiouy".indexOf(c) >= 0
 
   /** '-e' restoration heuristic after stripping -ed/-ing: restore when the
-    * stem ends consonant+consonant that commonly ends an '-e' word (the
-    * paper restores via dictionary lookup; we use the classic CVC check).
+    * lexicon says so, else via the classic CVC check (the paper restores
+    * via dictionary lookup; the CVC fallback covers out-of-lexicon words).
     */
   private def maybeRestoreE(stem: String): String = {
     if (Lexicon.contains(stem)) return stem
@@ -68,7 +229,12 @@ object KStemmer extends Stemmer {
   }
 
   def stem(word: String): String = {
-    if (word.length <= 2 || Lexicon.contains(word)) return word
+    if (word.length <= 2) return word
+    DirectConflations.get(word) match {
+      case Some(head) => return head
+      case None =>
+    }
+    if (Lexicon.contains(word)) return word
     var w = word
 
     // plural step
@@ -76,6 +242,13 @@ object KStemmer extends Stemmer {
     else if (w.endsWith("sses")) w = w.dropRight(2)
     else if (w.endsWith("xes") || w.endsWith("ches") || w.endsWith("shes") ||
              w.endsWith("zes")) w = w.dropRight(2)
+    else if (w.endsWith("ves") && w.length > 4 &&
+             (Lexicon.contains(w.dropRight(3) + "f") ||
+              Lexicon.contains(w.dropRight(3) + "fe"))) {
+      // dictionary-mediated -ves plural (wolves → wolf, knives → knife)
+      val f = w.dropRight(3) + "f"
+      w = if (Lexicon.contains(f)) f else w.dropRight(3) + "fe"
+    }
     else if (w.endsWith("s") && !w.endsWith("ss") && !w.endsWith("us") &&
              w.length > 3)
       w = w.dropRight(1)

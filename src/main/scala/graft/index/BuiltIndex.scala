@@ -23,6 +23,19 @@ class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig)
   def postings: DataFrame = spark.read.parquet(s"$dir/$PostingsDir")
   def termStats: DataFrame = spark.read.parquet(s"$dir/$TermStatsDir")
 
+  /** Sorted (term, len) vocabulary projection for prunable prefix/fuzzy
+    * expansion; indexes written before the projection existed fall back to
+    * a derived (unprunable) view so they stay openable.
+    */
+  def vocab: DataFrame = {
+    val p = new Path(s"$dir/$VocabDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$dir/$VocabDir")
+    else termStats.select(org.apache.spark.sql.functions.col("term"),
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("term")).as("len"))
+  }
+
   lazy val stats: StatsRow = {
     val r = spark.read.parquet(s"$dir/$StatsDir").head()
     StatsRow(r.getAs[Long]("max_doc"), r.getAs[Long]("sum_total_term_freq"))

@@ -307,6 +307,27 @@ object IndexBuilder {
         Checkpoint.Manifest("term_stats", fp, cfg.id, -1L, msSince(t0), Nil), conf)
     }
 
+    // ---- stage: vocabulary projection (prefix/fuzzy expansion pruning) -----
+    // Range-partitioned on (len, term) THEN directory-partitioned by len:
+    // each writer task covers a contiguous (len, term) slice sorted by term,
+    // so a prefix scan is a pushed-down StringStartsWith over term-sorted
+    // row groups and a fuzzy scan partition-prunes to the ±maxEdits length
+    // band — bounded work at a 10^8-term web vocabulary, vs the full
+    // bucket-hashed term_stats pass this replaces.
+    val vocabDir = s"$dir/$VocabDir"
+    if (force || !Checkpoint.isComplete(vocabDir, fp, cfg.id, conf)) {
+      val t0 = System.nanoTime()
+      Checkpoint.atomically(vocabDir, conf) { tmp =>
+        spark.read.parquet(tsDir)
+          .select($"term", length($"term").as("len"))
+          .repartitionByRange($"len", $"term")
+          .sortWithinPartitions($"term")
+          .write.mode("overwrite").partitionBy("len").parquet(tmp)
+      }
+      Checkpoint.writeManifest(vocabDir,
+        Checkpoint.Manifest("vocab", fp, cfg.id, -1L, msSince(t0), Nil), conf)
+    }
+
     BuiltIndex.writeProps(spark, dir, cfg)
     val idx = new BuiltIndex(spark, dir, cfg)
     if (verifySha) {

@@ -99,6 +99,13 @@ object IndexLayout {
   val RunsDir = "stage_runs"
   val PostingsDir = "postings"
   val TermStatsDir = "term_stats"
+  /** Sorted-by-term vocabulary projection (term, len), len-partitioned:
+    * prefix expansion becomes a pushed-down range scan over term-sorted row
+    * groups and fuzzy expansion a length-banded partition-pruned scan —
+    * never a full term_stats pass (whose hash buckets can't prune a
+    * startsWith/levenshtein predicate).
+    */
+  val VocabDir = "vocab"
 
   /** Deterministic bucket for a term — must match between build and query.
     * Plain JVM string hash, made non-negative.

@@ -20,24 +20,48 @@ final case class RunLine(qid: String, docno: String, rank: Int, score: Float, ru
 /** One boosted term clause of a query (≙ a SHOULD TermQuery with boost). */
 final case class WeightedClause(qid: String, qidx: Int, term: String, boost: Float)
 
-/** One exact-phrase clause (≙ an analyzed Lucene PhraseQuery): `terms` are
+/** One phrase clause (≙ an analyzed Lucene PhraseQuery): `terms` are
   * the analyzed (term, offset) slots where offset is the token's position
   * within the phrase COUNTING stopped words (positionIncrement gaps), so
   * "quick the fox" with "the" stopped matches quick@p ∧ fox@p+2. Requires a
   * positions-enabled index (`IndexConfig.indexPositions`).
+  *
+  * `slop = 0` is exact adjacency (ExactPhraseScorer). `slop > 0` is sloppy
+  * matching (`"…"~N`): an anchor occurrence of the FIRST slot at position p
+  * matches when every other slot j has some position within
+  * `p + offset_j ± slop`; phraseFreq counts matching anchor positions.
+  * Documented deviation from Lucene's SloppyPhraseScorer: matches count 1
+  * each instead of the 1/(distance+1) sloppyFreq weighting, and the
+  * window test is per-slot rather than the full edit-transcript check —
+  * the same positions are accepted for small slops, and the semantics are
+  * exactly SQL-replayable (the oracle's position self-join).
   */
 final case class PhraseClause(qid: String, qidx: Int,
-                              terms: Seq[(String, Int)], boost: Float)
+                              terms: Seq[(String, Int)], boost: Float,
+                              slop: Int = 0)
 
-/** One term-expansion clause (≙ PrefixQuery / FuzzyQuery under Lucene's
+/** One constant-score expansion clause (≙ PrefixQuery under Lucene's
   * CONSTANT_SCORE rewrite): every document containing ANY of the expanded
   * vocabulary terms scores the clause boost exactly once. Expansion happens
-  * driver-side against term_stats (a vocabulary-sized scan, never a
-  * postings scan); FuzzyQuery's blended-term-frequency rewrite is
-  * deliberately simplified to the same constant score (documented).
+  * against the index's sorted vocabulary projection (a pruned range scan,
+  * never a postings or full-vocabulary pass).
   */
 final case class ExpansionClause(qid: String, qidx: Int,
                                  terms: Seq[String], boost: Float)
+
+/** One scored-expansion clause (≙ FuzzyQuery under Lucene 5.4's default
+  * `TopTermsBlendedFreqScoringRewrite(50)`, the rewrite SimpleQueryParser's
+  * `~N` produces for the reference at `BatchSearch.java:252`): each
+  * expanded term scores like a boosted TermQuery whose docFreq is BLENDED —
+  * the max df (and max cf) across the expansion set — and a document
+  * matching several expanded terms sums their partials (BooleanQuery
+  * SHOULD), in deterministic (distance asc, term asc) expansion order.
+  * `terms` carries (term, fuzzyBoost) where fuzzyBoost is FuzzyTermsEnum's
+  * `1 − editDistance / min(|query|, |term|)` (codepoints), 1.0 at
+  * distance 0.
+  */
+final case class BlendedClause(qid: String, qidx: Int,
+                               terms: Seq[(String, Float)], boost: Float)
 
 /** Batch retrieval — the Spark-native reimplementation of the reference's
   * `BatchSearch` lifecycle (SURVEY.md §3.2). The Lucene boolean OR scorer
@@ -128,22 +152,24 @@ final class Searcher(val index: BuiltIndex) {
     // terms — documented fallback) + prefix/fuzzy expansion clauses.
     // Clause indexes stay disjoint per topic.
     def clausesOf(sel: Seq[(Topic, SimpleQuery)])
-        : (Seq[WeightedClause], Seq[PhraseClause], Seq[ExpansionClause]) = {
+        : (Seq[WeightedClause], Seq[PhraseClause], Seq[ExpansionClause],
+           Seq[BlendedClause]) = {
       val wc = Seq.newBuilder[WeightedClause]
       val pc = Seq.newBuilder[PhraseClause]
       val ec = Seq.newBuilder[ExpansionClause]
+      val bc = Seq.newBuilder[BlendedClause]
       sel.foreach { case (t, q) =>
         var i = 0
         q.positive.flatMap(analyzer.analyze(_)).foreach { term =>
           wc += WeightedClause(t.qid, i, term, 1.0f); i += 1
         }
-        q.phrases.foreach { p =>
+        q.phrases.foreach { case (p, slop) =>
           if (hasPositions) {
             val slots = analyzer.analyzeWithPositions(p)
             if (slots.length == 1) { // 1-term phrase ≡ TermQuery (Lucene rewrite)
               wc += WeightedClause(t.qid, i, slots.head._1, 1.0f); i += 1
             } else if (slots.nonEmpty) {
-              pc += PhraseClause(t.qid, i, slots.toSeq, 1.0f); i += 1
+              pc += PhraseClause(t.qid, i, slots.toSeq, 1.0f, slop); i += 1
             }
           } else {
             analyzer.analyze(p).foreach { term =>
@@ -159,11 +185,19 @@ final class Searcher(val index: BuiltIndex) {
           i += 1
         }
         q.fuzzies.foreach { case (b, d) =>
-          ec += ExpansionClause(t.qid, i, expandFuzzy(analyzer.lowercase(b), d), 1.0f)
+          val base = analyzer.lowercase(b)
+          val baseCp = base.codePointCount(0, base.length)
+          val boosted = expandFuzzy(base, d).map { case (term, dist) =>
+            val termCp = term.codePointCount(0, term.length)
+            val boost = if (dist == 0) 1.0f
+              else 1.0f - dist.toFloat / math.min(baseCp, termCp).toFloat
+            (term, boost)
+          }
+          bc += BlendedClause(t.qid, i, boosted, 1.0f)
           i += 1
         }
       }
-      (wc.result(), pc.result(), ec.result())
+      (wc.result(), pc.result(), ec.result(), bc.result())
     }
     def negsOf(sel: Seq[(Topic, SimpleQuery)]): Seq[(String, String)] =
       sel.flatMap { case (t, q) =>
@@ -177,36 +211,56 @@ final class Searcher(val index: BuiltIndex) {
       (disj, "or"),
       (conj, "and")
     ).filter(_._1.nonEmpty).map { case (sel, mode) =>
-      val (wc, pc, ec) = clausesOf(sel)
+      val (wc, pc, ec, bc) = clausesOf(sel)
       searchClauses(wc, k, scorerName, mode = mode,
-        negTerms = negsOf(sel), phraseClauses = pc, expansionClauses = ec)
+        negTerms = negsOf(sel), phraseClauses = pc, expansionClauses = ec,
+        blendedClauses = bc)
     }
     runs.reduceOption(_ union _)
       .getOrElse { import spark.implicits._; spark.emptyDataset[RunLine] }
   }
 
-  /** Vocabulary terms starting with `prefix` (driver-side term_stats scan,
-    * capped — a degenerate one-letter prefix over a web vocabulary must
-    * fail loudly, not OOM the driver).
+  /** Vocabulary terms starting with `prefix`: a pruned range scan over the
+    * sorted vocabulary projection — the `len >= |prefix|` partition filter
+    * plus a pushed-down `StringStartsWith` over term-sorted row groups, so
+    * a web-scale vocabulary is never fully scanned. Capped: a degenerate
+    * one-letter prefix must fail loudly, not OOM the driver.
     */
   def expandPrefix(prefix: String, cap: Int = 4096): Seq[String] = {
     import spark.implicits._
-    val out = index.termStats.where(col("term").startsWith(prefix))
-      .select("term").as[String].take(cap + 1).toSeq
+    val out = prefixScan(prefix).select("term").distinct()
+      .as[String].take(cap + 1).toSeq
     require(out.size <= cap, s"prefix '$prefix*' expands past $cap terms")
     out
   }
 
-  /** Vocabulary terms within Levenshtein distance `maxEdits` of `base`
-    * (Spark's native levenshtein over the term_stats scan).
+  /** The pruned vocabulary scan behind [[expandPrefix]] (exposed so specs
+    * can assert the plan pushes the prefix predicate and prunes the length
+    * partitions instead of scanning the vocabulary).
     */
-  def expandFuzzy(base: String, maxEdits: Int, cap: Int = 4096): Seq[String] = {
+  def prefixScan(prefix: String): org.apache.spark.sql.DataFrame =
+    index.vocab
+      .where(col("len") >= prefix.length && col("term").startsWith(prefix))
+
+  /** Vocabulary terms within Levenshtein distance `maxEdits` of `base`,
+    * with their distances — the top `maxExpansions` by (distance asc,
+    * term asc), matching Lucene's TopTermsRewrite queue order (highest
+    * boost first, ties to the lexicographically smaller term). The scan
+    * partition-prunes to the ±maxEdits length band of the vocabulary
+    * projection; truncation to maxExpansions mirrors FuzzyQuery's
+    * maxExpansions=50 default instead of failing.
+    */
+  def expandFuzzy(base: String, maxEdits: Int,
+                  maxExpansions: Int = 50): Seq[(String, Int)] = {
     import spark.implicits._
-    val out = index.termStats
-      .where(levenshtein(col("term"), lit(base)) <= maxEdits)
-      .select("term").as[String].take(cap + 1).toSeq
-    require(out.size <= cap, s"fuzzy '$base~$maxEdits' expands past $cap terms")
-    out
+    index.vocab
+      .where(col("len") >= base.length - maxEdits &&
+        col("len") <= base.length + maxEdits)
+      .select(col("term"), levenshtein(col("term"), lit(base)).as("d"))
+      .where(col("d") <= maxEdits)
+      .distinct()
+      .orderBy(col("d"), col("term"))
+      .as[(String, Int)].take(maxExpansions).toSeq
   }
 
   /** `mode = "or"` (default): disjunctive bag-of-words, the reference topic
@@ -227,16 +281,24 @@ final class Searcher(val index: BuiltIndex) {
                     mode: String = "or",
                     negTerms: Seq[(String, String)] = Nil,
                     phraseClauses: Seq[PhraseClause] = Nil,
-                    expansionClauses: Seq[ExpansionClause] = Nil): Dataset[RunLine] = {
+                    expansionClauses: Seq[ExpansionClause] = Nil,
+                    blendedClauses: Seq[BlendedClause] = Nil): Dataset[RunLine] = {
     import spark.implicits._
     val scorer = Scorer.byName(scorerName)
-    if (clauses.isEmpty && phraseClauses.isEmpty && expansionClauses.isEmpty)
+    if (clauses.isEmpty && phraseClauses.isEmpty && expansionClauses.isEmpty &&
+        blendedClauses.isEmpty)
       return spark.emptyDataset[RunLine]
     require(phraseClauses.isEmpty || index.cfg.indexPositions,
       "phrase clauses need a positions-enabled index (IndexConfig.indexPositions)")
     val conjunctive = mode == "and"
+    // Pruning is sound only for pure disjunctive term scoring: exclusions
+    // (MUST_NOT terms or excluded docnos) remove docs AFTER the seed pass
+    // computed θ over the un-excluded stream, so the true kth score can
+    // fall below θ and blocks holding legitimate top-k docs would be
+    // silently skipped.
     val prune = pruning && scorer.supportsPruning && !conjunctive &&
-      phraseClauses.isEmpty && expansionClauses.isEmpty
+      phraseClauses.isEmpty && expansionClauses.isEmpty &&
+      blendedClauses.isEmpty && negTerms.isEmpty && excludeDocnos.isEmpty
 
     // Resolve excluded docnos → docids (tiny point lookup on the doc table,
     // ≙ the reference's docno TermQuery lookups §2.3).
@@ -250,7 +312,8 @@ final class Searcher(val index: BuiltIndex) {
       }
 
     val phraseTerms = phraseClauses.flatMap(_.terms.map(_._1)).distinct
-    val terms = (clauses.map(_.term) ++ phraseTerms).distinct
+    val blendTerms = blendedClauses.flatMap(_.terms.map(_._1)).distinct
+    val terms = (clauses.map(_.term) ++ phraseTerms ++ blendTerms).distinct
     val buckets = terms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
     val stats = CollStats(index.stats.max_doc, index.stats.sum_total_term_freq)
 
@@ -279,20 +342,32 @@ final class Searcher(val index: BuiltIndex) {
         scorer.phraseWeight(pc.terms.map(t => dfs.getOrElse(t._1, (0L, 0L))), stats)
     }.toMap
 
+    // Blended per-clause term weight (≙ BlendedTermQuery.adjustFrequencies):
+    // one idf from the MAX df (and max cf) across the clause's expanded
+    // terms that exist in the index.
+    val blendWeights: Map[(String, Int), Float] = blendedClauses.map { bc =>
+      val present = bc.terms.flatMap(t => dfs.get(t._1))
+      (bc.qid, bc.qidx) -> (if (present.isEmpty) 0.0f
+        else scorer.termWeight(present.map(_._1).max, present.map(_._2).max, stats))
+    }.toMap
+
     val qnByQid: Map[String, Float] =
       (clauses.map(c => (c.qid, c.qidx, {
         val (df, cf) = dfs.getOrElse(c.term, (0L, 0L))
         scorer.termWeight(df, cf, stats) * c.boost
       })) ++ phraseClauses.map(pc =>
         (pc.qid, pc.qidx, phraseWeights((pc.qid, pc.qidx)) * pc.boost)) ++
-        expansionClauses.map(e => (e.qid, e.qidx, e.boost))) // constant weight
+        expansionClauses.map(e => (e.qid, e.qidx, e.boost)) ++ // constant weight
+        blendedClauses.map(bc =>
+          (bc.qid, bc.qidx, blendWeights((bc.qid, bc.qidx)) * bc.boost)))
       .groupBy(_._1).map { case (qid, ws) =>
         qid -> scorer.queryNorm(ws.sortBy(_._2).map(_._3))
       }
     val maxOverlap: Map[String, Int] =
       (clauses.map(c => (c.qid, c.qidx)) ++
         phraseClauses.map(pc => (pc.qid, pc.qidx)) ++
-        expansionClauses.map(e => (e.qid, e.qidx)))
+        expansionClauses.map(e => (e.qid, e.qidx)) ++
+        blendedClauses.map(bc => (bc.qid, bc.qidx)))
         .groupBy(_._1).map { case (q, cs) => q -> cs.size }
 
     // AND mode: a query with any unindexed clause term (or phrase term, or
@@ -304,12 +379,17 @@ final class Searcher(val index: BuiltIndex) {
         phraseClauses.groupBy(_.qid)
           .collect { case (q, ps) if ps.exists(_.terms.exists(t => !dfs.contains(t._1))) => q } ++
         expansionClauses.groupBy(_.qid)
-          .collect { case (q, es) if es.exists(_.terms.isEmpty) => q })
+          .collect { case (q, es) if es.exists(_.terms.isEmpty) => q } ++
+        blendedClauses.groupBy(_.qid)
+          .collect { case (q, bs) if bs.exists(_.terms.forall(t => !dfs.contains(t._1))) => q })
         .toSet
     val liveClauses = clauses.filterNot(c => deadQids(c.qid))
     val livePhrases = phraseClauses.filterNot(pc => deadQids(pc.qid))
     val liveExpansions = expansionClauses
       .filterNot(e => deadQids(e.qid)).filter(_.terms.nonEmpty)
+    val liveBlended = blendedClauses.filterNot(bc => deadQids(bc.qid))
+      .map(bc => bc.copy(terms = bc.terms.filter(t => dfs.contains(t._1))))
+      .filter(_.terms.nonEmpty)
 
     // Driver-side query plan: term → (idf, clauses using it), queryNorm
     // folded into the clause boost.
@@ -320,7 +400,8 @@ final class Searcher(val index: BuiltIndex) {
                    cs.map(c => (c.qid, c.qidx, c.boost * qnByQid(c.qid))).toArray)
         }
       }
-    if (plan.isEmpty && livePhrases.isEmpty && liveExpansions.isEmpty)
+    if (plan.isEmpty && livePhrases.isEmpty && liveExpansions.isEmpty &&
+        liveBlended.isEmpty)
       return spark.emptyDataset[RunLine]
 
     // Postings lookup: bucket prunes parquet partitions, term pushes down.
@@ -435,21 +516,38 @@ final class Searcher(val index: BuiltIndex) {
             if (matched < nSlots) Iterator.empty
             else {
               val offs = pc.terms.map(_._2).toArray
+              val slop = pc.slop
+              // exact (slop 0): anchor on the sparsest slot — the count of
+              // full-phrase starts is anchor-invariant. Sloppy: anchor MUST
+              // be slot 0 (freq = matching first-slot positions; see
+              // PhraseClause scaladoc).
               var minSlot = 0
-              var s = 1
-              while (s < nSlots) {
-                if (posBySlot(s).length < posBySlot(minSlot).length) minSlot = s
-                s += 1
+              if (slop == 0) {
+                var s = 1
+                while (s < nSlots) {
+                  if (posBySlot(s).length < posBySlot(minSlot).length) minSlot = s
+                  s += 1
+                }
               }
               var freq = 0
               val anchorOff = offs(minSlot)
               posBySlot(minSlot).foreach { p0 =>
                 val base = p0 - anchorOff // phrase start position in the doc
-                var ok = base >= 0
+                var ok = slop > 0 || base >= 0
                 var j = 0
                 while (ok && j < nSlots) {
-                  if (j != minSlot)
-                    ok = java.util.Arrays.binarySearch(posBySlot(j), base + offs(j)) >= 0
+                  if (j != minSlot) {
+                    val exp = base + offs(j)
+                    if (slop == 0)
+                      ok = java.util.Arrays.binarySearch(posBySlot(j), exp) >= 0
+                    else {
+                      // any position within [exp - slop, exp + slop]?
+                      val arr = posBySlot(j)
+                      val idx = java.util.Arrays.binarySearch(arr, exp - slop)
+                      val at = if (idx >= 0) idx else -idx - 1
+                      ok = at < arr.length && arr(at) <= exp + slop
+                    }
+                  }
                   j += 1
                 }
                 if (ok) freq += 1
@@ -485,10 +583,54 @@ final class Searcher(val index: BuiltIndex) {
         }.distinct()
       }
 
+    // Blended clause partials (fuzzy): each expanded term scores as a real
+    // TermQuery against the clause's BLENDED idf, boosted by its fuzzy
+    // similarity; a doc matching several expanded terms of one clause sums
+    // them in deterministic expansion order (one extra tiny shuffle, paid
+    // only by fuzzy queries, so the per-(qid, doc, clause) float sum is
+    // reproducible regardless of posting-run arrival order).
+    val blendedPartials: Dataset[(String, Long, Int, Float)] =
+      if (liveBlended.isEmpty) spark.emptyDataset[(String, Long, Int, Float)]
+      else {
+        // term -> [(qid, qidx, expansionRank, blendedIdf, fullBoost)]
+        val byTerm: Map[String, Array[(String, Int, Int, Float, Float)]] =
+          liveBlended.flatMap { bc =>
+            val w = blendWeights((bc.qid, bc.qidx))
+            bc.terms.zipWithIndex.map { case ((term, fb), r) =>
+              (term, (bc.qid, bc.qidx, r, w, fb * bc.boost * qnByQid(bc.qid)))
+            }
+          }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
+        val bTerms = byTerm.keys.toSeq
+        val bBuckets = bTerms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+        val bPosts = index.postings
+          .where(col("bucket").isin(bBuckets: _*) && col("term").isin(bTerms: _*))
+          .as[PostingRun]
+        val scorerB = scorer
+        val statsB = stats
+        bPosts.flatMap { run =>
+          val cs = byTerm(run.term)
+          PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
+            .flatMap { p =>
+              cs.iterator.map { case (qid, qidx, r, w, boost) =>
+                (qid, p.docid, qidx, r, scorerB.score(p.tf, p.dl, w, statsB) * boost)
+              }
+            }
+        }
+        .groupByKey(t => (t._1, t._2, t._3))
+        .mapGroups[(String, Long, Int, Float)] {
+          (key: (String, Long, Int), it: Iterator[(String, Long, Int, Int, Float)]) =>
+            val arr = it.toArray.sortBy(_._4)
+            var s = 0.0f
+            arr.foreach(s += _._5)
+            (key._1, key._2, key._3, s)
+        }
+      }
+
     val allPartials = Seq(
       Some(partials),
       if (livePhrases.isEmpty) None else Some(phrasePartials),
-      if (liveExpansions.isEmpty) None else Some(expPartials)
+      if (liveExpansions.isEmpty) None else Some(expPartials),
+      if (liveBlended.isEmpty) None else Some(blendedPartials)
     ).flatten.reduce(_ union _)
 
     // Per-(query, doc) float sum in clause order (≙ boolean scorer sum),

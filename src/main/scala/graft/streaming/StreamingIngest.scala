@@ -35,6 +35,52 @@ object StreamingIngest {
     StructField("content", StringType, nullable = true)))
 
   private def batchesDir(rootDir: String) = s"$rootDir/batches"
+  private def compactedRoot(rootDir: String) = s"$rootDir/compacted"
+
+  /** Completed (id, dir) children of `dir` named `<prefix><id>` (an index is
+    * complete iff its props file — written last — exists).
+    */
+  private def completedIds(spark: SparkSession, dir: String,
+                           prefix: String): Seq[(Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, IndexLayout.PropsFile)))
+      .flatMap { d =>
+        val n = d.getName
+        if (n.startsWith(prefix)) n.stripPrefix(prefix).toLongOption.map(_ -> d.toString)
+        else None
+      }.sortBy(_._1)
+  }
+
+  /** The current searchable set: the newest compaction (if any) plus every
+    * completed batch delta it does not cover.
+    */
+  def searchableDirs(spark: SparkSession, rootDir: String): Seq[String] = {
+    val batches = completedIds(spark, batchesDir(rootDir), "batch_")
+    completedIds(spark, compactedRoot(rootDir), "upto_").lastOption match {
+      case Some((upto, dir)) => dir +: batches.collect { case (id, d) if id > upto => d }
+      case None => batches.map(_._2)
+    }
+  }
+
+  /** Compact the current searchable delta set into one index (see
+    * [[graft.index.SegmentMerger.compactIndexes]]) under
+    * `rootDir/compacted/upto_<lastBatchId>`. No-op (None) with fewer than
+    * `minDirs` searchable dirs. Old batch dirs are left in place (they stop
+    * being opened once covered), so a reader holding the previous set is
+    * never broken mid-query.
+    */
+  def compact(spark: SparkSession, rootDir: String,
+              minDirs: Int = 2): Option[BuiltIndex] = {
+    val dirs = searchableDirs(spark, rootDir)
+    if (dirs.size < minDirs) return None
+    val upto = completedIds(spark, batchesDir(rootDir), "batch_").map(_._1).max
+    val out = s"${compactedRoot(rootDir)}/upto_$upto"
+    val cfg = BuiltIndex.open(spark, dirs.head).cfg.copy(docidEpoch = 0)
+    Some(graft.index.SegmentMerger.compactIndexes(spark, dirs, out, cfg))
+  }
 
   /** Build one micro-batch's delta index (also usable directly for testing
     * or manual backfill). Epoch = batchId + 1 keeps epoch 0 = batch builds.
@@ -55,7 +101,8 @@ object StreamingIngest {
   def start(spark: SparkSession, sourceDir: String, rootDir: String,
             cfg: IndexConfig,
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Int = 1): StreamingQuery = {
+            maxFilesPerTrigger: Int = 1,
+            compactEvery: Int = 0): StreamingQuery = {
     spark.readStream
       .schema(corpusSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -65,21 +112,20 @@ object StreamingIngest {
       .option("checkpointLocation", s"$rootDir/_stream_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, rootDir, cfg)
+        // periodic epoch compaction (≙ Lucene's background segment merges):
+        // bounds the per-query delta fan-in of an unbounded stream
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compact(batch.sparkSession, rootDir)
         ()
       }
       .start()
   }
 
-  /** Open the union of all completed delta indexes under `rootDir`. */
+  /** Open the union of the searchable delta set under `rootDir` — the
+    * newest compaction plus the batch deltas it does not cover.
+    */
   def openUnion(spark: SparkSession, rootDir: String): UnionIndex = {
-    val p = new org.apache.hadoop.fs.Path(batchesDir(rootDir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no ingested batches under $rootDir")
-    val dirs = fs.listStatus(p).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.toString)
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, IndexLayout.PropsFile)))
-      .sorted
+    val dirs = searchableDirs(spark, rootDir)
     require(dirs.nonEmpty, s"no completed batches under $rootDir")
     val first = BuiltIndex.open(spark, dirs.head)
     new UnionIndex(spark, dirs, first.cfg.copy(docidEpoch = 0))
@@ -101,6 +147,7 @@ final class UnionIndex(spark0: SparkSession, val dirs: Seq[String], cfg0: IndexC
 
   override def docs: DataFrame = unioned(DocsDir)
   override def postings: DataFrame = unioned(PostingsDir)
+  override def vocab: DataFrame = unioned(VocabDir)
   override def termStats: DataFrame =
     unioned(TermStatsDir)
       .groupBy(col("term"), col("bucket"))

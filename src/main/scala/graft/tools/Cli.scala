@@ -128,10 +128,20 @@ object BatchSearchRunner {
         ds.collect().toSeq.map(_ -> None)
       case Some(ds) =>
         val analyzer = new Analyzer(idx.cfg.analyzer)
+        // Highlight with the FULL parsed query (≙ the reference highlighting
+        // with the final `query`, BatchSearch.java:318): loose positives,
+        // analyzed phrase words, and the expanded prefix/fuzzy vocabulary.
         val termsByQid: Map[String, Set[String]] =
           plainTopics.map { t =>
-            t.qid -> SimpleQuery.parse(t.text).positive
-              .flatMap(analyzer.analyze(_)).toSet
+            val pq = SimpleQuery.parse(t.text)
+            val loose = (pq.positive ++ pq.phrases.map(_._1))
+              .flatMap(analyzer.analyze(_))
+            val expanded =
+              pq.prefixes.flatMap(p => searcher.expandPrefix(analyzer.lowercase(p))) ++
+              pq.fuzzies.flatMap { case (b, d) =>
+                searcher.expandFuzzy(analyzer.lowercase(b), d).map(_._1)
+              }
+            t.qid -> (loose ++ expanded).toSet
           }.toMap ++
           fbClauses.view.mapValues(_.map(_.term).toSet).toMap
         Snippets.attach(ds, corpus, analyzer, termsByQid,

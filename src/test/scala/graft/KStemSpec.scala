@@ -1,0 +1,73 @@
+package graft
+
+import graft.analysis.KStemmer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KStem (Krovetz) fixtures: the classic irregulars the exception tables
+  * must handle, the dictionary-mediated -ves plural, and the inflectional
+  * rule engine with head-word guards.
+  */
+class KStemSpec extends AnyFunSuite {
+
+  test("classic irregular plurals conflate via the exception tables") {
+    assert(KStemmer.stem("calves") == "calf")
+    assert(KStemmer.stem("indices") == "index")
+    assert(KStemmer.stem("matrices") == "matrix")
+    assert(KStemmer.stem("vertices") == "vertex")
+    assert(KStemmer.stem("wives") == "wife")
+    assert(KStemmer.stem("children") == "child")
+    assert(KStemmer.stem("feet") == "foot")
+    assert(KStemmer.stem("teeth") == "tooth")
+    assert(KStemmer.stem("mice") == "mouse")
+    assert(KStemmer.stem("geese") == "goose")
+    assert(KStemmer.stem("men") == "man")
+    assert(KStemmer.stem("women") == "woman")
+    assert(KStemmer.stem("oxen") == "ox")
+    assert(KStemmer.stem("criteria") == "criterion")
+    assert(KStemmer.stem("phenomena") == "phenomenon")
+    assert(KStemmer.stem("analyses") == "analysis")
+    assert(KStemmer.stem("hypotheses") == "hypothesis")
+    assert(KStemmer.stem("corpora") == "corpus")
+    assert(KStemmer.stem("schemata") == "schema")
+  }
+
+  test("dictionary-mediated -ves plural rule (beyond the direct table)") {
+    // wolves is in the direct table; the rule itself also fires for any
+    // lexicon f/fe head word
+    assert(KStemmer.stem("wolves") == "wolf")
+    assert(KStemmer.stem("shelves") == "shelf")
+    assert(KStemmer.stem("knives") == "knife")
+    // a regular -ves word whose stem is a lexicon '-ve' head word is NOT
+    // mangled: curves → curve (plain s-drop), never "curf"
+    assert(KStemmer.stem("curves") == "curve")
+    assert(KStemmer.stem("serves") == "serve")
+  }
+
+  test("irregular -ing/-ies verbs from the direct-conflation table") {
+    assert(KStemmer.stem("dying") == "die")
+    assert(KStemmer.stem("lying") == "lie")
+    assert(KStemmer.stem("tying") == "tie")
+    assert(KStemmer.stem("aging") == "age")
+    assert(KStemmer.stem("going") == "go")
+    assert(KStemmer.stem("goes") == "go")
+  }
+
+  test("head words exit untouched (lexicon guards)") {
+    for (w <- Seq("series", "species", "news", "class", "process", "during",
+                  "thing", "being", "morning", "hundred", "sacred", "data",
+                  "analysis", "index", "people"))
+      assert(KStemmer.stem(w) == w, w)
+  }
+
+  test("inflectional rules with e-restoration and doubling undo") {
+    assert(KStemmer.stem("tables") == "table")
+    assert(KStemmer.stem("queries") == "query")
+    assert(KStemmer.stem("joined") == "join")
+    assert(KStemmer.stem("merging") == "merge")
+    assert(KStemmer.stem("running") == "run")
+    assert(KStemmer.stem("stopped") == "stop")
+    assert(KStemmer.stem("churches") == "church")
+    assert(KStemmer.stem("boxes") == "box")
+    assert(KStemmer.stem("indexes") == "index")
+  }
+}

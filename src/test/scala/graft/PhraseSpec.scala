@@ -108,4 +108,25 @@ class PhraseSpec extends AnyFunSuite {
     val w = Bm25Scorer.phraseWeight(Seq((4L, 0L), (4L, 0L)), stats)
     assert(w == 1.0f + Bm25Scorer.termWeight(4L, 0L, stats) * 2)
   }
+
+  test("sloppy phrase ~N: window matching, reordering, and freq counting") {
+    // slop 0 rejects the gapped p-4 and reversed p-2; slop 2's ±2 window
+    // admits the stop gap (beta two positions late) AND the p-2 reorder
+    // (beta two positions early: |0 − (1+1)| = 2)
+    val s0 = searcher.searchQuery(Seq(Topic("1", "\"alpha beta\"~0")), 10)
+      .collect().map(_.docno).toSet
+    assert(s0 == Set("p-1", "p-3", "p-5")) // identical to the exact phrase
+    val s2 = searcher.searchQuery(Seq(Topic("1", "\"alpha beta\"~2")), 10)
+      .collect().map(_.docno).toSet
+    assert(s2 == Set("p-1", "p-2", "p-3", "p-4", "p-5"))
+    // freq = matching ANCHOR (first-slot) positions: p-5 "alpha beta alpha
+    // beta" has 2 anchors with beta in ±1 → freq 2 still tops the ranking
+    val r1 = searcher.searchQuery(Seq(Topic("1", "\"alpha beta\"~1")), 10)
+      .collect().sortBy(_.rank)
+    assert(r1.head.docno == "p-5")
+    // slop composes with loose terms and keeps per-query disjoint clauses
+    val mixed = searcher.searchQuery(Seq(Topic("1", "\"alpha beta\"~1 gamma")), 10)
+      .collect().map(_.docno).toSet
+    assert(mixed.contains("p-2")) // gamma hit even where the phrase misses
+  }
 }

@@ -26,12 +26,17 @@ class SimpleQuerySpec extends AnyFunSuite {
     assert(SimpleQuery.parse("alpha -beta gamma") ==
       SimpleQuery(Seq("alpha", "gamma"), Seq("beta"), Nil, Nil, Nil, conjunctive = false))
     assert(SimpleQuery.parse("\"alpha beta\" gamma") ==
-      SimpleQuery(Seq("gamma"), Nil, Seq("alpha beta"), Nil, Nil, conjunctive = false))
+      SimpleQuery(Seq("gamma"), Nil, Seq(("alpha beta", 0)), Nil, Nil, conjunctive = false))
+    assert(SimpleQuery.parse("\"alpha beta\"~3 gamma") ==
+      SimpleQuery(Seq("gamma"), Nil, Seq(("alpha beta", 3)), Nil, Nil, conjunctive = false))
     assert(SimpleQuery.parse("alph* beta") ==
       SimpleQuery(Seq("beta"), Nil, Nil, Seq("alph"), Nil, conjunctive = false))
     assert(SimpleQuery.parse("alpha~1 beta~ beta~9") ==
       SimpleQuery(Nil, Nil, Nil, Nil,
         Seq(("alpha", 1), ("beta", 2), ("beta", 2)), conjunctive = false))
+    // a token mixing both infix operators splits on BOTH; '+' wins
+    assert(SimpleQuery.parse("a|b+c") ==
+      SimpleQuery(Seq("a", "b", "c"), Nil, Nil, Nil, Nil, conjunctive = true))
     intercept[IllegalArgumentException](SimpleQuery.parse("-alph*"))
     intercept[IllegalArgumentException](SimpleQuery.parse("-alpha~1"))
   }
@@ -55,7 +60,7 @@ class SimpleQuerySpec extends AnyFunSuite {
     assert(and2 == Set("s-4")) // beta ∧ delta
   }
 
-  test("fuzzy expansion: levenshtein over the vocabulary, constant score") {
+  test("fuzzy expansion: levenshtein over the vocabulary, blended scoring") {
     // "alpka"~1 → alpha (distance 1)
     val got = searcher.searchQuery(Seq(Topic("1", "alpka~1")), 10)
       .collect().map(_.docno).toSet
@@ -64,6 +69,22 @@ class SimpleQuerySpec extends AnyFunSuite {
     val far = searcher.searchQuery(Seq(Topic("1", "alpka~2")), 10)
       .collect().map(_.docno).toSet
     assert(far == Set("s-1", "s-2", "s-3"))
+    // expandFuzzy returns (term, distance) in (distance asc, term asc) order
+    assert(searcher.expandFuzzy("alpka", 2) == Seq(("alpha", 1)))
+  }
+
+  test("fuzzy scoring is blended-frequency, not constant") {
+    // "deta"~1 expands to {beta(d=1), delta(d=1)}; blended df = max(df) and
+    // each match scores BM25(tf, dl, blendedIdf) × (1 − d/min(|q|,|t|))
+    val exps = searcher.expandFuzzy("deta", 1)
+    assert(exps == Seq(("beta", 1), ("delta", 1)))
+    val hits = searcher.searchQuery(Seq(Topic("1", "deta~1")), 10)
+      .collect().map(r => r.docno -> r.score).toMap
+    assert(hits.keySet == Set("s-1", "s-2", "s-3", "s-4"))
+    // scores vary with tf/dl/boost — not a constant per doc
+    assert(hits.values.toSet.size > 1)
+    // s-4 holds BOTH expansions (beta + delta) → strictly the best score
+    assert(hits("s-4") > hits.removed("s-4").values.max)
   }
 
   private lazy val searcher: Searcher = {

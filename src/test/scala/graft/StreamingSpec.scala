@@ -74,5 +74,40 @@ class StreamingSpec extends AnyFunSuite {
     val late = new Searcher(union2).search(Seq(Topic("3", "late arriving")), 10)
       .collect().map(_.docno).toSet
     assert(late.contains("s-06"))
+
+    // ---- epoch compaction (≙ Lucene background segment merges) ----------
+    val allTopics = topics :+ Topic("3", "late arriving data")
+    val pre = new Searcher(union2).search(allTopics, 10)
+      .collect().sortBy(r => (r.qid, r.rank))
+      .map(r => (r.qid, r.docno, r.rank, r.score)).toSeq
+    val preRuns = union2.postings.count()
+    assert(StreamingIngest.compact(spark, root).nonEmpty)
+    val union3 = StreamingIngest.openUnion(spark, root)
+    assert(union3.dirs.size == 1) // (a) fewer dirs: 3 deltas → 1 compacted
+    assert(union3.stats.max_doc == 6)
+    val post = new Searcher(union3).search(allTopics, 10)
+      .collect().sortBy(r => (r.qid, r.rank))
+      .map(r => (r.qid, r.docno, r.rank, r.score)).toSeq
+    assert(post == pre) // (b) ranks AND float scores identical pre/post
+    // cross-epoch runs genuinely merged, not just relocated
+    assert(union3.postings.count() < preRuns)
+
+    // a post-compaction batch lands NEXT TO the compaction, not inside it
+    writeFile(src, "b4.parquet",
+      Seq("s-07" -> "compaction keeps streamed data searchable"))
+    val q3 = StreamingIngest.start(spark, src, root, cfg)
+    q3.awaitTermination()
+    val union4 = StreamingIngest.openUnion(spark, root)
+    assert(union4.dirs.size == 2) // compacted + the new delta
+    assert(union4.stats.max_doc == 7)
+    val fresh = new Searcher(union4)
+      .search(Seq(Topic("4", "compaction searchable")), 10)
+      .collect().map(_.docno).toSet
+    assert(fresh.contains("s-07"))
+    // compacting again folds the straggler in
+    assert(StreamingIngest.compact(spark, root).nonEmpty)
+    val union5 = StreamingIngest.openUnion(spark, root)
+    assert(union5.dirs.size == 1)
+    assert(union5.stats.max_doc == 7)
   }
 }

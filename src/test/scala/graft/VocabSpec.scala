@@ -1,0 +1,63 @@
+package graft
+
+import graft.analysis.AnalyzerConfig
+import graft.index.{IndexBuilder, IndexConfig, IndexLayout}
+import graft.search.Searcher
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sorted vocabulary projection behind prefix/fuzzy expansion: the scan
+  * must be PRUNED — prefix pushes a StringStartsWith predicate into the
+  * parquet scan over term-sorted row groups (plus a len partition bound),
+  * and fuzzy partition-prunes to the ±maxEdits length band — never a full
+  * vocabulary pass (the round-2 scale-killer this replaces).
+  */
+class VocabSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val searcher: Searcher = {
+    import spark.implicits._
+    val corpus = Seq(
+      "v-1" -> "alpha alpine albatross beta",
+      "v-2" -> "alpha beta gamma delta",
+      "v-3" -> "epsilon zeta eta alpine").toDF("docno", "content")
+    val idx = IndexBuilder.build(corpus, TestSpark.tmpDir("vocab"),
+      IndexConfig(analyzer = AnalyzerConfig()))
+    new Searcher(idx)
+  }
+
+  test("vocab projection is persisted len-partitioned and term-sorted") {
+    val dir = searcher.index.dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/${IndexLayout.VocabDir}")))
+    val lens = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/${IndexLayout.VocabDir}"))
+      .map(_.getPath.getName).filter(_.startsWith("len=")).toSeq
+    assert(lens.nonEmpty) // directory-partitioned by term length
+  }
+
+  test("prefix expansion pushes StringStartsWith + a len partition bound") {
+    val plan = searcher.prefixScan("al").queryExecution.executedPlan.toString()
+    assert(plan.contains("StringStartsWith(term,al)"),
+      s"prefix predicate not pushed to the scan:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("len"),
+      s"len partition bound missing:\n$plan")
+    assert(searcher.expandPrefix("al").toSet ==
+      Set("alpha", "alpine", "albatross"))
+  }
+
+  test("fuzzy expansion partition-prunes to the length band") {
+    // eta (drop b) and zeta (sub) are 1 edit away; ties order term asc
+    assert(searcher.expandFuzzy("beta", 1) ==
+      Seq(("beta", 0), ("eta", 1), ("zeta", 1)))
+    import org.apache.spark.sql.functions._
+    val banded = searcher.index.vocab
+      .where(col("len") >= 3 && col("len") <= 5)
+    val plan = banded.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("len"),
+      s"length band not a partition filter:\n$plan")
+    // the band reads strictly fewer rows than the vocabulary
+    assert(banded.count() < searcher.index.vocab.count())
+  }
+}
