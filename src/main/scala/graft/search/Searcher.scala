@@ -802,6 +802,32 @@ final class Searcher(val index: BuiltIndex) {
     (boostSum, othersSum)
   }
 
+  /** Distinct matching documents per query under OR semantics (≙ the
+    * `TopDocs.totalHits` the reference's paging demo prints,
+    * `SearchFiles.java:149-150`): a pruned postings decode → distinct
+    * docid count, no scoring, no driver-side doc sets.
+    */
+  def matchCounts(topics: Seq[Topic]): Map[String, Long] = {
+    import spark.implicits._
+    val pairs = topics.flatMap(t =>
+      analyzer.analyze(t.text).distinct.map(term => (t.qid, term)))
+    if (pairs.isEmpty) return topics.map(_.qid -> 0L).toMap
+    val byTerm: Map[String, Array[String]] =
+      pairs.groupBy(_._2).map { case (t, qs) => t -> qs.map(_._1).distinct.toArray }
+    val termSeq = byTerm.keys.toSeq
+    val buckets = termSeq.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+    val counts = index.postings
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(termSeq: _*))
+      .as[PostingRun]
+      .flatMap { run =>
+        val qids = byTerm(run.term)
+        PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
+          .flatMap(p => qids.iterator.map(q => (q, p.docid)))
+      }
+      .distinct().groupByKey(_._1).count().collect().toMap
+    topics.map(t => t.qid -> counts.getOrElse(t.qid, 0L)).toMap
+  }
+
   /** Paged interactive search (≙ the SearchFiles demo's 5-page prefetch +
     * re-search when paging past it, `SearchFiles.java:140-233`): prefetch
     * 5 pages, or exactly as many as the requested page needs.
