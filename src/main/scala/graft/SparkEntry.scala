@@ -113,8 +113,8 @@ object SparkEntry {
         .select(col("term"), col("df").cast("long").as("df"))
         .orderBy("term")
     }),
-    // rows-only checks (not SQL-expressible in the oracle): postings/segment
-    // blob internals, byte-encoded-norm (Float-bit) scoring variant
+    // rows-only check (not SQL-expressible in the oracle): postings/segment
+    // blob internals depend on the docid range-partition packing
     "q_postings_meta" -> ((s, dir) => {
       Engine.oracleIndex(s, dir).postings
         .select(col("term"), col("grp"), col("ndocs"),
@@ -122,6 +122,10 @@ object SparkEntry {
           col("max_tf"), col("sum_tf"))
         .orderBy("term", "grp")
     }),
+    // BM25 over byte315-encoded doc lengths: the lossy norm has a closed
+    // integer form — truncate dl to 3 significant bits ((dl>>s)<<s,
+    // s = bitlength−3; verified exact vs the codec for dl ∈ [1, 2M)) — so
+    // the oracle replays the quantization with DuckDB bit math
     "q_bm25e_topk" -> ((s, dir) => {
       Engine.searcher(s, dir).search(topics, TopK, scorerName = "bm25e")
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
@@ -321,6 +325,12 @@ object SparkEntry {
       ops.Dedup.minHashCandidates(corpus.Corpus.fromDocuments(s, dir), an,
           shingleN = 3, k = 12, rowsPerBand = 2, maxBucketSize = 2)
         .orderBy("docno_a", "docno_b")
+    }),
+    // training-pipeline op: BPE-ish token budgeting counts (letter/digit
+    // runs + single marks; the path column exercises digits/punctuation)
+    "q_token_count" -> ((s, dir) => {
+      ops.TextQuality.tokenCounts(corpus.Corpus.fromDocuments(s, dir))
+        .orderBy("docno")
     }),
     // explicit relevance feedback, model half: the M1 relevance-model term
     // weights (exact doubles — the whole computation is double arithmetic
@@ -988,6 +998,51 @@ object SparkEntry {
          |  FROM scored)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // BM25e replay: byte315 norms quantize dl to 3 significant bits —
+    // integer bit math ((dl >> s) << s, s = bitlength − 3), verified exact
+    // against the codec for every dl in [1, 2M); adl stays EXACT (the
+    // engine's CollStats is unquantized, only the per-doc norm is lossy)
+    "q_bm25e_topk" -> withCtes(
+      s""",
+         |$TopicsCte,
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl0 AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |dl AS (SELECT docno, ((dl >> s) << s) AS dl
+         |       FROM (SELECT docno, dl,
+         |                    greatest(length(bin(dl)) - 3, 0)::INT AS s
+         |             FROM dl0)),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
+         |scored AS (
+         |  SELECT q.qid, f.docno,
+         |         sum(q.w * ((1.2 + 1.0) * f.tf)
+         |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
+         |  FROM qterm q
+         |  JOIN tf f ON f.term = q.term
+         |  JOIN dl d ON d.docno = f.docno
+         |  JOIN df v ON v.term = q.term
+         |  CROSS JOIN st
+         |  GROUP BY q.qid, f.docno
+         |),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scored
+         |)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // BPE-ish token budgeting: the same regex runs verbatim in both engines
+    // (valid Java regex AND RE2)
+    "q_token_count" ->
+      s"""WITH $CorpusCte
+         |SELECT docno,
+         |       len(regexp_extract_all(lower(content), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpeish,
+         |       len(regexp_extract_all(lower(path), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_path_bpeish,
+         |       len(regexp_extract_all(lower(content), '[0-9]+'))::BIGINT AS n_digit_runs
+         |FROM corpus ORDER BY docno""".stripMargin,
     // M1 relevance-model weights (exact doubles; see FeedbackCte scaladoc)
     "q_feedback_weights" -> withCtes(
       s""",

@@ -27,6 +27,28 @@ object TextQuality {
         .cast("long").as("sum_token_chars"))
   }
 
+  /** BPE-ish pre-tokenizer segmentation (letter runs | digit runs | single
+    * non-alphanumeric marks — the shape of a byte-pair pre-tokenizer's
+    * coarse split), valid in both Java regex and RE2 so the DuckDB oracle
+    * replays it verbatim.
+    */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Per-doc token budgeting counts for an LLM-data pipeline: whitespace
+    * tokens (from [[qualitySignals]]) plus BPE-ish segment counts over the
+    * content AND the path (paths exercise the digit/punctuation branches),
+    * and digit-run counts. Integer-only, pure codegen expressions.
+    */
+  def tokenCounts(corpus: DataFrame): DataFrame =
+    corpus.select(
+      col("docno"),
+      size(regexp_extract_all(lower(col("content")), lit(BpeishPattern), lit(0)))
+        .cast("long").as("n_bpeish"),
+      size(regexp_extract_all(lower(col("path")), lit(BpeishPattern), lit(0)))
+        .cast("long").as("n_path_bpeish"),
+      size(regexp_extract_all(lower(col("content")), lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_digit_runs"))
+
   /** Default marker profiles for [[langMarkers]]/[[classifyLang]] — a
     * real n-gram model slots into the same shape.
     */

@@ -107,4 +107,15 @@ class CodecSpec extends AnyFunSuite {
     assert(SmallFloat315.floatToByte315(0.0f) == 0)
     assert(SmallFloat315.byte315ToFloat(0) == 0.0f)
   }
+
+  test("byte315 of an int doc length = truncate to 3 significant bits " +
+      "(the closed form the q_bm25e_topk oracle replays in SQL)") {
+    (1 to 200000).foreach { dl =>
+      val s = math.max(64 - java.lang.Long.numberOfLeadingZeros(dl.toLong) - 3, 0)
+      val truncated = ((dl >> s) << s).toFloat
+      val decoded = SmallFloat315.NORM(
+        SmallFloat315.floatToByte315(dl.toFloat) & 0xff)
+      assert(decoded == truncated, s"dl=$dl")
+    }
+  }
 }
