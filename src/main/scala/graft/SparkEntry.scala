@@ -355,8 +355,9 @@ object SparkEntry {
     }),
     // sloppy phrase retrieval `"…"~N` (SimpleQueryParser NEAR): anchor-slot
     // occurrences whose other slots all fall within ±slop of their expected
-    // positions (PhraseClause scaladoc documents the Lucene sloppyFreq
-    // deviation); oracle replays via position self-joins with abs() windows
+    // positions, each weighted by the reference's 1/(matchLength+1) slop
+    // factor (BM25.java:110-114); oracle replays via position self-joins
+    // with nearest-distance windows
     "q_phrase_slop_topk" -> ((s, dir) => {
       Engine.searcher(s, dir).searchQuery(phraseSlopTopics, TopK)
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
@@ -1080,11 +1081,12 @@ object SparkEntry {
          |)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
-    // sloppy-phrase replay: anchor = first phrase slot; a match needs every
-    // other slot within ±slop of its expected raw position (raw positions
-    // COUNT stop tokens, engine positionIncrement semantics); freq = count
-    // of matching anchor positions, scored with the accumulated multi-term
-    // idf exactly like the exact-phrase oracle
+    // sloppy-phrase replay: anchor = first phrase slot; ml = the other
+    // slot's NEAREST-position distance from its expected raw position (raw
+    // positions COUNT stop tokens, engine positionIncrement semantics); a
+    // match needs ml ≤ slop and contributes the slop factor 1/(ml+1)
+    // (≙ BM25.computeSlopFactor, BM25.java:110-114) to the phrase freq,
+    // scored with the accumulated multi-term idf like the exact oracle
     "q_phrase_slop_topk" -> withCtes(
       s""",
          |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
@@ -1100,20 +1102,18 @@ object SparkEntry {
          |widf AS (SELECT d.term,
          |                ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) / ln(2.0) AS w
          |         FROM df d CROSS JOIN st),
-         |ph1 AS (SELECT a.docno, count(*) AS freq
-         |        FROM rawpos a
-         |        WHERE a.term = 'hash' AND EXISTS (
-         |          SELECT 1 FROM rawpos b
-         |          WHERE b.docno = a.docno AND b.term = 'merge'
-         |            AND abs(b.pos - (a.pos + 1)) <= 2)
-         |        GROUP BY a.docno),
-         |ph2 AS (SELECT a.docno, count(*) AS freq
-         |        FROM rawpos a
-         |        WHERE a.term = 'join' AND EXISTS (
-         |          SELECT 1 FROM rawpos b
-         |          WHERE b.docno = a.docno AND b.term = 'hash'
-         |            AND abs(b.pos - (a.pos + 1)) <= 3)
-         |        GROUP BY a.docno),
+         |ph1 AS (SELECT docno, sum(1.0 / (1 + ml)) AS freq FROM (
+         |          SELECT a.docno,
+         |                 (SELECT min(abs(b.pos - (a.pos + 1))) FROM rawpos b
+         |                  WHERE b.docno = a.docno AND b.term = 'merge') AS ml
+         |          FROM rawpos a WHERE a.term = 'hash') t1
+         |        WHERE ml <= 2 GROUP BY docno),
+         |ph2 AS (SELECT docno, sum(1.0 / (1 + ml)) AS freq FROM (
+         |          SELECT a.docno,
+         |                 (SELECT min(abs(b.pos - (a.pos + 1))) FROM rawpos b
+         |                  WHERE b.docno = a.docno AND b.term = 'hash') AS ml
+         |          FROM rawpos a WHERE a.term = 'join') t2
+         |        WHERE ml <= 3 GROUP BY docno),
          |partials AS (
          |  SELECT '1' AS qid, p.docno,
          |         ((1.2 + 1.0) * p.freq)

@@ -35,7 +35,7 @@ object Bm25LuceneScorer extends Scorer {
   val b = 0.75f
   def termWeight(docFreq: Long, cf: Long, s: CollStats): Float =
     math.log(1.0 + (s.maxDoc - docFreq + 0.5d) / (docFreq + 0.5d)).toFloat
-  def score(tf: Int, dl: Int, idf: Float, s: CollStats): Float = {
+  def score(tf: Float, dl: Int, idf: Float, s: CollStats): Float = {
     val avgdl = (s.sumTotalTermFreq / s.maxDoc.toDouble).toFloat
     val dlf = LuceneNorms.lossyDl(dl)
     val norm = k1 * ((1 - b) + b * dlf / avgdl)
@@ -52,7 +52,7 @@ object ClassicScorer extends Scorer {
   val name = "defaultL"
   def termWeight(docFreq: Long, cf: Long, s: CollStats): Float =
     (1.0 + math.log(s.maxDoc / (docFreq + 1.0))).toFloat
-  def score(tf: Int, dl: Int, idf: Float, s: CollStats): Float =
+  def score(tf: Float, dl: Int, idf: Float, s: CollStats): Float =
     (math.sqrt(tf.toDouble).toFloat * idf * idf) * LuceneNorms.lossyInvSqrt(dl)
   override def queryNorm(clauseWeights: Seq[Float]): Float = {
     var sum = 0.0f
@@ -80,7 +80,7 @@ object DfrScorer extends Scorer {
   private def log2(x: Double): Double = math.log(x) / math.log(2.0)
   def termWeight(docFreq: Long, cf: Long, s: CollStats): Float =
     ((cf + 1.0) / (s.maxDoc + 1.0)).toFloat // λ
-  def score(tf: Int, dl: Int, lambda: Float, s: CollStats): Float = {
+  def score(tf: Float, dl: Int, lambda: Float, s: CollStats): Float = {
     val avgdl = s.sumTotalTermFreq / s.maxDoc.toDouble
     val dlf = LuceneNorms.lossyDl(dl)
     val tfn = tf * log2(1.0 + avgdl / dlf)
@@ -105,7 +105,7 @@ object IbScorer extends Scorer {
   private def log2(x: Double): Double = math.log(x) / math.log(2.0)
   def termWeight(docFreq: Long, cf: Long, s: CollStats): Float =
     ((docFreq + 1.0f) / (s.maxDoc + 1.0f)) // λ
-  def score(tf: Int, dl: Int, lambda: Float, s: CollStats): Float = {
+  def score(tf: Float, dl: Int, lambda: Float, s: CollStats): Float = {
     val avgdl = s.sumTotalTermFreq / s.maxDoc.toDouble
     val dlf = LuceneNorms.lossyDl(dl)
     val tfn = tf * log2(1.0 + avgdl / dlf)
@@ -126,7 +126,7 @@ object LmDirichletScorer extends Scorer {
   val mu = 2000.0f
   def termWeight(docFreq: Long, cf: Long, s: CollStats): Float =
     ((cf + 1.0) / (s.sumTotalTermFreq + 1.0)).toFloat // p(w|C)
-  def score(tf: Int, dl: Int, p: Float, s: CollStats): Float = {
+  def score(tf: Float, dl: Int, p: Float, s: CollStats): Float = {
     val dlf = LuceneNorms.lossyDl(dl)
     val v = (math.log(1.0 + tf / (mu * p)) + math.log(mu / (dlf + mu))).toFloat
     math.max(0.0f, v)

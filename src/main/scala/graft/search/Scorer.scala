@@ -27,8 +27,13 @@ trait Scorer extends Serializable {
     * collection frequency (totalTermFreq), used by LM models.
     */
   def termWeight(docFreq: Long, cf: Long, stats: CollStats): Float
-  /** Per-posting score (≙ SimScorer.score — `BM25.java:98-107`). */
-  def score(tf: Int, dl: Int, weight: Float, stats: CollStats): Float
+  /** Per-posting score (≙ SimScorer.score — `BM25.java:98-107`). `tf` is a
+    * Float exactly like Lucene's `SimScorer.score(doc, freq)`: sloppy
+    * phrase matching feeds fractional phrase frequencies
+    * (Σ 1/(matchLength+1), the reference's `computeSlopFactor`,
+    * `BM25.java:110-114`); integer term frequencies widen exactly.
+    */
+  def score(tf: Float, dl: Int, weight: Float, stats: CollStats): Float
   /** Combined weight for a multi-term clause (a PhraseQuery hands the
     * similarity ONE TermStatistics per phrase term). The reference's
     * multi-stats branch ACCUMULATES from 1.0f (`BM25.java:57,64-68`:
@@ -103,7 +108,7 @@ object Bm25Scorer extends Scorer {
   /** K = k1·(1 − b + b·dl/adl); w = (k1+1)·tf / (K + tf) · idf —
     * `BM25.java:98-107` with dl = exact token count (`BM25.java:146-149`).
     */
-  def score(tf: Int, dl: Int, idf: Float, s: CollStats): Float = {
+  def score(tf: Float, dl: Int, idf: Float, s: CollStats): Float = {
     val tff = tf.toFloat
     val dlf = dl.toFloat
     val K = k1 * (1.0f - b + b * (dlf / s.adl))
@@ -120,7 +125,7 @@ object Bm25eScorer extends Scorer {
   val name = "bm25e"
   def termWeight(docFreq: Long, cf: Long, s: CollStats): Float =
     Bm25Scorer.termWeight(docFreq, cf, s)
-  def score(tf: Int, dl: Int, idf: Float, s: CollStats): Float = {
+  def score(tf: Float, dl: Int, idf: Float, s: CollStats): Float = {
     val dlf = SmallFloat315.NORM(SmallFloat315.floatToByte315(dl.toFloat) & 0xff)
     val tff = tf.toFloat
     val K = Bm25Scorer.k1 * (1.0f - Bm25Scorer.b + Bm25Scorer.b * (dlf / s.adl))
@@ -136,7 +141,7 @@ object TmplScorer extends Scorer {
   val name = "tmpl"
   def termWeight(docFreq: Long, cf: Long, s: CollStats): Float =
     Scorer.log2(s.N / docFreq.toFloat)
-  def score(tf: Int, dl: Int, w: Float, s: CollStats): Float = 1.0f
+  def score(tf: Float, dl: Int, w: Float, s: CollStats): Float = 1.0f
 }
 
 /** Template with byte-encoded norms (`TMPLe.java:43-96`) — scores ≡ 1.0. */
@@ -144,5 +149,5 @@ object TmpleScorer extends Scorer {
   val name = "tmple"
   def termWeight(docFreq: Long, cf: Long, s: CollStats): Float =
     TmplScorer.termWeight(docFreq, cf, s)
-  def score(tf: Int, dl: Int, w: Float, s: CollStats): Float = 1.0f
+  def score(tf: Float, dl: Int, w: Float, s: CollStats): Float = 1.0f
 }

@@ -28,13 +28,15 @@ final case class WeightedClause(qid: String, qidx: Int, term: String, boost: Flo
   *
   * `slop = 0` is exact adjacency (ExactPhraseScorer). `slop > 0` is sloppy
   * matching (`"…"~N`): an anchor occurrence of the FIRST slot at position p
-  * matches when every other slot j has some position within
-  * `p + offset_j ± slop`; phraseFreq counts matching anchor positions.
-  * Documented deviation from Lucene's SloppyPhraseScorer: matches count 1
-  * each instead of the 1/(distance+1) sloppyFreq weighting, and the
-  * window test is per-slot rather than the full edit-transcript check —
-  * the same positions are accepted for small slops, and the semantics are
-  * exactly SQL-replayable (the oracle's position self-join).
+  * matches when every other slot j has a position within
+  * `p + offset_j ± slop`, and contributes the slop factor
+  * `1/(matchLength+1)` — the reference similarity's `computeSlopFactor`
+  * (`BM25.java:110-114`) — to the phrase frequency, where matchLength sums
+  * each slot's nearest-position distance. Documented deviation from
+  * Lucene's SloppyPhraseScorer: the per-slot-nearest window test replaces
+  * the full edit-transcript alignment (identical for 2-term phrases; an
+  * approximation for longer ones with repeated terms) — and the semantics
+  * stay exactly SQL-replayable (the oracle's position self-join).
   */
 final case class PhraseClause(qid: String, qidx: Int,
                               terms: Seq[(String, Int)], boost: Float,
@@ -529,30 +531,41 @@ final class Searcher(val index: BuiltIndex) {
                   s += 1
                 }
               }
-              var freq = 0
+              // slop 0: freq = integer occurrence count. slop > 0: each
+              // anchor match contributes 1/(matchLength+1) — the slop
+              // factor the reference's similarity defines
+              // (`BM25.java:110-114`) — where matchLength sums each other
+              // slot's distance to its NEAREST in-window position (the
+              // per-slot-nearest generalization of SloppyPhraseScorer's
+              // 2-term matchLength). Anchors iterate in ascending position
+              // order, so the Float accumulation is deterministic.
+              var freq = 0.0f
               val anchorOff = offs(minSlot)
               posBySlot(minSlot).foreach { p0 =>
                 val base = p0 - anchorOff // phrase start position in the doc
                 var ok = slop > 0 || base >= 0
+                var matchLen = 0
                 var j = 0
                 while (ok && j < nSlots) {
                   if (j != minSlot) {
                     val exp = base + offs(j)
-                    if (slop == 0)
-                      ok = java.util.Arrays.binarySearch(posBySlot(j), exp) >= 0
+                    val arr = posBySlot(j)
+                    val idx = java.util.Arrays.binarySearch(arr, exp)
+                    if (idx >= 0) () // exact slot position, distance 0
                     else {
-                      // any position within [exp - slop, exp + slop]?
-                      val arr = posBySlot(j)
-                      val idx = java.util.Arrays.binarySearch(arr, exp - slop)
-                      val at = if (idx >= 0) idx else -idx - 1
-                      ok = at < arr.length && arr(at) <= exp + slop
+                      val ins = -idx - 1
+                      var best = Int.MaxValue
+                      if (ins < arr.length) best = arr(ins) - exp
+                      if (ins > 0) best = math.min(best, exp - arr(ins - 1))
+                      ok = best <= slop
+                      matchLen += best
                     }
                   }
                   j += 1
                 }
-                if (ok) freq += 1
+                if (ok) freq += (if (slop == 0) 1.0f else 1.0f / (matchLen + 1))
               }
-              if (freq == 0) Iterator.empty
+              if (freq == 0.0f) Iterator.empty
               else {
                 val boost = pc.boost * qnB(pc.qid)
                 val sc = scorerB.score(freq, dl, weights((pc.qid, pc.qidx)), statsB)
