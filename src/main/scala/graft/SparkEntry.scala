@@ -326,6 +326,54 @@ object SparkEntry {
           shingleN = 3, k = 12, rowsPerBand = 2, maxBucketSize = 2)
         .orderBy("docno_a", "docno_b")
     }),
+    // TREC parser round trip: render the corpus as multi-doc TREC files
+    // (10 docs per file, sorted), run the REAL line-scan parser, emit the
+    // parsed text — certifies block detection, DOCNO extraction and
+    // tag-strip/whitespace-collapse against a pure-SQL replay
+    "q_trec_parse" -> ((s, dir) => {
+      import s.implicits._
+      val rendered = corpus.Corpus.fromDocuments(s, dir)
+        .select($"docno",
+          (substring($"docno", 5, 8).cast("int") / 10).cast("int").as("f"),
+          concat(lit("<DOC>\n<DOCNO> "), $"docno",
+            lit(" </DOCNO>\n<TEXT>\n"), $"content",
+            lit("\n</TEXT>\n</DOC>")).as("r"))
+      rendered.groupBy($"f")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct($"docno", $"r"))),
+          x => x.getField("r")), "\n").as("text"))
+        .select($"text").as[String]
+        .flatMap(t => corpus.Parsers.parseTrec(t))
+        .toDF("docno", "parsed")
+        .orderBy("docno")
+    }),
+    // WARC parser round trip: responses with a WARC-TREC-ID parse to their
+    // HTTP payload (markup kept); request records and id-less responses
+    // are dropped — the reference's record predicate
+    "q_warc_parse" -> ((s, dir) => {
+      import s.implicits._
+      val id = substring(col("docno"), 5, 8).cast("int")
+      val httpBody = "\n\nHTTP/1.1 200 OK\nContent-Type: text/html\n\n"
+      val rec = when(id % 7 === 3,
+          concat(lit("WARC/1.0\nWARC-Type: request\nWARC-TREC-ID: "),
+            col("docno"), lit(httpBody), col("content")))
+        .when(id % 7 === 5,
+          concat(lit("WARC/1.0\nWARC-Type: response"), lit(httpBody),
+            col("content")))
+        .otherwise(
+          concat(lit("WARC/1.0\nWARC-Type: response\nWARC-TREC-ID: "),
+            col("docno"), lit(httpBody), col("content")))
+      corpus.Corpus.fromDocuments(s, dir)
+        .select($"docno", (id / 10).cast("int").as("f"), rec.as("r"))
+        .groupBy($"f")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct($"docno", $"r"))),
+          x => x.getField("r")), "\n").as("text"))
+        .select($"text").as[String]
+        .flatMap(t => corpus.Parsers.parseWarc(t))
+        .toDF("docno", "parsed")
+        .orderBy("docno")
+    }),
     // training-pipeline op: BPE-ish token budgeting counts (letter/digit
     // runs + single marks; the path column exercises digits/punctuation)
     "q_token_count" -> ((s, dir) => {
@@ -1035,6 +1083,24 @@ object SparkEntry {
          |)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // TREC-parse replay: the parsed block text is the docno followed by the
+    // whitespace-collapsed content (tags stripped; the synthetic content is
+    // entity-free)
+    "q_trec_parse" ->
+      s"""WITH $CorpusCte
+         |SELECT docno,
+         |       trim(concat(docno, ' ',
+         |            array_to_string(list_filter(
+         |              string_split_regex(content, '\\s+'), x -> x <> ''), ' '))) AS parsed
+         |FROM corpus ORDER BY docno""".stripMargin,
+    // WARC-parse replay: payload = the content verbatim; records rendered
+    // as requests (doc_id%7=3) or id-less responses (doc_id%7=5) are
+    // filtered out by the parser's record predicate
+    "q_warc_parse" ->
+      """SELECT concat('doc-', lpad(cast(doc_id AS varchar), 8, '0')) AS docno,
+        |       trim(text) AS parsed
+        |FROM documents WHERE doc_id % 7 NOT IN (3, 5)
+        |ORDER BY docno""".stripMargin,
     // BPE-ish token budgeting: the same regex runs verbatim in both engines
     // (valid Java regex AND RE2)
     "q_token_count" ->
