@@ -326,6 +326,15 @@ object SparkEntry {
           shingleN = 3, k = 12, rowsPerBand = 2, maxBucketSize = 2)
         .orderBy("docno_a", "docno_b")
     }),
+    // Lucene 5.4 stock similarities end-to-end (reflective `models` names):
+    // ranks through the real pipeline; oracles replay the published
+    // formulas in doubles with the lossy 1-byte norm supplied by the
+    // generated, independently-validated LuceneNormSql lookup
+    "q_bm25l_topk" -> ((s, dir) => stockRanks(s, dir, "bm25L")),
+    "q_classicl_topk" -> ((s, dir) => stockRanks(s, dir, "defaultL")),
+    "q_lmd_topk" -> ((s, dir) => stockRanks(s, dir, "lmdirichletL")),
+    "q_dfrl_topk" -> ((s, dir) => stockRanks(s, dir, "dfrL")),
+    "q_ibl_topk" -> ((s, dir) => stockRanks(s, dir, "ibL")),
     // TREC parser round trip: render the corpus as multi-doc TREC files
     // (10 docs per file, sorted), run the REAL line-scan parser, emit the
     // parsed text — certifies block detection, DOCNO extraction and
@@ -421,6 +430,12 @@ object SparkEntry {
         .orderBy("qid", "rank")
     })
   )
+
+  /** Standard-topic ranks under a named stock scorer. */
+  private def stockRanks(s: SparkSession, dir: String, scorer: String): DataFrame =
+    Engine.searcher(s, dir).search(topics, TopK, scorerName = scorer)
+      .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
 
   /** Feedback fixture: 2 relevant + 2 non-relevant docs by docno (present
     * at every sf — doc_ids 0-3), mirroring the reference's explicit-feedback
@@ -574,6 +589,66 @@ object SparkEntry {
       |  ('2','fast'),('2','table'),('2','scan'),
       |  ('3','dup'),('3','customer'),('3','data'),
       |  ('4','slow'),('4','query'),('4','window'))""".stripMargin
+
+  /** Shared skeleton for the Lucene stock-model oracles: the standard topic
+    * batch scored per (qid, doc) as Σ w × `partial`, where the partial sees
+    * `f.tf`, the lossy norm (`d.lossy_dl` / `d.inv_sqrt` from the generated
+    * [[LuceneNormSql]] lookup), `v.df`, `c.cf` and the collection stats.
+    * `coord = true` multiplies the sum by matched/nterms (DefaultSimilarity
+    * keeps coord, which is rank-relevant across docs); the classic
+    * queryNorm is a per-query constant and therefore rank-neutral — the
+    * ranks-only compare lets the oracle omit it.
+    *
+    * The sort key rounds to 10 decimals: documents with IDENTICAL stats
+    * multisets score exactly equal in the engine (same float partials,
+    * same order) and tie-break by docno, but DuckDB's double SUM visits
+    * their groups in different orders, leaving ±1e-16-relative noise that
+    * would flip the tie arbitrarily. Rounding collapses that noise while
+    * preserving genuine gaps (measured ≥1.2e-5 relative across all five
+    * models at gate scale — 5+ orders of margin).
+    */
+  private def stockModelSql(partial: String, coord: Boolean = false): String = {
+    val score =
+      if (coord) "round(s.score * (s.matched / CAST(z.nterms AS DOUBLE)), 10)"
+      else "round(s.score, 10)"
+    withCtes(
+      s""",
+         |$TopicsCte,
+         |${LuceneNormSql.cte},
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl0 AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |dln AS (SELECT d.docno, n.lossy_dl, n.inv_sqrt
+         |        FROM dl0 d JOIN lnorm n ON n.dl = d.dl),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |cfq AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
+         |qsize AS (SELECT qid, count(DISTINCT term) AS nterms FROM topics GROUP BY qid),
+         |scored AS (
+         |  SELECT q.qid, f.docno,
+         |         sum(q.w * ($partial)) AS score,
+         |         count(DISTINCT f.term) AS matched
+         |  FROM qterm q
+         |  JOIN tf f ON f.term = q.term
+         |  JOIN dln d ON d.docno = f.docno
+         |  JOIN df v ON v.term = q.term
+         |  JOIN cfq c ON c.term = q.term
+         |  CROSS JOIN st
+         |  GROUP BY q.qid, f.docno
+         |),
+         |ranked AS (
+         |  SELECT s.qid, s.docno,
+         |         (row_number() OVER (PARTITION BY s.qid ORDER BY $score DESC, s.docno ASC) - 1) AS rank
+         |  FROM scored s JOIN qsize z ON z.qid = s.qid
+         |)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin)
+  }
+
+  private val AvgdlSql = "(st.sumttf / CAST(st.n AS DOUBLE))"
+  /** NormalizationH2 tfn and the DFR/IB lambdas, substituted textually. */
+  private val TfnSql = s"(f.tf * log2(1.0 + $AvgdlSql / d.lossy_dl))"
 
   /** The BM25 top-k oracle — shared verbatim by q_bm25_topk and
     * q_stream_topk: BM25 over the streamed UnionIndex is float-identical
@@ -1083,6 +1158,38 @@ object SparkEntry {
          |)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // Lucene 5.4 BM25Similarity: natural-log idf, avgdl over maxDoc, lossy
+    // 1-byte doc length (LuceneNormSql)
+    "q_bm25l_topk" -> stockModelSql(
+      s"""ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5))
+         | * (1.2 + 1.0) * f.tf
+         | / (f.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.lossy_dl / $AvgdlSql))"""
+        .stripMargin.replace("\n", "")),
+    // Lucene DefaultSimilarity (classic TF-IDF): sqrt(tf) · idf² ·
+    // lossy 1/√dl fieldNorm, with the coord factor (queryNorm is a
+    // per-query constant → rank-neutral, omitted)
+    "q_classicl_topk" -> stockModelSql(
+      "sqrt(f.tf) * pow(1.0 + ln(st.n / (v.df + 1.0)), 2) * d.inv_sqrt",
+      coord = true),
+    // Lucene LMDirichletSimilarity (μ=2000): p(w|C) = (cf+1)/(Σcf+1),
+    // per-term floor at 0
+    "q_lmd_topk" -> stockModelSql(
+      """greatest(0.0, ln(1.0 + f.tf / (2000.0 * ((c.cf + 1.0) / (st.sumttf + 1.0))))
+        | + ln(2000.0 / (d.lossy_dl + 2000.0)))""".stripMargin.replace("\n", "")),
+    // Lucene DFRSimilarity(P, L, H2): tfn = tf·log2(1 + avgdl/dl_lossy),
+    // λ = (cf+1)/(N+1), Poisson information × L after-effect, floored at 0
+    "q_dfrl_topk" -> stockModelSql(
+      """greatest(0.0, (TFN * log2(TFN / LAM)
+        | + (LAM + 1.0 / (12 * TFN) - TFN) * (1.0 / ln(2.0))
+        | + 0.5 * log2(2 * pi() * TFN)) * (1.0 / (TFN + 1)))"""
+        .stripMargin.replace("\n", "")
+        .replace("LAM", "((c.cf + 1.0) / (st.n + 1.0))")
+        .replace("TFN", TfnSql)),
+    // Lucene IBSimilarity(SPL, DF, H2): λ = (df+1)/(N+1), floored at 0
+    "q_ibl_topk" -> stockModelSql(
+      "greatest(0.0, -log2((pow(LAM, TFN / (TFN + 1.0)) - LAM) / (1.0 - LAM)))"
+        .replace("LAM", "((v.df + 1.0) / (st.n + 1.0))")
+        .replace("TFN", TfnSql)),
     // TREC-parse replay: the parsed block text is the docno followed by the
     // whitespace-collapsed content (tags stripped; the synthetic content is
     // entity-free)

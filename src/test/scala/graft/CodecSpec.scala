@@ -108,6 +108,25 @@ class CodecSpec extends AnyFunSuite {
     assert(SmallFloat315.byte315ToFloat(0) == 0.0f)
   }
 
+  test("Lucene stock-model norms: independent truncation math validates " +
+      "every LuceneNormSql row (the q_*l_topk oracle lookup table)") {
+    import graft.search.LuceneNorms
+    (1 to graft.LuceneNormSql.MaxDl).foreach { dl =>
+      val v = (1.0 / math.sqrt(dl.toDouble)).toFloat
+      // independent 3-significant-bit truncation: exponent by power-of-two
+      // comparison (no log, no bit fiddling), mantissa by exact division
+      var e = 0
+      while (math.pow(2.0, e) > v) e -= 1
+      val step = math.pow(2.0, e - 2)
+      val truncated = (math.floor(v / step) * step).toFloat
+      assert(LuceneNorms.lossyInvSqrt(dl) == truncated, s"inv_sqrt dl=$dl")
+      assert(LuceneNorms.lossyDl(dl) == 1.0f / (truncated * truncated),
+        s"lossy_dl dl=$dl")
+    }
+    // the CTE itself prints round-trippable doubles
+    assert(graft.LuceneNormSql.cte.startsWith("lnorm(dl, lossy_dl, inv_sqrt)"))
+  }
+
   test("byte315 of an int doc length = truncate to 3 significant bits " +
       "(the closed form the q_bm25e_topk oracle replays in SQL)") {
     (1 to 200000).foreach { dl =>
