@@ -330,11 +330,29 @@ object SparkEntry {
     // ranks through the real pipeline; oracles replay the published
     // formulas in doubles with the lossy 1-byte norm supplied by the
     // generated, independently-validated LuceneNormSql lookup
+    // TMPL: score ≡ 1 per clause, so totals = matched clause multiplicity
+    // and ranks degenerate to the (count desc, docid asc) tie-break — an
+    // EXACT integer determinism probe of the whole collector chain
+    "q_tmpl_topk" -> ((s, dir) => stockRanks(s, dir, "tmpl")),
     "q_bm25l_topk" -> ((s, dir) => stockRanks(s, dir, "bm25L")),
     "q_classicl_topk" -> ((s, dir) => stockRanks(s, dir, "defaultL")),
     "q_lmd_topk" -> ((s, dir) => stockRanks(s, dir, "lmdirichletL")),
     "q_dfrl_topk" -> ((s, dir) => stockRanks(s, dir, "dfrL")),
     "q_ibl_topk" -> ((s, dir) => stockRanks(s, dir, "ibL")),
+    // snippet sink over the flagship hits: greedy 15-char fragmenter, best
+    // 4 fragments by matched-term count (document order, "..." joined) —
+    // ≙ the reference's Highlighter/SimpleFragmenter path; oracle replays
+    // the greedy fold with a recursive CTE
+    "q_snippets" -> ((s, dir) => {
+      val searcher = Engine.searcher(s, dir)
+      val an = new graft.analysis.Analyzer(searcher.index.cfg.analyzer)
+      val termsByQid = topics.map(t => t.qid -> an.analyze(t.text).toSet).toMap
+      graft.search.Snippets.attach(searcher.search(topics, TopK),
+          corpus.Corpus.fromDocuments(s, dir), an, termsByQid)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"),
+          col("snippet"))
+        .orderBy("qid", "rank")
+    }),
     // TREC parser round trip: render the corpus as multi-doc TREC files
     // (10 docs per file, sorted), run the REAL line-scan parser, emit the
     // parsed text — certifies block detection, DOCNO extraction and
@@ -683,10 +701,77 @@ object SparkEntry {
        |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
        |ORDER BY qid, rank""".stripMargin)
 
+  /** Snippet replay: the greedy char-budget fragmenter is a sequential fold
+    * (cur + 1 + |tok| > 15 → new fragment), replayed with a RECURSIVE walk
+    * over token indexes; fragment score = tokens ∈ the topic's term set,
+    * best 4 by (score desc, fragment order), re-sorted to document order,
+    * '...'-joined; hit set/ranks = the BM25 oracle's.
+    */
+  private lazy val SnippetsSql: String =
+    s"""WITH RECURSIVE $CorpusCte,
+       |$TokCte,
+       |$TopicsCte,
+       |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+       |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+       |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+       |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+       |              (SELECT count(*) FROM tok) AS sumttf),
+       |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
+       |scored AS (
+       |  SELECT q.qid, f.docno,
+       |         sum(q.w * ((1.2 + 1.0) * f.tf)
+       |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+       |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
+       |  FROM qterm q
+       |  JOIN tf f ON f.term = q.term
+       |  JOIN dl d ON d.docno = f.docno
+       |  JOIN df v ON v.term = q.term
+       |  CROSS JOIN st
+       |  GROUP BY q.qid, f.docno
+       |),
+       |ranked AS (
+       |  SELECT qid, docno,
+       |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+       |  FROM scored
+       |),
+       |rawt AS (SELECT docno,
+       |         list_filter(string_split_regex(content, '\\s+'), x -> x <> '') AS l
+       |         FROM corpus),
+       |toks AS (SELECT docno, unnest(l) AS tok, unnest(range(len(l))) AS i FROM rawt),
+       |walk(docno, i, fid, cur) AS (
+       |  SELECT docno, 0, 0, length(tok) FROM toks WHERE i = 0
+       |  UNION ALL
+       |  SELECT t.docno, w.i + 1,
+       |         CASE WHEN w.cur + 1 + length(t.tok) > 15 THEN w.fid + 1 ELSE w.fid END,
+       |         CASE WHEN w.cur + 1 + length(t.tok) > 15 THEN length(t.tok)
+       |              ELSE w.cur + 1 + length(t.tok) END
+       |  FROM walk w JOIN toks t ON t.docno = w.docno AND t.i = w.i + 1
+       |),
+       |fragtok AS (SELECT w.docno, w.fid, w.i, t.tok
+       |            FROM walk w JOIN toks t ON t.docno = w.docno AND t.i = w.i),
+       |frags AS (SELECT docno, fid, string_agg(tok, ' ' ORDER BY i) AS ftext
+       |          FROM fragtok GROUP BY 1, 2),
+       |fmatch AS (SELECT tp.qid, ft.docno, ft.fid, count(*) AS score
+       |           FROM fragtok ft
+       |           JOIN (SELECT DISTINCT qid, term FROM topics) tp ON tp.term = ft.tok
+       |           GROUP BY 1, 2, 3),
+       |sel AS (SELECT qid, docno, fid,
+       |               row_number() OVER (PARTITION BY qid, docno
+       |                                  ORDER BY score DESC, fid ASC) AS rn
+       |        FROM fmatch),
+       |snip AS (SELECT s.qid, s.docno,
+       |                string_agg(f.ftext, '...' ORDER BY s.fid) AS snippet
+       |         FROM sel s JOIN frags f ON f.docno = s.docno AND f.fid = s.fid
+       |         WHERE s.rn <= 4 GROUP BY 1, 2)
+       |SELECT r.qid, r.docno, r.rank, n.snippet
+       |FROM ranked r JOIN snip n ON n.qid = r.qid AND n.docno = r.docno
+       |WHERE r.rank < $TopK ORDER BY r.qid, r.rank""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "q_snippets" -> SnippetsSql,
     "q_stream_topk" -> Bm25TopkSql,
     "q_corpus" ->
       s"""WITH $CorpusCte
@@ -1150,6 +1235,25 @@ object SparkEntry {
          |  JOIN df v ON v.term = q.term
          |  CROSS JOIN st
          |  GROUP BY q.qid, f.docno
+         |),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scored
+         |)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // TMPL replay: totals = Σ topic-term multiplicity over matched terms
+    // (integer-exact; score ≡ 1 per clause)
+    "q_tmpl_topk" -> withCtes(
+      s""",
+         |$TopicsCte,
+         |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
+         |scored AS (
+         |  SELECT q.qid, t.docno, sum(q.w) AS score
+         |  FROM qterm q
+         |  JOIN (SELECT DISTINCT docno, term FROM tok) t ON t.term = q.term
+         |  GROUP BY 1, 2
          |),
          |ranked AS (
          |  SELECT qid, docno,

@@ -110,4 +110,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(union5.dirs.size == 1)
     assert(union5.stats.max_doc == 7)
   }
+
+  test("compactEvery wires periodic compaction into the stream itself") {
+    val src = TestSpark.tmpDir("autocompact-src")
+    val root = TestSpark.tmpDir("autocompact-root")
+    writeFile(src, "c1.parquet", batch1)
+    writeFile(src, "c2.parquet", batch2)
+    writeFile(src, "c3.parquet", batch3)
+    val q = StreamingIngest.start(spark, src, root, cfg, compactEvery = 2)
+    q.awaitTermination()
+    // batches 0,1,2: compaction fired after batch 1 → upto_1 + delta batch_2
+    val dirs = StreamingIngest.searchableDirs(spark, root)
+    assert(dirs.size == 2, dirs)
+    assert(dirs.head.contains("upto_1") && dirs.last.contains("batch_2"), dirs)
+    val union = StreamingIngest.openUnion(spark, root)
+    assert(union.stats.max_doc == 6)
+    val hit = new Searcher(union).search(Seq(Topic("1", "late arriving")), 10)
+      .collect().map(_.docno).toSet
+    assert(hit.contains("s-06"))
+  }
 }
