@@ -85,7 +85,7 @@ object KStemmer extends Stemmer {
     "morning", "evening", "meeting", "building", "ceiling", "clothing",
     "darling", "dumpling", "duckling", "earring", "feeling", "herring",
     "lightning", "offspring", "pudding", "sibling", "sterling", "swing",
-    "sling", "cling", "fling", "sting", "strings",
+    "sling", "cling", "fling", "sting",
     // -ed head words
     "red", "bed", "fed", "led", "wed", "need", "feed", "seed", "speed",
     "indeed", "deed", "proceed", "exceed", "succeed", "breed", "bleed",
@@ -254,17 +254,25 @@ object KStemmer extends Stemmer {
       w = w.dropRight(1)
     if (Lexicon.contains(w)) return w
 
-    // past-tense step
+    // past-tense step. A doubled consonant proves no 'e' was dropped
+    // (hop+p+ed, never *hoppe+ed), so e-restoration is skipped after an
+    // undouble — otherwise lexicon '-e' words capture unrelated stems
+    // (hopped → *hope, tapped → *tape).
     if (w.endsWith("ied") && w.length > 4) w = w.dropRight(3) + "y"
     else if (w.endsWith("ed") && w.length > 4) {
-      w = maybeRestoreE(undoDouble(w.dropRight(2)))
+      val s = w.dropRight(2)
+      val un = undoDouble(s)
+      w = if (un.length != s.length) un else maybeRestoreE(s)
     }
     if (Lexicon.contains(w)) return w
 
-    // aspect step
+    // aspect step (same undouble-vs-restore exclusivity)
     if (w.endsWith("ing") && w.length > 5) {
       val s = w.dropRight(3)
-      if (s.exists(vowel)) w = maybeRestoreE(undoDouble(s))
+      if (s.exists(vowel)) {
+        val un = undoDouble(s)
+        w = if (un.length != s.length) un else maybeRestoreE(s)
+      }
     }
     w
   }

@@ -228,13 +228,22 @@ final class Searcher(val index: BuiltIndex) {
     * a web-scale vocabulary is never fully scanned. Capped: a degenerate
     * one-letter prefix must fail loudly, not OOM the driver.
     */
-  def expandPrefix(prefix: String, cap: Int = 4096): Seq[String] = {
-    import spark.implicits._
-    val out = prefixScan(prefix).select("term").distinct()
-      .as[String].take(cap + 1).toSeq
-    require(out.size <= cap, s"prefix '$prefix*' expands past $cap terms")
-    out
-  }
+  // Expansions memoized per searcher (the index is immutable): repeated
+  // topics, and the CLI's snippet-highlight pass over the same topics,
+  // reuse the scan instead of re-running it.
+  private val prefixCache =
+    new scala.collection.concurrent.TrieMap[(String, Int), Seq[String]]()
+  private val fuzzyCache =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int), Seq[(String, Int)]]()
+
+  def expandPrefix(prefix: String, cap: Int = 4096): Seq[String] =
+    prefixCache.getOrElseUpdate((prefix, cap), {
+      import spark.implicits._
+      val out = prefixScan(prefix).select("term").distinct()
+        .as[String].take(cap + 1).toSeq
+      require(out.size <= cap, s"prefix '$prefix*' expands past $cap terms")
+      out
+    })
 
   /** The pruned vocabulary scan behind [[expandPrefix]] (exposed so specs
     * can assert the plan pushes the prefix predicate and prunes the length
@@ -253,17 +262,18 @@ final class Searcher(val index: BuiltIndex) {
     * maxExpansions=50 default instead of failing.
     */
   def expandFuzzy(base: String, maxEdits: Int,
-                  maxExpansions: Int = 50): Seq[(String, Int)] = {
-    import spark.implicits._
-    index.vocab
-      .where(col("len") >= base.length - maxEdits &&
-        col("len") <= base.length + maxEdits)
-      .select(col("term"), levenshtein(col("term"), lit(base)).as("d"))
-      .where(col("d") <= maxEdits)
-      .distinct()
-      .orderBy(col("d"), col("term"))
-      .as[(String, Int)].take(maxExpansions).toSeq
-  }
+                  maxExpansions: Int = 50): Seq[(String, Int)] =
+    fuzzyCache.getOrElseUpdate((base, maxEdits, maxExpansions), {
+      import spark.implicits._
+      index.vocab
+        .where(col("len") >= base.length - maxEdits &&
+          col("len") <= base.length + maxEdits)
+        .select(col("term"), levenshtein(col("term"), lit(base)).as("d"))
+        .where(col("d") <= maxEdits)
+        .distinct()
+        .orderBy(col("d"), col("term"))
+        .as[(String, Int)].take(maxExpansions).toSeq
+    })
 
   /** `mode = "or"` (default): disjunctive bag-of-words, the reference topic
     * behavior. `mode = "and"`: conjunctive — only docs matching EVERY
@@ -815,10 +825,13 @@ final class Searcher(val index: BuiltIndex) {
     (boostSum, othersSum)
   }
 
-  /** Distinct matching documents per query under OR semantics (≙ the
+  /** Distinct matching DOCNOS per query under OR semantics (≙ the
     * `TopDocs.totalHits` the reference's paging demo prints,
-    * `SearchFiles.java:149-150`): a pruned postings decode → distinct
-    * docid count, no scoring, no driver-side doc sets.
+    * `SearchFiles.java:149-150`): a pruned postings decode → docno attach →
+    * distinct count, no scoring, no driver-side doc sets. Counting docnos
+    * (not docids) keeps the paging invariant `totalHits ≥ collected hits`
+    * on indexes holding re-ingested duplicate docnos (streaming deltas /
+    * compactions), because [[search]] dedups its output by docno.
     */
   def matchCounts(topics: Seq[Topic]): Map[String, Long] = {
     import spark.implicits._
@@ -829,15 +842,22 @@ final class Searcher(val index: BuiltIndex) {
       pairs.groupBy(_._2).map { case (t, qs) => t -> qs.map(_._1).distinct.toArray }
     val termSeq = byTerm.keys.toSeq
     val buckets = termSeq.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
-    val counts = index.postings
+    val docShift = index.cfg.groupShift + index.cfg.mergeShift
+    val matched = index.postings
       .where(col("bucket").isin(buckets: _*) && col("term").isin(termSeq: _*))
       .as[PostingRun]
       .flatMap { run =>
         val qids = byTerm(run.term)
         PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
           .flatMap(p => qids.iterator.map(q => (q, p.docid)))
-      }
-      .distinct().groupByKey(_._1).count().collect().toMap
+      }.toDF("qid", "docid").distinct()
+    val counts = matched
+      .withColumn("grp", shiftright(col("docid"), docShift))
+      .join(index.docs.select(col("docid"), col("docno"), col("grp")),
+        Seq("docid", "grp"))
+      .select(col("qid"), col("docno")).distinct()
+      .groupBy("qid").count()
+      .as[(String, Long)].collect().toMap
     topics.map(t => t.qid -> counts.getOrElse(t.qid, 0L)).toMap
   }
 

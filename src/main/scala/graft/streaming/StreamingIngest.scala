@@ -74,9 +74,19 @@ object StreamingIngest {
     */
   def compact(spark: SparkSession, rootDir: String,
               minDirs: Int = 2): Option[BuiltIndex] = {
-    val dirs = searchableDirs(spark, rootDir)
+    // ONE directory snapshot: `upto` must name exactly the batch ids inside
+    // this compaction — a batch completing after the listing stays > upto
+    // and remains searchable next to the new compaction (a second listing
+    // could mark it covered without including it, silently dropping docs).
+    val prev = completedIds(spark, compactedRoot(rootDir), "upto_").lastOption
+    val newBatches = prev match {
+      case Some((upto, _)) =>
+        completedIds(spark, batchesDir(rootDir), "batch_").filter(_._1 > upto)
+      case None => completedIds(spark, batchesDir(rootDir), "batch_")
+    }
+    val dirs = prev.map(_._2).toSeq ++ newBatches.map(_._2)
     if (dirs.size < minDirs) return None
-    val upto = completedIds(spark, batchesDir(rootDir), "batch_").map(_._1).max
+    val upto = (prev.map(_._1).toSeq ++ newBatches.map(_._1)).max
     val out = s"${compactedRoot(rootDir)}/upto_$upto"
     val cfg = BuiltIndex.open(spark, dirs.head).cfg.copy(docidEpoch = 0)
     Some(graft.index.SegmentMerger.compactIndexes(spark, dirs, out, cfg))

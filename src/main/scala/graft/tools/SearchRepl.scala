@@ -65,7 +65,7 @@ object SearchRepl {
       searcher.search(Seq(topic), k, scorerName).collect().sortBy(_.rank)
 
     var hits = runSearch(5 * hitsPerPage)
-    val numTotalHits = searcher.matchCounts(Seq(topic))(topic.qid)
+    var numTotalHits = searcher.matchCounts(Seq(topic))(topic.qid)
     out.println(s"$numTotalHits total matching documents")
 
     var start = 0
@@ -80,6 +80,12 @@ object SearchRepl {
         if (line == null || line.isEmpty || line.charAt(0) == 'n')
           return
         hits = runSearch(math.min(numTotalHits, Int.MaxValue.toLong).toInt)
+        // after a FULL collect the hit list is definitive — clamp the bound
+        // so the prompt cannot recur (search() dedups docnos, so k hits in
+        // can come back as fewer rows than matchCounts' docno total when
+        // duplicate docnos crowd the top-k; Lucene has no dedup and never
+        // hits this)
+        numTotalHits = math.min(numTotalHits, hits.length.toLong)
       }
       end = math.min(hits.length, start + hitsPerPage)
       (start until end).foreach(i => out.println(s"${i + 1}. ${hits(i).docno}"))

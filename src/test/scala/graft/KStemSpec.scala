@@ -70,4 +70,17 @@ class KStemSpec extends AnyFunSuite {
     assert(KStemmer.stem("boxes") == "box")
     assert(KStemmer.stem("indexes") == "index")
   }
+
+  test("undouble and e-restore are mutually exclusive (review regression)") {
+    // a doubled consonant proves no 'e' was dropped — these must NOT be
+    // captured by the lexicon's '-e' head words
+    assert(KStemmer.stem("hopped") == "hop")
+    assert(KStemmer.stem("tapped") == "tap")
+    assert(KStemmer.stem("sitting") == "sit")
+    assert(KStemmer.stem("robbed") == "rob")
+    assert(KStemmer.stem("pinned") == "pin")
+    // plural of an -ing head word still conflates through the s-drop
+    assert(KStemmer.stem("strings") == "string")
+    assert(KStemmer.stem("kings") == "king")
+  }
 }
