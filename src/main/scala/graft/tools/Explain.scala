@@ -44,6 +44,19 @@ object Explain {
     println("\n========== docs scan for doclens (column pruning: docno, dl only) ==========")
     idx.docs.select("docno", "dl").explain("formatted")
 
+    val searcher = new graft.search.Searcher(idx)
+    println("\n========== vocab prefix scan (StringStartsWith pushed + len partition bound) ==========")
+    searcher.prefixScan("qu").explain("formatted")
+
+    println("\n========== vocab fuzzy length band (len partition pruning) ==========")
+    idx.vocab.where(col("len") >= 2 && col("len") <= 6).explain("formatted")
+
+    println("\n========== fuzzy blended search plan ==========")
+    searcher.searchQuery(Seq(Topic("1", "lin~2 window")), 20).explain("formatted")
+
+    println("\n========== sloppy phrase search plan ==========")
+    searcher.searchQuery(Seq(Topic("1", "\"hash merge\"~2")), 20).explain("formatted")
+
     spark.stop()
   }
 }

@@ -87,6 +87,22 @@ class SimpleQuerySpec extends AnyFunSuite {
     assert(hits("s-4") > hits.removed("s-4").values.max)
   }
 
+  test("fuzzy composes with AND mode and dead expansions kill the query") {
+    // deta~1 → {beta, delta}; conjunctive with gamma: only s-1 has
+    // (beta ∨ delta) ∧ gamma
+    val and = searcher.searchQuery(Seq(Topic("1", "deta~1 + gamma")), 10)
+      .collect().map(_.docno).toSet
+    assert(and == Set("s-1"))
+    // an empty fuzzy expansion in AND mode matches nothing
+    val dead = searcher.searchQuery(Seq(Topic("1", "zzzzz~1 + alpha")), 10)
+      .collect()
+    assert(dead.isEmpty)
+    // …but in OR mode the query degrades to the other clauses
+    val or = searcher.searchQuery(Seq(Topic("1", "zzzzz~1 alpha")), 10)
+      .collect().map(_.docno).toSet
+    assert(or == Set("s-1", "s-2", "s-3"))
+  }
+
   private lazy val searcher: Searcher = {
     import spark.implicits._
     val corpus = Seq(
