@@ -215,6 +215,19 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // IVF ANN (the other scale path next to sign-LSH): 8 seed centroids
+    // (iters = 0 so the quantizer is SQL-replayable — ivfTrain's FP-mean
+    // nondeterminism is spec-locked instead, see ops.Knn.ivfTrain), probe
+    // the 2 nearest cells, exact-cosine re-rank inside them
+    "q_ivf_knn" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cents = ops.Knn.ivfSeedCentroids(emb, 8)
+      ops.Knn.ivfTopK(emb, q, 10, cents, nProbe = 2)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // Structured-Streaming ingest end-to-end: the corpus arrives as two
     // file-source micro-batches (AvailableNow), each becoming an immutable
     // delta index; BM25 over the UnionIndex is float-identical to a
@@ -999,6 +1012,42 @@ object SparkEntry {
         |  FROM probes p
         |  JOIN bucket vb ON vb.bucket = p.bucket
         |  JOIN embeddings e ON e.vec_id = vb.vec_id
+        |  WHERE e.vec_id <> p.qid),
+        |ranked AS (
+        |  SELECT qid, vec_id,
+        |         (row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) - 1) AS rank
+        |  FROM cand)
+        |SELECT qid, vec_id, rank FROM ranked WHERE rank < 10
+        |ORDER BY qid, rank""".stripMargin,
+    // IVF replay: nearest-centroid assignment (cos desc, cid asc — the
+    // engine's ascending-cid fold keeps the lowest cid on exact ties),
+    // top-2 probed cells per query, exact cosine re-rank inside them
+    "q_ivf_knn" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+        |               FROM embeddings WHERE vec_id < 8),
+        |va AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+        |                      c.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, c.cid,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+        |                      c.cid ASC) AS rn
+        |    FROM q CROSS JOIN cents c) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, e.vec_id,
+        |         list_cosine_similarity(q.qv, e.embedding) AS cos
+        |  FROM probes p
+        |  JOIN q USING (qid)
+        |  JOIN va ON va.cid = p.cid
+        |  JOIN embeddings e ON e.vec_id = va.vec_id
         |  WHERE e.vec_id <> p.qid),
         |ranked AS (
         |  SELECT qid, vec_id,

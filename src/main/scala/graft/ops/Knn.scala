@@ -109,6 +109,110 @@ object Knn {
         cosine(col("qv"), col("embedding")).as("cos"))
     rankTopK(scored, k)
   }
+
+  // --- IVF (inverted-file) ANN — coarse-quantizer cells + nProbe search ---
+  // The classic alternative to LSH blocking (Jégou/Douze/Schmid, TPAMI 2011,
+  // "Product Quantization for Nearest Neighbor Search" — the IVF half,
+  // without the PQ residual codes): assign every vector to its nearest
+  // coarse centroid, search only the `nProbe` cells nearest the query,
+  // exact-cosine re-rank inside them.
+
+  /** Per-row nearest-centroid id as ONE Catalyst fold expression — no
+    * shuffle, no join: the centroid table (the coarse quantizer, small by
+    * construction — hundreds to a few thousand entries) is embedded as an
+    * array literal and folded left-to-right per row. Strict `>` keeps the
+    * lowest cid on exact cosine ties (the fold scans ascending cid).
+    *
+    * At 10^12 rows this is the whole point of IVF: assignment is a narrow
+    * codegen'd map over the scan, so building the cell index costs one pass
+    * and zero shuffles. (For quantizers too big to inline in a plan —
+    * >~10^4 centroids — the same fold would move to a broadcast variable +
+    * mapPartitions; not needed at any size this repo targets.)
+    */
+  def ivfCellExpr(embedding: Column, centroids: Seq[(Long, Seq[Float])]): Column = {
+    val cents = typedLit(centroids.sortBy(_._1))
+    // both branches use positional struct names (col1, col2) so the CASE
+    // branches type-match: col1 = best cid, col2 = best cosine
+    val best = aggregate(
+      cents,
+      struct(lit(-1L), lit(-2.0)),
+      (acc, c) => {
+        val cos = cosine(embedding, c.getField("_2"))
+        when(cos > acc.getField("col2"),
+          struct(c.getField("_1").cast("long"), cos))
+          .otherwise(acc)
+      })
+    best.getField("col1")
+  }
+
+  /** Deterministic seed quantizer: the `nCentroids` lowest-id vectors
+    * (cid = vec_id). Cheap (TakeOrdered, no full sort) and exactly
+    * SQL-replayable — the oracle's path. [[ivfTrain]] refines it.
+    */
+  def ivfSeedCentroids(vectors: DataFrame, nCentroids: Int): Seq[(Long, Seq[Float])] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.orderBy("vec_id").limit(nCentroids)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+  }
+
+  /** Lloyd refinement of the seed quantizer: `iters` rounds of
+    * assign-to-nearest + dim-wise mean. Train on a sample at scale — the
+    * quantizer only needs the density shape, not every row. Empty cells
+    * keep their previous centroid (standard k-means practice). Means are
+    * floating-point sums whose order Spark does not fix, so trained
+    * centroids are deterministic only up to ulps — the gate entry therefore
+    * certifies the `iters = 0` seed path and OpsSpec locks the training
+    * invariants (cell count, assignment improvement).
+    */
+  def ivfTrain(vectors: DataFrame, nCentroids: Int, iters: Int): Seq[(Long, Seq[Float])] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    var cents = ivfSeedCentroids(vectors, nCentroids)
+    for (_ <- 0 until iters) {
+      val means = vectors
+        .select(ivfCellExpr(col("embedding"), cents).as("cid"),
+          posexplode(col("embedding")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("cv"))
+        .as[(Long, Seq[Float])].collect().toMap
+      cents = cents.map { case (cid, cv) => cid -> means.getOrElse(cid, cv) }
+    }
+    cents
+  }
+
+  /** IVF top-k: score the query against the probed cells only.
+    * `centroids` comes from [[ivfSeedCentroids]] or [[ivfTrain]]. Queries
+    * probe their `nProbe` nearest cells (cos desc, cid asc); candidates are
+    * re-ranked by exact double cosine through the same bounded-heap top-k
+    * as the brute-force path. The vector table sees one narrow assignment
+    * pass and one broadcast semi-join — no wide shuffle.
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              centroids: Seq[(Long, Seq[Float])], nProbe: Int): DataFrame = {
+    require(centroids.nonEmpty, "IVF needs at least one centroid")
+    val va = vectors.withColumn("cid", ivfCellExpr(col("embedding"), centroids))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // nProbe nearest cells per query — queries are small by contract (they
+    // broadcast), so rank via the same heap aggregator with cid as the key
+    val centDf = centroids.toDF("cid", "cv")
+    val probes = rankTopK(
+      queries.crossJoin(broadcast(centDf))
+        .select(col("qid"), col("cid").as("vec_id"),
+          cosine(col("qv"), col("cv")).as("cos")),
+      nProbe)
+      .select(col("qid"), col("vec_id").as("cid"))
+      .join(queries, "qid")
+    val scored = va.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    rankTopK(scored, k)
+  }
 }
 
 /** Bounded top-k heap over (qid, vec_id, cos): buffers stay ≤ 4k entries,

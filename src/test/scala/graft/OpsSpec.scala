@@ -115,6 +115,51 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == lsh2)
   }
 
+  test("ivf knn: cell partition is total, recall reasonable, training improves assignment") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val seed = Knn.ivfSeedCentroids(emb, 8)
+    assert(seed.map(_._1) == (0L until 8L))
+
+    // every vector lands in exactly one cell, and only seed cids appear
+    val cells = emb.select(col("vec_id"),
+        Knn.ivfCellExpr(col("embedding"), seed).as("cid")).collect()
+    assert(cells.length == emb.count())
+    assert(cells.map(_.getLong(1)).forall(c => c >= 0 && c < 8))
+
+    // probing ALL cells must recover brute force exactly (rank-identical)
+    val brute = Knn.bruteForceTopK(emb, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Knn.ivfTopK(emb, q, 10, seed, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == brute)
+
+    // nProbe=2 of 8 cells: approximate, but far better than chance
+    val ivf = Knn.ivfTopK(emb, q, 10, seed, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = (bruteIds & ivf).size.toDouble / bruteIds.size
+    assert(recall >= 0.3, s"recall=$recall")
+
+    // Lloyd refinement: same cell count, and mean assignment cosine does
+    // not get worse (k-means' objective is monotone per iteration)
+    val trained = Knn.ivfTrain(emb, 8, iters = 2)
+    assert(trained.map(_._1) == seed.map(_._1))
+    assert(trained.forall(_._2.length == seed.head._2.length))
+    def meanAssignCos(cents: Seq[(Long, Seq[Float])]): Double = {
+      val cdf = {
+        import spark.implicits._
+        cents.toDF("cid", "cv")
+      }
+      emb.withColumn("cid", Knn.ivfCellExpr(col("embedding"), cents))
+        .join(cdf, "cid")
+        .select(avg(Knn.cosine(col("embedding"), col("cv"))))
+        .head().getDouble(0)
+    }
+    assert(meanAssignCos(trained) >= meanAssignCos(seed) - 1e-9)
+  }
+
   test("winnowing fingerprints: window coverage, rightmost-min, short docs") {
     import graft.ops.Fingerprint
     val toks = "alpha beta gamma delta epsilon zeta eta theta iota".split(" ").toIndexedSeq
