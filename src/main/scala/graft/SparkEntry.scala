@@ -314,10 +314,43 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
-    // SimpleQueryParser '-' NOT: docs containing a negated term are
-    // anti-joined out BEFORE ranking (≙ Lucene MUST_NOT — ranks close up)
+    // SimpleQueryParser '-' NOT, faithful to Lucene's match-all wrap
+    // (SimpleQueryParser.buildQueryTree rewrites a negated clause to
+    // (MUST_NOT x, SHOULD MatchAllDocsQuery)): under the default OR
+    // operator, positive matches containing the negated term STAY (they
+    // just lose the constant +1 branch) and docs free of both the
+    // positives and the negated term enter at exactly 1.0 — the documented
+    // simple_query_string gotcha, replayed integrally by the oracle.
+    // (r2 scored this entry as a hard anti-join; that semantics now lives
+    // in q_must_not_topk, the programmatic sibling-MUST_NOT API.)
     "q_not_topk" -> ((s, dir) => {
       Engine.searcher(s, dir).searchQuery(notTopics, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // a true sibling MUST_NOT clause in one BooleanQuery (programmatic
+    // searchClauses negTerms): matching docs are anti-joined out BEFORE
+    // ranking — ranks close up, the hard exclusion the '-' syntax does NOT
+    // perform under the parser's default OR
+    "q_must_not_topk" -> ((s, dir) => {
+      val wc = Seq("1" -> Seq("hash", "join", "merge"),
+          "2" -> Seq("fast", "table", "scan"))
+        .flatMap { case (qid, ts) =>
+          ts.zipWithIndex.map { case (t, i) =>
+            graft.search.WeightedClause(qid, i, t, 1.0f)
+          }
+        }
+      Engine.searcher(s, dir)
+        .searchClauses(wc, TopK, negTerms = Seq("1" -> "window", "2" -> "customer"))
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // SimpleQueryParser '( )' precedence groups + left-associative operator
+    // batching: topic 1 = (hash OR merge) AND scan, topic 2 =
+    // (table AND fast) OR scan — the operator-change wrap, BooleanQuery
+    // tree evaluated per doc
+    "q_group_topk" -> ((s, dir) => {
+      Engine.searcher(s, dir).searchQuery(groupTopics, TopK)
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
@@ -496,11 +529,18 @@ object SparkEntry {
     Topic("2", "valu~1"))
 
   /** Topics for the `-`-negation gate entry: positive bag-of-words terms
-    * with one MUST_NOT term each.
+    * with one negated term each (scored under the faithful match-all wrap).
     */
   val notTopics: Seq[Topic] = Seq(
     Topic("1", "hash join merge -window"),
     Topic("2", "fast table scan -customer"))
+
+  /** Topics for the precedence-group gate entry: a group under MUST and an
+    * operator-change chain (AND pair folded into an OR).
+    */
+  val groupTopics: Seq[Topic] = Seq(
+    Topic("1", "(hash | merge) + scan"),
+    Topic("2", "table + fast | scan"))
 
   /** Topics for the exact-phrase gate entry: a pure phrase query and a
     * phrase mixed with a loose OR term.
@@ -1094,7 +1134,56 @@ object SparkEntry {
          |ORDER BY qid, rank""".stripMargin),
     // MUST_NOT: BM25 over the positive terms, minus docs containing any
     // negated term (excluded before ranking, so ranks close up)
+    // faithful '-' replay: every doc matching a positive OR free of the
+    // negated term is in; neg-free docs add the match-all constant 1.0
     "q_not_topk" -> withCtes(
+      s""",
+         |topics(qid, term) AS (VALUES
+         |  ('1','hash'),('1','join'),('1','merge'),
+         |  ('2','fast'),('2','table'),('2','scan')),
+         |neg(qid, term) AS (VALUES ('1','window'),('2','customer')),
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
+         |scored AS (
+         |  SELECT q.qid, f.docno,
+         |         sum(q.w * ((1.2 + 1.0) * f.tf)
+         |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
+         |  FROM qterm q
+         |  JOIN tf f ON f.term = q.term
+         |  JOIN dl d ON d.docno = f.docno
+         |  JOIN df v ON v.term = q.term
+         |  CROSS JOIN st
+         |  GROUP BY q.qid, f.docno
+         |),
+         |negdoc AS (
+         |  SELECT DISTINCT n.qid, f.docno
+         |  FROM neg n JOIN tf f ON f.term = n.term),
+         |univ AS (
+         |  SELECT q.qid, c.docno
+         |  FROM (SELECT DISTINCT qid FROM topics) q CROSS JOIN corpus c),
+         |fin AS (
+         |  SELECT u.qid, u.docno,
+         |         coalesce(s.score, 0)
+         |           + (CASE WHEN nd.docno IS NULL THEN 1.0 ELSE 0 END) AS score,
+         |         (s.docno IS NOT NULL OR nd.docno IS NULL) AS m
+         |  FROM univ u
+         |  LEFT JOIN scored s ON s.qid = u.qid AND s.docno = u.docno
+         |  LEFT JOIN negdoc nd ON nd.qid = u.qid AND nd.docno = u.docno),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM fin WHERE m
+         |)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // hard-exclusion replay (programmatic sibling MUST_NOT): docs holding a
+    // negated term are removed before ranking
+    "q_must_not_topk" -> withCtes(
       s""",
          |topics(qid, term) AS (VALUES
          |  ('1','hash'),('1','join'),('1','merge'),
@@ -1128,6 +1217,53 @@ object SparkEntry {
          |  SELECT qid, docno,
          |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
          |  FROM kept
+         |)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // precedence-group replay: topic 1 = (hash OR merge) AND scan — scan
+    // required, the OR group sums whichever side matched; topic 2 =
+    // (table AND fast) OR scan — the AND pair as one branch, full outer
+    // with the scan branch
+    "q_group_topk" -> withCtes(
+      s""",
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |bm25 AS (
+         |  SELECT f.term, f.docno,
+         |         ((1.2 + 1.0) * f.tf)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |         * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0)) AS score
+         |  FROM tf f JOIN dl d USING (docno) JOIN df v ON v.term = f.term
+         |  CROSS JOIN st
+         |  WHERE f.term IN ('hash', 'merge', 'scan', 'table', 'fast')),
+         |t1 AS (
+         |  SELECT s.docno,
+         |         coalesce(h.score, 0) + coalesce(m.score, 0) + s.score AS score
+         |  FROM (SELECT docno, score FROM bm25 WHERE term = 'scan') s
+         |  LEFT JOIN (SELECT docno, score FROM bm25 WHERE term = 'hash') h USING (docno)
+         |  LEFT JOIN (SELECT docno, score FROM bm25 WHERE term = 'merge') m USING (docno)
+         |  WHERE h.docno IS NOT NULL OR m.docno IS NOT NULL),
+         |pair2 AS (
+         |  SELECT t.docno, t.score + f.score AS score
+         |  FROM (SELECT docno, score FROM bm25 WHERE term = 'table') t
+         |  JOIN (SELECT docno, score FROM bm25 WHERE term = 'fast') f USING (docno)),
+         |t2 AS (
+         |  SELECT coalesce(a.docno, s.docno) AS docno,
+         |         coalesce(a.score, 0) + coalesce(s.score, 0) AS score
+         |  FROM pair2 a
+         |  FULL OUTER JOIN (SELECT docno, score FROM bm25 WHERE term = 'scan') s
+         |    ON s.docno = a.docno),
+         |ranked AS (
+         |  SELECT '1' AS qid, docno,
+         |         (row_number() OVER (ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM t1
+         |  UNION ALL
+         |  SELECT '2' AS qid, docno,
+         |         (row_number() OVER (ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM t2
          |)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),

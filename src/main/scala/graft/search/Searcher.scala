@@ -137,90 +137,147 @@ final class Searcher(val index: BuiltIndex) {
     pruningAccs.map { case (d, p) => (d.value.longValue, p.value.longValue) }
       .getOrElse((0L, 0L))
 
-  /** Full SimpleQueryParser-subset retrieval: parses each topic's text for
-    * `+` AND / `|` OR / `-` NOT / `"…"` phrase-as-conjunction (see
-    * [[SimpleQuery]]), analyzes every token with the index analyzer, and
-    * dispatches per-topic to the OR or AND scorer with MUST_NOT terms
-    * excluded before ranking (≙ `BatchSearch.java:252`'s parser over the
-    * same syntax).
+  /** The analyzed-leaf factory behind [[searchQuery]]: tokens run the full
+    * index analyzer (a token analyzing to several terms becomes a
+    * default-operator boolean group, ≙ `QueryBuilder.createBooleanQuery`; a
+    * pure-stopword token dies at parse time like Lucene's null branch);
+    * phrase text keeps positionIncrement gaps; prefix/fuzzy text is
+    * lowercased but NOT stemmed/stopped, like Lucene's multi-term query
+    * normalization. On a positions-less index a multi-word phrase degrades
+    * to a MUST-group of its terms (documented fallback — the conjunction is
+    * scoped to the phrase clause, unlike r2's whole-query AND).
+    */
+  private lazy val leafFactory: BoolQuery.LeafFactory = new BoolQuery.LeafFactory {
+    import BoolQuery._
+    private val hasPositions = index.cfg.indexPositions
+    def token(text: String): Option[Node] = {
+      val terms = analyzer.analyze(text)
+      terms.length match {
+        case 0 => None
+        case 1 => Some(TermLeaf(terms.head))
+        case _ => Some(BoolNode(
+          terms.map(t => (Should: Occur, TermLeaf(t): Node)).toVector))
+      }
+    }
+    def phrase(text: String, slop: Int): Option[Node] =
+      if (hasPositions) {
+        val slots = analyzer.analyzeWithPositions(text)
+        if (slots.isEmpty) None
+        else if (slots.length == 1) Some(TermLeaf(slots.head._1)) // Lucene rewrite
+        else Some(PhraseLeaf(slots.toSeq, slop))
+      } else {
+        val terms = analyzer.analyze(text)
+        if (terms.isEmpty) None
+        else if (terms.length == 1) Some(TermLeaf(terms.head))
+        else Some(BoolNode(
+          terms.map(t => (Must: Occur, TermLeaf(t): Node)).toVector))
+      }
+    def prefix(text: String): Option[Node] =
+      Some(PrefixLeaf(analyzer.lowercase(text)))
+    def fuzzy(text: String, maxEdits: Int): Option[Node] =
+      Some(FuzzyLeaf(analyzer.lowercase(text), maxEdits))
+  }
+
+  /** Full SimpleQueryParser retrieval (≙ `BatchSearch.java:252`'s
+    * `parser.parse(queryText)` with every feature flag on): each topic's
+    * text parses to a [[BoolQuery]] boolean tree — `+`/`|` left-associative
+    * operator chains, `( )` groups, `-` negation via the match-all wrap,
+    * `"…"`/`"…"~N` phrases, `*` prefix, `~N` fuzzy, `\` escapes — and the
+    * tree is evaluated per document over the distributed partial-score
+    * stream (see `trees` in [[searchClauses]]).
+    *
+    * Faithful-negation note: under the parser's default SHOULD operator a
+    * negated clause does NOT exclude documents that match other SHOULD
+    * clauses — it contributes a match-all branch scoring a constant 1 to
+    * every document outside the negated set (the well-documented
+    * `SimpleQueryParser` wrap). Callers wanting a true sibling MUST_NOT
+    * (hard exclusion) build it programmatically via
+    * [[searchClauses]]'s `negTerms`.
     */
   def searchQuery(topics: Seq[Topic], k: Int = 1000,
                   scorerName: String = "bm25"): Dataset[RunLine] = {
-    val hasPositions = index.cfg.indexPositions
-    val parsed = topics.map(t => t -> SimpleQuery.parse(t.text))
-
-    // Per topic: loose positive terms + (exact phrase clauses when the index
-    // stores positions, else phrase words degrade to required co-occurring
-    // terms — documented fallback) + prefix/fuzzy expansion clauses.
-    // Clause indexes stay disjoint per topic.
-    def clausesOf(sel: Seq[(Topic, SimpleQuery)])
-        : (Seq[WeightedClause], Seq[PhraseClause], Seq[ExpansionClause],
-           Seq[BlendedClause]) = {
-      val wc = Seq.newBuilder[WeightedClause]
-      val pc = Seq.newBuilder[PhraseClause]
-      val ec = Seq.newBuilder[ExpansionClause]
-      val bc = Seq.newBuilder[BlendedClause]
-      sel.foreach { case (t, q) =>
+    import BoolQuery._
+    val wc = Seq.newBuilder[WeightedClause]
+    val pc = Seq.newBuilder[PhraseClause]
+    val ec = Seq.newBuilder[ExpansionClause]
+    val bc = Seq.newBuilder[BlendedClause]
+    val treeB = Map.newBuilder[String, TreeSpec]
+    topics.foreach { t =>
+      BoolQuery.parse(t.text, leafFactory).foreach { root =>
         var i = 0
-        q.positive.flatMap(analyzer.analyze(_)).foreach { term =>
-          wc += WeightedClause(t.qid, i, term, 1.0f); i += 1
-        }
-        q.phrases.foreach { case (p, slop) =>
-          if (hasPositions) {
-            val slots = analyzer.analyzeWithPositions(p)
-            if (slots.length == 1) { // 1-term phrase ≡ TermQuery (Lucene rewrite)
-              wc += WeightedClause(t.qid, i, slots.head._1, 1.0f); i += 1
-            } else if (slots.nonEmpty) {
-              pc += PhraseClause(t.qid, i, slots.toSeq, 1.0f, slop); i += 1
+        val prohibited = Set.newBuilder[Int]
+        var nMatchAll = 0
+        def go(n: Node, underNot: Boolean): EvalNode = n match {
+          case MatchAllNode =>
+            if (!underNot) nMatchAll += 1
+            EConst(1.0f) // queryNorm folded in by searchClauses
+          case TermLeaf(term) =>
+            val q = i; i += 1; if (underNot) prohibited += q
+            wc += WeightedClause(t.qid, q, term, 1.0f)
+            ELeaf(q)
+          case PhraseLeaf(slots, slop) =>
+            val q = i; i += 1; if (underNot) prohibited += q
+            pc += PhraseClause(t.qid, q, slots, 1.0f, slop)
+            ELeaf(q)
+          case PrefixLeaf(p) =>
+            val q = i; i += 1; if (underNot) prohibited += q
+            ec += ExpansionClause(t.qid, q, expandPrefix(p), 1.0f)
+            ELeaf(q)
+          case FuzzyLeaf(base, d) =>
+            val q = i; i += 1; if (underNot) prohibited += q
+            val baseCp = base.codePointCount(0, base.length)
+            val boosted = expandFuzzy(base, d).map { case (term, dist) =>
+              val termCp = term.codePointCount(0, term.length)
+              val boost = if (dist == 0) 1.0f
+                else 1.0f - dist.toFloat / math.min(baseCp, termCp).toFloat
+              (term, boost)
             }
-          } else {
-            analyzer.analyze(p).foreach { term =>
-              wc += WeightedClause(t.qid, i, term, 1.0f); i += 1
-            }
-          }
+            bc += BlendedClause(t.qid, q, boosted, 1.0f)
+            ELeaf(q)
+          case BoolNode(children) =>
+            EBool(children.map { case (occ, child) =>
+              val code = occ match {
+                case Must => 0
+                case Should => 1
+                case MustNot => 2
+              }
+              (code, go(child, underNot || occ == MustNot))
+            }.toArray)
         }
-        // prefix/fuzzy are normalized (lowercased) but NOT stemmed/stopped —
-        // they match the vocabulary as stored, like Lucene's multi-term
-        // query normalization
-        q.prefixes.foreach { p =>
-          ec += ExpansionClause(t.qid, i, expandPrefix(analyzer.lowercase(p)), 1.0f)
-          i += 1
-        }
-        q.fuzzies.foreach { case (b, d) =>
-          val base = analyzer.lowercase(b)
-          val baseCp = base.codePointCount(0, base.length)
-          val boosted = expandFuzzy(base, d).map { case (term, dist) =>
-            val termCp = term.codePointCount(0, term.length)
-            val boost = if (dist == 0) 1.0f
-              else 1.0f - dist.toFloat / math.min(baseCp, termCp).toFloat
-            (term, boost)
-          }
-          bc += BlendedClause(t.qid, i, boosted, 1.0f)
-          i += 1
-        }
+        val root2 = go(root, underNot = false)
+        treeB += t.qid -> TreeSpec(root2, prohibited.result(), nMatchAll)
       }
-      (wc.result(), pc.result(), ec.result(), bc.result())
     }
-    def negsOf(sel: Seq[(Topic, SimpleQuery)]): Seq[(String, String)] =
-      sel.flatMap { case (t, q) =>
-        q.negative.flatMap(analyzer.analyze(_)).map(t.qid -> _)
-      }
-    // without positions, a phrase forces conjunction (legacy fallback)
-    def isConj(q: SimpleQuery): Boolean =
-      q.conjunctive || (!hasPositions && q.phrases.nonEmpty)
-    val (conj, disj) = parsed.partition(p => isConj(p._2))
-    val runs = Seq(
-      (disj, "or"),
-      (conj, "and")
-    ).filter(_._1.nonEmpty).map { case (sel, mode) =>
-      val (wc, pc, ec, bc) = clausesOf(sel)
-      searchClauses(wc, k, scorerName, mode = mode,
-        negTerms = negsOf(sel), phraseClauses = pc, expansionClauses = ec,
-        blendedClauses = bc)
+    val trees = treeB.result()
+    if (trees.isEmpty) {
+      import spark.implicits._
+      return spark.emptyDataset[RunLine]
     }
-    runs.reduceOption(_ union _)
-      .getOrElse { import spark.implicits._; spark.emptyDataset[RunLine] }
+    searchClauses(wc.result(), k, scorerName, phraseClauses = pc.result(),
+      expansionClauses = ec.result(), blendedClauses = bc.result(),
+      trees = trees)
   }
+
+  /** Analyzed, expanded highlight vocabulary of a query text: terms of
+    * every scoring (non-MUST_NOT) leaf — loose terms, phrase slots,
+    * prefix/fuzzy expansions (≙ Lucene's `QueryScorer` term extraction,
+    * which skips prohibited clauses; `BatchSearch.java:318`).
+    */
+  def highlightTerms(text: String): Set[String] =
+    BoolQuery.parse(text, leafFactory).map { root =>
+      val out = Set.newBuilder[String]
+      def go(n: BoolQuery.Node): Unit = n match {
+        case BoolQuery.TermLeaf(t) => out += t
+        case BoolQuery.PhraseLeaf(slots, _) => slots.foreach(out += _._1)
+        case BoolQuery.PrefixLeaf(p) => expandPrefix(p).foreach(out += _)
+        case BoolQuery.FuzzyLeaf(b, d) => expandFuzzy(b, d).foreach(out += _._1)
+        case BoolQuery.BoolNode(cs) =>
+          cs.foreach { case (occ, c) => if (occ != BoolQuery.MustNot) go(c) }
+        case BoolQuery.MatchAllNode =>
+      }
+      go(root)
+      out.result()
+    }.getOrElse(Set.empty)
 
   /** Vocabulary terms starting with `prefix`: a pruned range scan over the
     * sorted vocabulary projection — the `len >= |prefix|` partition filter
@@ -285,6 +342,18 @@ final class Searcher(val index: BuiltIndex) {
     * via a distributed anti-join of the score stream against the negated
     * terms' postings — never a driver-side doc set, so a stop-word-scale
     * negation can't OOM the driver at 10^12 docs.
+    *
+    * `trees` switches per-(query, doc) scoring from the flat OR/AND sum to
+    * BooleanQuery-tree evaluation ([[BoolQuery.eval]]): the gathered leaf
+    * partials (keyed by clause index) feed the query's broadcast
+    * [[BoolQuery.TreeSpec]], which decides match + score recursively —
+    * nested groups, per-node coord, MUST_NOT subtrees, and match-all
+    * constants included. Queries whose tree matches a leafless document
+    * (pure negation, explicit `*`) get the complement docs appended from a
+    * doc-table anti-join at the empty-document constant score — that full
+    * corpus tail is what the match-all semantics genuinely mean. Tree mode
+    * requires `mode = "or"` and no `negTerms` (the tree carries its own
+    * negations), and disables WAND pruning.
     */
   def searchClauses(clauses: Seq[WeightedClause], k: Int = 1000,
                     scorerName: String = "bm25",
@@ -294,23 +363,29 @@ final class Searcher(val index: BuiltIndex) {
                     negTerms: Seq[(String, String)] = Nil,
                     phraseClauses: Seq[PhraseClause] = Nil,
                     expansionClauses: Seq[ExpansionClause] = Nil,
-                    blendedClauses: Seq[BlendedClause] = Nil): Dataset[RunLine] = {
+                    blendedClauses: Seq[BlendedClause] = Nil,
+                    trees: Map[String, BoolQuery.TreeSpec] = Map.empty)
+      : Dataset[RunLine] = {
     import spark.implicits._
     val scorer = Scorer.byName(scorerName)
     if (clauses.isEmpty && phraseClauses.isEmpty && expansionClauses.isEmpty &&
-        blendedClauses.isEmpty)
+        blendedClauses.isEmpty && trees.isEmpty)
       return spark.emptyDataset[RunLine]
     require(phraseClauses.isEmpty || index.cfg.indexPositions,
       "phrase clauses need a positions-enabled index (IndexConfig.indexPositions)")
+    require(trees.isEmpty || (mode == "or" && negTerms.isEmpty),
+      "tree evaluation carries its own boolean structure: use mode=or and no negTerms")
     val conjunctive = mode == "and"
     // Pruning is sound only for pure disjunctive term scoring: exclusions
     // (MUST_NOT terms or excluded docnos) remove docs AFTER the seed pass
     // computed θ over the un-excluded stream, so the true kth score can
     // fall below θ and blocks holding legitimate top-k docs would be
-    // silently skipped.
+    // silently skipped. Tree evaluation can reject or re-weight any subset
+    // (MUST groups, per-node coord), so the seed bound is invalid there too.
     val prune = pruning && scorer.supportsPruning && !conjunctive &&
       phraseClauses.isEmpty && expansionClauses.isEmpty &&
-      blendedClauses.isEmpty && negTerms.isEmpty && excludeDocnos.isEmpty
+      blendedClauses.isEmpty && negTerms.isEmpty && excludeDocnos.isEmpty &&
+      trees.isEmpty
 
     // Resolve excluded docnos → docids (tiny point lookup on the doc table,
     // ≙ the reference's docno TermQuery lookups §2.3).
@@ -363,7 +438,10 @@ final class Searcher(val index: BuiltIndex) {
         else scorer.termWeight(present.map(_._1).max, present.map(_._2).max, stats))
     }.toMap
 
-    val qnByQid: Map[String, Float] =
+    // Tree mode mirrors Lucene's BooleanWeight recursion: prohibited
+    // (MUST_NOT-subtree) clauses never contribute to the norm sum, and each
+    // scoring match-all node contributes weight 1.
+    val normEntries: Seq[(String, Int, Float)] =
       (clauses.map(c => (c.qid, c.qidx, {
         val (df, cf) = dfs.getOrElse(c.term, (0L, 0L))
         scorer.termWeight(df, cf, stats) * c.boost
@@ -372,6 +450,13 @@ final class Searcher(val index: BuiltIndex) {
         expansionClauses.map(e => (e.qid, e.qidx, e.boost)) ++ // constant weight
         blendedClauses.map(bc =>
           (bc.qid, bc.qidx, blendWeights((bc.qid, bc.qidx)) * bc.boost)))
+    val qnByQid: Map[String, Float] =
+      (if (trees.isEmpty) normEntries
+       else normEntries.filterNot { case (qid, qidx, _) =>
+         trees.get(qid).exists(_.prohibitedNorm(qidx))
+       } ++ trees.toSeq.flatMap { case (qid, ts) =>
+         Seq.fill(ts.nMatchAllNorm)((qid, Int.MaxValue, 1.0f))
+       })
       .groupBy(_._1).map { case (qid, ws) =>
         qid -> scorer.queryNorm(ws.sortBy(_._2).map(_._3))
       }
@@ -413,7 +498,7 @@ final class Searcher(val index: BuiltIndex) {
         }
       }
     if (plan.isEmpty && livePhrases.isEmpty && liveExpansions.isEmpty &&
-        liveBlended.isEmpty)
+        liveBlended.isEmpty && trees.isEmpty) // a tree may still match-all
       return spark.emptyDataset[RunLine]
 
     // Postings lookup: bucket prunes parquet partitions, term pushes down.
@@ -656,36 +741,81 @@ final class Searcher(val index: BuiltIndex) {
       if (liveBlended.isEmpty) None else Some(blendedPartials)
     ).flatten.reduce(_ union _)
 
-    // Per-(query, doc) float sum in clause order (≙ boolean scorer sum),
-    // per-query doc exclusion BEFORE ranking, coord factor from
-    // matched/total clauses (1.0 for all reference models).
+    // Per-(query, doc) scoring. Flat mode: float sum in clause order
+    // (≙ boolean scorer sum) with optional require-all and top-level coord.
+    // Tree mode: BooleanQuery-faithful recursive evaluation of the query's
+    // broadcast tree over the gathered (clause → score) map — queryNorm
+    // folded into the match-all constants here, per-node coord inside eval.
     val excluded = excludedByQid
     val maxOv = maxOverlap
     val requireAll = conjunctive
-    val scores: Dataset[(String, Long, Float)] = allPartials
-      .filter(t => excluded.get(t._1).forall(!_.contains(t._2)))
-      .groupByKey(t => (t._1, t._2))
-      .mapGroups[(String, Long, Float)] {
-        (key: (String, Long), it: Iterator[(String, Long, Int, Float)]) =>
-        val arr = it.toArray.sortBy(_._3)
-        if (requireAll &&
-            arr.iterator.map(_._3).toSet.size < maxOv.getOrElse(key._1, 0)) {
-          (key._1, key._2, Float.NaN) // dropped below
-        } else {
-          var s = 0.0f
-          arr.foreach(s += _._4)
-          val c = scorer.coord(arr.length, maxOv.getOrElse(key._1, arr.length))
-          (key._1, key._2, if (c == 1.0f) s else s * c)
-        }
+    val scorerB = scorer
+    val treeEval: Map[String, BoolQuery.EvalNode] =
+      trees.map { case (qid, ts) =>
+        qid -> BoolQuery.foldQueryNorm(ts.root, qnByQid.getOrElse(qid, 1.0f))
       }
-      .filter(t => !t._3.isNaN)
+    val filtered = allPartials
+      .filter(t => excluded.get(t._1).forall(!_.contains(t._2)))
+    val scores: Dataset[(String, Long, Float)] =
+      if (trees.nonEmpty) filtered
+        .groupByKey(t => (t._1, t._2))
+        .mapGroups[(String, Long, Float)] {
+          (key: (String, Long), it: Iterator[(String, Long, Int, Float)]) =>
+          val m = new scala.collection.mutable.HashMap[Int, Float]()
+          it.foreach(r => m.update(r._3, m.getOrElse(r._3, 0.0f) + r._4))
+          val s = BoolQuery.eval(treeEval(key._1),
+            q => m.getOrElse(q, Float.NaN), scorerB.coord)
+          (key._1, key._2, s)
+        }
+        .filter(t => !t._3.isNaN)
+      else filtered
+        .groupByKey(t => (t._1, t._2))
+        .mapGroups[(String, Long, Float)] {
+          (key: (String, Long), it: Iterator[(String, Long, Int, Float)]) =>
+          val arr = it.toArray.sortBy(_._3)
+          if (requireAll &&
+              arr.iterator.map(_._3).toSet.size < maxOv.getOrElse(key._1, 0)) {
+            (key._1, key._2, Float.NaN) // dropped below
+          } else {
+            var s = 0.0f
+            arr.foreach(s += _._4)
+            val c = scorer.coord(arr.length, maxOv.getOrElse(key._1, arr.length))
+            (key._1, key._2, if (c == 1.0f) s else s * c)
+          }
+        }
+        .filter(t => !t._3.isNaN)
 
-    // MUST_NOT terms (SimpleQueryParser '-'): decode the negated terms'
-    // postings into (qid, docid) pairs and anti-join the score stream —
-    // excluded docs never reach the collector, exactly like a Lucene
-    // MUST_NOT clause (ranks close up, unlike the post-hoc feedback filter).
+    // Match-all complement (tree mode): a query whose tree matches a
+    // document containing NO query leaf (pure negation, explicit `*`)
+    // semantically matches the whole corpus outside its candidate stream —
+    // append those docs at the empty-document constant via one doc-table
+    // anti-join (columnar docid-only scan; the full-corpus tail is what
+    // the match-all wrap genuinely means, so the cost is inherent).
+    val emptyDocScores: Seq[(String, Float)] = treeEval.toSeq.flatMap {
+      case (qid, t) =>
+        val s = BoolQuery.eval(t, _ => Float.NaN, scorer.coord)
+        if (s.isNaN) None else Some(qid -> s)
+    }
+    val scoresWithComplement: Dataset[(String, Long, Float)] =
+      if (emptyDocScores.isEmpty) scores
+      else {
+        val cands = allPartials.map(t => (t._1, t._2)).toDF("qid", "docid")
+        val complement = index.docs.select(col("docid"))
+          .crossJoin(emptyDocScores.toDF("qid", "cscore"))
+          .join(cands, Seq("qid", "docid"), "left_anti")
+          .select(col("qid"), col("docid"), col("cscore"))
+          .as[(String, Long, Float)]
+          .filter(t => excluded.get(t._1).forall(!_.contains(t._2)))
+        scores union complement
+      }
+
+    // MUST_NOT terms (a true sibling MUST_NOT clause in one BooleanQuery —
+    // the programmatic hard exclusion, unlike SimpleQueryParser's `-`
+    // match-all wrap): decode the negated terms' postings into (qid, docid)
+    // pairs and anti-join the score stream — excluded docs never reach the
+    // collector (ranks close up, unlike the post-hoc feedback filter).
     val scoresKept: Dataset[(String, Long, Float)] =
-      if (negTerms.isEmpty) scores
+      if (negTerms.isEmpty) scoresWithComplement
       else {
         val negByTerm: Map[String, Array[String]] =
           negTerms.groupBy(_._2).map { case (t, qs) => t -> qs.map(_._1).distinct.toArray }
@@ -699,7 +829,7 @@ final class Searcher(val index: BuiltIndex) {
           PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
             .flatMap(p => qids.iterator.map(q => (q, p.docid)))
         }.toDF("qid", "docid")
-        scores.toDF("qid", "docid", "score")
+        scoresWithComplement.toDF("qid", "docid", "score")
           .join(negPairs, Seq("qid", "docid"), "left_anti")
           .as[(String, Long, Float)]
       }

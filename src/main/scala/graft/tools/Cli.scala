@@ -79,7 +79,7 @@ object BatchSearch {
 
 object BatchSearchRunner {
   import graft.analysis.Analyzer
-  import graft.search.{RunLine, SimpleQuery, Snippets}
+  import graft.search.{RunLine, Snippets}
   import org.apache.spark.sql.Dataset
 
   /** The full BatchSearch flow, returned as output lines so CliSpec can
@@ -129,20 +129,12 @@ object BatchSearchRunner {
       case Some(ds) =>
         val analyzer = new Analyzer(idx.cfg.analyzer)
         // Highlight with the FULL parsed query (≙ the reference highlighting
-        // with the final `query`, BatchSearch.java:318): loose positives,
-        // analyzed phrase words, and the expanded prefix/fuzzy vocabulary.
+        // with the final `query`, BatchSearch.java:318): every scoring leaf
+        // of the boolean tree — loose terms, phrase slots, and the expanded
+        // prefix/fuzzy vocabulary (MUST_NOT leaves skipped, like Lucene's
+        // QueryScorer term extraction).
         val termsByQid: Map[String, Set[String]] =
-          plainTopics.map { t =>
-            val pq = SimpleQuery.parse(t.text)
-            val loose = (pq.positive ++ pq.phrases.map(_._1))
-              .flatMap(analyzer.analyze(_))
-            val expanded =
-              pq.prefixes.flatMap(p => searcher.expandPrefix(analyzer.lowercase(p))) ++
-              pq.fuzzies.flatMap { case (b, d) =>
-                searcher.expandFuzzy(analyzer.lowercase(b), d).map(_._1)
-              }
-            t.qid -> (loose ++ expanded).toSet
-          }.toMap ++
+          plainTopics.map(t => t.qid -> searcher.highlightTerms(t.text)).toMap ++
           fbClauses.view.mapValues(_.map(_.term).toSet).toMap
         Snippets.attach(ds, corpus, analyzer, termsByQid,
             maxFragments = settings.maxSnippetFragments)
