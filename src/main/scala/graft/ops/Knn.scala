@@ -121,7 +121,16 @@ object Knn {
     * shuffle, no join: the centroid table (the coarse quantizer, small by
     * construction — hundreds to a few thousand entries) is embedded as an
     * array literal and folded left-to-right per row. Strict `>` keeps the
-    * lowest cid on exact cosine ties (the fold scans ascending cid).
+    * lowest cid on exact score ties (the fold scans ascending cid).
+    *
+    * Argmax over cosine needs neither norm per comparison: cos(e, c) =
+    * dot(e, c) / (|e|·|c|), and |e| is a positive constant across the
+    * row's candidates, so the fold ranks by dot(e, c) · (1/|c|) with the
+    * inverse centroid norms precomputed into the literal — the row's
+    * self-norm is never evaluated and each centroid norm is computed once
+    * at plan build, not per row. A zero-norm (degenerate) embedding scores
+    * 0 against every centroid and lands deterministically in the lowest
+    * cell, so it stays searchable.
     *
     * At 10^12 rows this is the whole point of IVF: assignment is a narrow
     * codegen'd map over the scan, so building the cell index costs one pass
@@ -130,16 +139,23 @@ object Knn {
     * mapPartitions; not needed at any size this repo targets.)
     */
   def ivfCellExpr(embedding: Column, centroids: Seq[(Long, Seq[Float])]): Column = {
-    val cents = typedLit(centroids.sortBy(_._1))
+    val withInv = centroids.sortBy(_._1).map { case (cid, cv) =>
+      val n2 = cv.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+      (cid, cv, if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2))
+    }
+    val cents = typedLit(withInv)
     // both branches use positional struct names (col1, col2) so the CASE
-    // branches type-match: col1 = best cid, col2 = best cosine
+    // branches type-match: col1 = best cid, col2 = best scaled dot
     val best = aggregate(
       cents,
-      struct(lit(-1L), lit(-2.0)),
+      struct(lit(-1L), lit(Double.NegativeInfinity)),
       (acc, c) => {
-        val cos = cosine(embedding, c.getField("_2"))
-        when(cos > acc.getField("col2"),
-          struct(c.getField("_1").cast("long"), cos))
+        val score = aggregate(
+          zip_with(embedding, c.getField("_2"),
+            (p, q) => p.cast("double") * q.cast("double")),
+          lit(0.0), (a, v) => a + v) * c.getField("_3")
+        when(score > acc.getField("col2"),
+          struct(c.getField("_1").cast("long"), score))
           .otherwise(acc)
       })
     best.getField("col1")
@@ -157,10 +173,14 @@ object Knn {
       .as[(Long, Seq[Float])].collect().toSeq
   }
 
-  /** Lloyd refinement of the seed quantizer: `iters` rounds of
-    * assign-to-nearest + dim-wise mean. Train on a sample at scale — the
-    * quantizer only needs the density shape, not every row. Empty cells
-    * keep their previous centroid (standard k-means practice). Means are
+  /** Spherical-k-means refinement of the seed quantizer (Dhillon/Modha,
+    * Machine Learning 42, 2001): `iters` rounds of assign-to-nearest-by-
+    * cosine + dim-wise mean of the DIRECTION-normalized members — the
+    * update that provably does not decrease the summed assignment cosine
+    * (an unnormalized mean would not, with heterogeneous vector norms).
+    * Train on a sample at scale — the quantizer only needs the density
+    * shape, not every row. Empty cells and cells of only zero-norm vectors
+    * keep their previous centroid (standard practice). Means are
     * floating-point sums whose order Spark does not fix, so trained
     * centroids are deterministic only up to ulps — the gate entry therefore
     * certifies the `iters = 0` seed path and OpsSpec locks the training
@@ -170,10 +190,14 @@ object Knn {
     val spark = vectors.sparkSession
     import spark.implicits._
     var cents = ivfSeedCentroids(vectors, nCentroids)
+    val norm = sqrt(aggregate(
+      transform(col("embedding"), v => v.cast("double") * v.cast("double")),
+      lit(0.0), (a, v) => a + v))
+    val unit = transform(col("embedding"), v => v.cast("double") / norm)
     for (_ <- 0 until iters) {
       val means = vectors
-        .select(ivfCellExpr(col("embedding"), cents).as("cid"),
-          posexplode(col("embedding")))
+        .where(norm > 0.0)
+        .select(ivfCellExpr(col("embedding"), cents).as("cid"), posexplode(unit))
         .groupBy("cid", "pos").agg(avg("col").as("m"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),

@@ -375,6 +375,14 @@ final class Searcher(val index: BuiltIndex) {
       "phrase clauses need a positions-enabled index (IndexConfig.indexPositions)")
     require(trees.isEmpty || (mode == "or" && negTerms.isEmpty),
       "tree evaluation carries its own boolean structure: use mode=or and no negTerms")
+    if (trees.nonEmpty) {
+      // fail at the driver, not as an executor-side lookup miss at job time
+      val uncovered = (clauses.map(_.qid) ++ phraseClauses.map(_.qid) ++
+        expansionClauses.map(_.qid) ++ blendedClauses.map(_.qid))
+        .distinct.filterNot(trees.contains)
+      require(uncovered.isEmpty,
+        s"clauses reference qids without a TreeSpec: ${uncovered.mkString(", ")}")
+    }
     val conjunctive = mode == "and"
     // Pruning is sound only for pure disjunctive term scoring: exclusions
     // (MUST_NOT terms or excluded docnos) remove docs AFTER the seed pass
@@ -756,8 +764,13 @@ final class Searcher(val index: BuiltIndex) {
       }
     val filtered = allPartials
       .filter(t => excluded.get(t._1).forall(!_.contains(t._2)))
-    val scores: Dataset[(String, Long, Float)] =
-      if (trees.nonEmpty) filtered
+    // Tree mode keeps the NaN (no-match) rows in `evaluated`: the match-all
+    // complement below needs the full candidate set, and branching both
+    // consumers off the SAME post-shuffle dataset lets the aggregation
+    // exchange be reused instead of re-running the postings decode twice.
+    val evaluated: Dataset[(String, Long, Float)] =
+      if (trees.isEmpty) spark.emptyDataset[(String, Long, Float)]
+      else filtered
         .groupByKey(t => (t._1, t._2))
         .mapGroups[(String, Long, Float)] {
           (key: (String, Long), it: Iterator[(String, Long, Int, Float)]) =>
@@ -767,7 +780,8 @@ final class Searcher(val index: BuiltIndex) {
             q => m.getOrElse(q, Float.NaN), scorerB.coord)
           (key._1, key._2, s)
         }
-        .filter(t => !t._3.isNaN)
+    val scores: Dataset[(String, Long, Float)] =
+      if (trees.nonEmpty) evaluated.filter(t => !t._3.isNaN)
       else filtered
         .groupByKey(t => (t._1, t._2))
         .mapGroups[(String, Long, Float)] {
@@ -799,7 +813,10 @@ final class Searcher(val index: BuiltIndex) {
     val scoresWithComplement: Dataset[(String, Long, Float)] =
       if (emptyDocScores.isEmpty) scores
       else {
-        val cands = allPartials.map(t => (t._1, t._2)).toDF("qid", "docid")
+        // candidates = every (qid, doc) that had ANY leaf partial — the
+        // evaluated stream pre-NaN-drop, so eval-rejected docs (e.g. a doc
+        // holding only the negated term) stay excluded from the complement
+        val cands = evaluated.map(t => (t._1, t._2)).toDF("qid", "docid")
         val complement = index.docs.select(col("docid"))
           .crossJoin(emptyDocScores.toDF("qid", "cscore"))
           .join(cands, Seq("qid", "docid"), "left_anti")
