@@ -53,6 +53,20 @@ object Engine {
   def porterIndex(spark: SparkSession, sfDir: String): BuiltIndex =
     indexFor(spark, sfDir, IndexConfig(analyzer = PorterAnalyzer), "porter")
 
+  val MinStemAnalyzer: AnalyzerConfig =
+    AnalyzerConfig(tokenizer = "whitespace", stopWords = Set("a", "the"),
+      stemmer = "minimal")
+
+  def minStemIndex(spark: SparkSession, sfDir: String): BuiltIndex =
+    indexFor(spark, sfDir, IndexConfig(analyzer = MinStemAnalyzer), "minstem")
+
+  val SnowballAnalyzer: AnalyzerConfig =
+    AnalyzerConfig(tokenizer = "whitespace", stopWords = Set("a", "the"),
+      stemmer = "snowball")
+
+  def snowballIndex(spark: SparkSession, sfDir: String): BuiltIndex =
+    indexFor(spark, sfDir, IndexConfig(analyzer = SnowballAnalyzer), "snowball")
+
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(oracleIndex(spark, sfDir))
 }

@@ -113,6 +113,35 @@ object SparkEntry {
         .select(col("term"), col("df").cast("long").as("df"))
         .orderBy("term")
     }),
+    // document frequency over the SNOWBALL-stemmed (Porter2) index: the
+    // oracle replays the full published algorithm in generated SQL
+    // (graft.SnowballSql — y-marking via ordered regexp passes, R1/R2 via
+    // the vc-transition scan, exceptions frozen), cross-validated on a
+    // 13.5k-word battery by scripts/snowball_sql_check
+    "q_snowball_df" -> ((s, dir) => {
+      Engine.snowballIndex(s, dir).termStats
+        .select(col("term"), col("df").cast("long").as("df"))
+        .orderBy("term")
+    }),
+    // document frequency over the S-stemmed index (EnglishMinimalStemFilter
+    // semantics): the stemmer's plural-strip guards are a closed-form CASE
+    // the oracle replays exactly
+    "q_minstem_df" -> ((s, dir) => {
+      Engine.minStemIndex(s, dir).termStats
+        .select(col("term"), col("df").cast("long").as("df"))
+        .orderBy("term")
+    }),
+    // matchCounts ≙ the paging demo's TotalHits line (SearchFiles.java:
+    // 149-150): distinct matching docnos per query under OR semantics —
+    // the result is one row per topic, so materializing the driver-side
+    // map as a tiny DataFrame is k-bounded by construction
+    "q_match_counts" -> ((s, dir) => {
+      val counts = Engine.searcher(s, dir).matchCounts(topics)
+      import s.implicits._
+      counts.toSeq.sortBy(_._1).toDF("qid", "n_hits")
+        .select(col("qid"), col("n_hits").cast("long").as("n_hits"))
+        .orderBy("qid")
+    }),
     // rows-only check (not SQL-expressible in the oracle): postings/segment
     // blob internals depend on the docid range-partition packing
     "q_postings_meta" -> ((s, dir) => {
@@ -1267,6 +1296,51 @@ object SparkEntry {
          |)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // Snowball/Porter2 replay via the generated CTE chain (SnowballSql)
+    "q_snowball_df" -> withCtes(
+      s""",
+         |swords AS (SELECT DISTINCT term FROM tok),
+         |${SnowballSql.ctes}
+         |SELECT s.stem AS term, count(DISTINCT t.docno)::BIGINT AS df
+         |FROM tok t JOIN snowball s ON s.term = t.term
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // S-stemmer replay: Lucene EnglishMinimalStemFilter's plural strip —
+    // keep -us/-ss, -ies→-y when the 4th-from-last is not a/e, keep other
+    // vowel+es, else drop the final s
+    "q_minstem_df" -> withCtes(
+      """,
+        |mstem AS (
+        |  SELECT term,
+        |    CASE
+        |      WHEN length(term) < 3 OR substr(term, length(term), 1) <> 's' THEN term
+        |      WHEN substr(term, length(term) - 1, 1) IN ('u', 's') THEN term
+        |      WHEN substr(term, length(term) - 1, 1) = 'e' THEN
+        |        CASE
+        |          WHEN length(term) > 3 AND substr(term, length(term) - 2, 1) = 'i'
+        |               AND substr(term, length(term) - 3, 1) NOT IN ('a', 'e')
+        |            THEN substr(term, 1, length(term) - 3) || 'y'
+        |          WHEN substr(term, length(term) - 2, 1) IN ('i', 'a', 'o', 'e')
+        |            THEN term
+        |          ELSE substr(term, 1, length(term) - 1)
+        |        END
+        |      ELSE substr(term, 1, length(term) - 1)
+        |    END AS stem
+        |  FROM (SELECT DISTINCT term FROM tok))
+        |SELECT m.stem AS term, count(DISTINCT t.docno)::BIGINT AS df
+        |FROM tok t JOIN mstem m ON m.term = t.term
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // totalHits replay: distinct docs holding ANY analyzed topic term
+    "q_match_counts" -> withCtes(
+      """,
+        |topics(qid, term) AS (VALUES
+        |  ('1','hash'),('1','join'),('1','merge'),
+        |  ('2','fast'),('2','table'),('2','scan'),
+        |  ('3','dup'),('3','customer'),('3','data'),
+        |  ('4','slow'),('4','query'),('4','window'))
+        |SELECT t.qid, count(DISTINCT k.docno)::BIGINT AS n_hits
+        |FROM (SELECT DISTINCT qid, term FROM topics) t
+        |LEFT JOIN tok k ON k.term = t.term
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // document frequency over the PORTER-stemmed index: the oracle replays
     // the full Porter algorithm in generated SQL (cv-map via iterated
     // regexp passes, m() via 'v+c' run counting) — see graft.PorterSql
