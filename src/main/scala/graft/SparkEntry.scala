@@ -184,6 +184,20 @@ object SparkEntry {
         .select(col("docno_a"), col("docno_b"), col("inter"), col("uni"))
         .orderBy("docno_a", "docno_b")
     }),
+    // training-pipeline op: near-dup CLUSTERS — distributed connected
+    // components over the verified pair graph (cluster = min reachable
+    // docno; keep = the canonical representative the dedup'd corpus keeps)
+    "q_dup_clusters" -> ((s, dir) => {
+      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+      val c = corpus.Corpus.fromDocuments(s, dir)
+      val sh = ops.Dedup.shingles(c, an, 3)
+      val cand = ops.Dedup.minHashCandidates(c, an, 3, 12, 2, maxBucketSize = 0)
+      val pairs = ops.Dedup.verifyJaccard(cand, sh)
+        .where(col("inter") * 2 >= col("uni"))
+      ops.Dedup.dupClusters(c, pairs)
+        .select(col("docno"), col("cluster"), col("keep"))
+        .orderBy("docno")
+    }),
     // training-pipeline op: brute-force cosine top-k over embeddings
     "q_knn" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -943,6 +957,40 @@ object SparkEntry {
          |JOIN sizes sb ON sb.docno = c.docno_b
          |WHERE 2 * coalesce(i.inter, 0) >= (sa.n + sb.n - coalesce(i.inter, 0))
          |ORDER BY 1, 2""".stripMargin,
+    // cluster replay: same verified pairs as q_neardup, then a recursive
+    // transitive closure; cluster = min reachable docno (self included)
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $CorpusCte,
+         |$ShingleCte,
+         |$MinHashCte,
+         |sizes AS (SELECT docno, count(*) AS n FROM sh GROUP BY docno),
+         |inter AS (
+         |  SELECT c.docno_a, c.docno_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.docno = c.docno_a
+         |  JOIN sh b ON b.docno = c.docno_b AND b.shingle = a.shingle
+         |  GROUP BY c.docno_a, c.docno_b),
+         |vp AS (
+         |  SELECT c.docno_a, c.docno_b
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.docno_a = c.docno_a AND i.docno_b = c.docno_b
+         |  JOIN sizes sa ON sa.docno = c.docno_a
+         |  JOIN sizes sb ON sb.docno = c.docno_b
+         |  WHERE 2 * coalesce(i.inter, 0) >= (sa.n + sb.n - coalesce(i.inter, 0))),
+         |sym AS (
+         |  SELECT docno_a AS a, docno_b AS b FROM vp
+         |  UNION SELECT docno_b, docno_a FROM vp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+         |clus AS (
+         |  SELECT c.docno,
+         |         least(c.docno, coalesce(min(r.b), c.docno)) AS cluster
+         |  FROM corpus c LEFT JOIN reach r ON r.a = c.docno
+         |  GROUP BY c.docno)
+         |SELECT docno, cluster, (docno = cluster) AS keep
+         |FROM clus ORDER BY docno""".stripMargin,
     "q_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
         |           FROM embeddings WHERE vec_id < 5),

@@ -167,6 +167,62 @@ object Dedup {
     * 4×16-bit band blocking (any pair within distance 3 shares at least one
     * exact 16-bit band — pigeonhole), then exact popcount verification.
     */
+  /** Connected components over verified near-duplicate pairs → duplicate
+    * CLUSTERS, the last step of a training-set dedup pipeline: every doc
+    * gets `cluster` = the lexicographically smallest docno reachable
+    * through the pair graph (its own docno when it has no duplicates), and
+    * `keep` = whether it is that canonical representative — filtering
+    * `keep` yields the deduplicated corpus with exactly one doc per
+    * duplicate class.
+    *
+    * Algorithm: distributed hash-to-min label propagation — each round
+    * every node takes the min label over itself and its neighbors (two
+    * hash-shuffles per round: edge⋈label + min-agg), iterated to a
+    * fixpoint. Rounds = the pair graph's diameter; near-dup graphs are
+    * clique-ish by construction (LSH candidates verified pairwise), so
+    * this converges in 1-3 rounds in practice. For adversarial chain
+    * graphs the alternating star-contraction variant (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) bounds
+    * rounds at O(log n) with the same shuffle shape — the fixpoint loop
+    * here is the simpler special case, capped by `maxIter` with a loud
+    * failure instead of a silent wrong answer. Label state lives in a
+    * DataFrame (one row per node), never on the driver.
+    */
+  def dupClusters(corpus: DataFrame, pairs: DataFrame,
+                  maxIter: Int = 20): DataFrame = {
+    val nodes = corpus.select(col("docno").cast("string")).distinct()
+    val edges = pairs
+      .select(col("docno_a").cast("string").as("src"),
+        col("docno_b").cast("string").as("dst"))
+      .union(pairs.select(col("docno_b").cast("string"),
+        col("docno_a").cast("string")))
+      .distinct()
+    var labels = nodes.select(col("docno"), col("docno").as("cluster"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // min over the neighborhood's labels, then min with the own label
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("docno", "src"), "src")
+        .groupBy(col("dst").as("docno"))
+        .agg(min(col("cluster")).as("nbr_cluster"))
+      val next = labels.join(nbrMin, Seq("docno"), "left")
+        .select(col("docno"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint() // truncate the per-round lineage growth
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "docno")
+        .where(col("cluster") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    require(changed == 0,
+      s"dupClusters did not converge in $maxIter rounds — component " +
+        "diameter exceeds the cap; raise maxIter or use star contraction")
+    labels.select(col("docno"), col("cluster"),
+      (col("docno") === col("cluster")).as("keep"))
+  }
+
   def simHashPairs(fingerprints: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-band blocking guarantees recall only for maxDist <= 3")
     val banded = fingerprints.select(col("docno"), col("simhash"),

@@ -160,6 +160,24 @@ class OpsSpec extends AnyFunSuite {
     assert(meanAssignCos(trained) >= meanAssignCos(seed) - 1e-9)
   }
 
+  test("dup clusters: chain components converge, singletons keep, cap is loud") {
+    import spark.implicits._
+    val corpus = Seq("a", "b", "c", "d", "e", "f").map(_ -> "x").toDF("docno", "content")
+    // a chain a-b-c (diameter 2 forces >1 propagation round) + pair e-f
+    val pairs = Seq(("a", "b"), ("b", "c"), ("e", "f")).toDF("docno_a", "docno_b")
+    val got = Dedup.dupClusters(corpus, pairs).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      "a" -> ("a", true), "b" -> ("a", false), "c" -> ("a", false),
+      "d" -> ("d", true), "e" -> ("e", true), "f" -> ("e", false)))
+    // keeping exactly the canonical rows dedups to one doc per class
+    assert(got.count(_._2._2) == 3)
+    // a too-small round cap fails loudly instead of answering wrong
+    intercept[IllegalArgumentException] {
+      Dedup.dupClusters(corpus, pairs, maxIter = 1)
+    }
+  }
+
   test("winnowing fingerprints: window coverage, rightmost-min, short docs") {
     import graft.ops.Fingerprint
     val toks = "alpha beta gamma delta epsilon zeta eta theta iota".split(" ").toIndexedSeq
