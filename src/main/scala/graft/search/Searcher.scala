@@ -765,21 +765,34 @@ final class Searcher(val index: BuiltIndex) {
     val filtered = allPartials
       .filter(t => excluded.get(t._1).forall(!_.contains(t._2)))
     // Tree mode keeps the NaN (no-match) rows in `evaluated`: the match-all
-    // complement below needs the full candidate set, and branching both
-    // consumers off the SAME post-shuffle dataset lets the aggregation
-    // exchange be reused instead of re-running the postings decode twice.
+    // complement below needs the full candidate set. When a complement WILL
+    // be taken (computed up front from the trees' empty-document scores),
+    // the evaluated stream is lazily local-checkpointed so its two
+    // consumers (score filter + candidate anti-join) share ONE computation
+    // — typed-operator plans defeat Catalyst's exchange reuse, so without
+    // this the whole postings decode would run twice.
+    val complementQids: Seq[(String, Float)] =
+      trees.toSeq.flatMap { case (qid, ts) =>
+        val s = BoolQuery.eval(
+          BoolQuery.foldQueryNorm(ts.root, qnByQid.getOrElse(qid, 1.0f)),
+          _ => Float.NaN, scorer.coord)
+        if (s.isNaN) None else Some(qid -> s)
+      }
     val evaluated: Dataset[(String, Long, Float)] =
       if (trees.isEmpty) spark.emptyDataset[(String, Long, Float)]
-      else filtered
-        .groupByKey(t => (t._1, t._2))
-        .mapGroups[(String, Long, Float)] {
-          (key: (String, Long), it: Iterator[(String, Long, Int, Float)]) =>
-          val m = new scala.collection.mutable.HashMap[Int, Float]()
-          it.foreach(r => m.update(r._3, m.getOrElse(r._3, 0.0f) + r._4))
-          val s = BoolQuery.eval(treeEval(key._1),
-            q => m.getOrElse(q, Float.NaN), scorerB.coord)
-          (key._1, key._2, s)
-        }
+      else {
+        val ev = filtered
+          .groupByKey(t => (t._1, t._2))
+          .mapGroups[(String, Long, Float)] {
+            (key: (String, Long), it: Iterator[(String, Long, Int, Float)]) =>
+            val m = new scala.collection.mutable.HashMap[Int, Float]()
+            it.foreach(r => m.update(r._3, m.getOrElse(r._3, 0.0f) + r._4))
+            val s = BoolQuery.eval(treeEval(key._1),
+              q => m.getOrElse(q, Float.NaN), scorerB.coord)
+            (key._1, key._2, s)
+          }
+        if (complementQids.isEmpty) ev else ev.localCheckpoint(eager = false)
+      }
     val scores: Dataset[(String, Long, Float)] =
       if (trees.nonEmpty) evaluated.filter(t => !t._3.isNaN)
       else filtered
@@ -805,20 +818,15 @@ final class Searcher(val index: BuiltIndex) {
     // append those docs at the empty-document constant via one doc-table
     // anti-join (columnar docid-only scan; the full-corpus tail is what
     // the match-all wrap genuinely means, so the cost is inherent).
-    val emptyDocScores: Seq[(String, Float)] = treeEval.toSeq.flatMap {
-      case (qid, t) =>
-        val s = BoolQuery.eval(t, _ => Float.NaN, scorer.coord)
-        if (s.isNaN) None else Some(qid -> s)
-    }
     val scoresWithComplement: Dataset[(String, Long, Float)] =
-      if (emptyDocScores.isEmpty) scores
+      if (complementQids.isEmpty) scores
       else {
         // candidates = every (qid, doc) that had ANY leaf partial — the
         // evaluated stream pre-NaN-drop, so eval-rejected docs (e.g. a doc
         // holding only the negated term) stay excluded from the complement
         val cands = evaluated.map(t => (t._1, t._2)).toDF("qid", "docid")
         val complement = index.docs.select(col("docid"))
-          .crossJoin(emptyDocScores.toDF("qid", "cscore"))
+          .crossJoin(complementQids.toDF("qid", "cscore"))
           .join(cands, Seq("qid", "docid"), "left_anti")
           .select(col("qid"), col("docid"), col("cscore"))
           .as[(String, Long, Float)]

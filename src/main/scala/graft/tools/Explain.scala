@@ -57,6 +57,19 @@ object Explain {
     println("\n========== sloppy phrase search plan ==========")
     searcher.searchQuery(Seq(Topic("1", "\"hash merge\"~2")), 20).explain("formatted")
 
+    println("\n========== boolean-tree group plan ((hash | merge) + scan) ==========")
+    searcher.searchQuery(Seq(Topic("1", "(hash | merge) + scan")), 20).explain("formatted")
+
+    println("\n========== faithful negation plan (complement anti-join should BROADCAST the candidate side and reuse the aggregation exchange) ==========")
+    searcher.searchQuery(Seq(Topic("1", "hash -window")), 20).explain("formatted")
+
+    println("\n========== IVF assignment (narrow codegen'd fold — no shuffle before the candidate join) ==========")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graft.ops.Knn.ivfTopK(emb, q, 10,
+      graft.ops.Knn.ivfSeedCentroids(emb, 8), nProbe = 2).explain("formatted")
+
     spark.stop()
   }
 }
