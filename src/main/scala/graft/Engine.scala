@@ -67,6 +67,13 @@ object Engine {
   def snowballIndex(spark: SparkSession, sfDir: String): BuiltIndex =
     indexFor(spark, sfDir, IndexConfig(analyzer = SnowballAnalyzer), "snowball")
 
+  val KStemAnalyzer: AnalyzerConfig =
+    AnalyzerConfig(tokenizer = "whitespace", stopWords = Set("a", "the"),
+      stemmer = "kstem")
+
+  def kstemIndex(spark: SparkSession, sfDir: String): BuiltIndex =
+    indexFor(spark, sfDir, IndexConfig(analyzer = KStemAnalyzer), "kstem")
+
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(oracleIndex(spark, sfDir))
 }

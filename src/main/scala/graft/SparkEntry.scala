@@ -123,6 +123,16 @@ object SparkEntry {
         .select(col("term"), col("df").cast("long").as("df"))
         .orderBy("term")
     }),
+    // document frequency over the KSTEM-stemmed index: the oracle replays
+    // this repo's documented KStem variant in generated SQL (graft.KStemSql
+    // — direct conflations + head-word lexicon as VALUES relations, the
+    // three inflectional steps as CTEs), cross-validated on a 13.1k-word
+    // battery by scripts/kstem_sql_check
+    "q_kstem_df" -> ((s, dir) => {
+      Engine.kstemIndex(s, dir).termStats
+        .select(col("term"), col("df").cast("long").as("df"))
+        .orderBy("term")
+    }),
     // document frequency over the S-stemmed index (EnglishMinimalStemFilter
     // semantics): the stemmer's plural-strip guards are a closed-form CASE
     // the oracle replays exactly
@@ -1344,6 +1354,14 @@ object SparkEntry {
          |)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // KStem replay via the generated CTE chain (KStemSql)
+    "q_kstem_df" -> withCtes(
+      s""",
+         |kwords AS (SELECT DISTINCT term FROM tok),
+         |${KStemSql.ctes}
+         |SELECT s.stem AS term, count(DISTINCT t.docno)::BIGINT AS df
+         |FROM tok t JOIN kstem s ON s.term = t.term
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
     // Snowball/Porter2 replay via the generated CTE chain (SnowballSql)
     "q_snowball_df" -> withCtes(
       s""",

@@ -33,7 +33,7 @@ object KStemmer extends Stemmer {
     * entries of the published exception tables: `-ves` plurals, Latin/Greek
     * plurals, mutated plurals, irregular `-ying`/`-ing` verbs.
     */
-  private val DirectConflations: Map[String, String] = Map(
+  private[graft] val DirectConflations: Map[String, String] = Map(
     // -ves plurals (dictionary-mediated f/fe restoration)
     "calves" -> "calf", "halves" -> "half", "knives" -> "knife",
     "leaves" -> "leaf", "lives" -> "life", "loaves" -> "loaf",
@@ -70,7 +70,7 @@ object KStemmer extends Stemmer {
     * words the rules must treat as head words (no further stemming) or must
     * be able to restore to (`-e` restoration after `-ed`/`-ing`).
     */
-  private val Lexicon: Set[String] = Set(
+  private[graft] val Lexicon: Set[String] = Set(
     // function-ish words whose endings look inflectional
     "is", "was", "this", "his", "as", "us", "series", "species", "news",
     "yes", "does", "its", "de", "always", "perhaps", "various", "previous",
