@@ -123,6 +123,23 @@ object SparkEntry {
         .select(col("term"), col("df").cast("long").as("df"))
         .orderBy("term")
     }),
+    // ClassicTokenizer over the corpus + a fixed enrichment suffix that
+    // fires every alternation branch; output = (docno, pos, term), exactly
+    // replayed by the oracle's RE2 run of the same ordered pattern
+    "q_classic_tok" -> ((s, dir) => {
+      import s.implicits._
+      val an = new graft.analysis.Analyzer(
+        graft.analysis.AnalyzerConfig(tokenizer = "classic"))
+      corpus.Corpus.fromDocuments(s, dir)
+        .select(col("docno").cast("string"),
+          concat(col("content"), lit(ClassicEnrich)).as("content"))
+        .as[(String, String)]
+        .flatMap { case (d, t) =>
+          an.analyze(t).zipWithIndex.map { case (tok, i) => (d, i.toLong, tok) }
+        }
+        .toDF("docno", "pos", "term")
+        .orderBy("docno", "pos")
+    }),
     // document frequency over the KSTEM-stemmed index: the oracle replays
     // this repo's documented KStem variant in generated SQL (graft.KStemSql
     // — direct conflations + head-word lexicon as VALUES relations, the
@@ -594,6 +611,30 @@ object SparkEntry {
   val groupTopics: Seq[Topic] = Seq(
     Topic("1", "(hash | merge) + scan"),
     Topic("2", "table + fast | scan"))
+
+  /** All-lowercase enrichment for the classic-tokenizer entry: one exemplar
+    * per alternation branch — NUM forms (incl. the multi-label digit host
+    * documenting the first-match split), email, acronym, host, company,
+    * apostrophe, '-'/'_' splits.
+    */
+  val ClassicEnrich: String =
+    " 1,000 2-3-4 a.b2.c.d x-1 i.b.m. at&t o'brien a.b.c 3.14" +
+      " bob@mail.example.com x_9 12/25/2021 app2.v1,beta plain-split"
+  /** The engine's classic alternation specialized to ASCII lowercase for
+    * RE2 (`analysis.ClassicLikeTokenizer` pattern, same branch order).
+    */
+  private val ClassicSqlPattern: String = {
+    val alnum = "[a-z0-9]+"
+    val hasdigit = "[a-z0-9]*[0-9][a-z0-9]*"
+    val p = "[_\\-/.,]"
+    val num = s"(?:$alnum$p)?$hasdigit(?:(?:$p$alnum)?$p$hasdigit)*(?:$p$alnum)?"
+    val email = "[a-z0-9]+(?:[._\\-][a-z0-9]+)*@[a-z0-9]+(?:[.\\-][a-z0-9]+)+"
+    val host = "[a-z0-9]+(?:\\.[a-z0-9]+)+"
+    val acronym = "[a-z]\\.(?:[a-z]\\.)+"
+    val company = "[a-z]+(?:[&@][a-z]+)+"
+    val apostrophe = "[a-z]+(?:'[a-z]+)+"
+    Seq(email, acronym, num, host, company, apostrophe, alnum).mkString("|")
+  }
 
   /** Topics for the exact-phrase gate entry: a pure phrase query and a
     * phrase mixed with a loose OR term.
@@ -1354,6 +1395,25 @@ object SparkEntry {
          |)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // ClassicTokenizer replay: the corpus text is plain lowercase words, so
+    // a fixed all-lowercase enrichment suffix exercises every alternation
+    // branch (email, acronym, NUM forms incl. the multi-label host shape,
+    // host, company, apostrophe, splits) on every doc; the oracle runs the
+    // SAME ordered alternation in RE2 (both engines use leftmost-first
+    // alternation, and the input is ASCII lowercase so the \\p classes
+    // specialize exactly)
+    "q_classic_tok" ->
+      s"""WITH $CorpusCte,
+         |c2 AS (SELECT docno, content || '${ClassicEnrich.replace("'", "''")}' AS content
+         |       FROM corpus),
+         |tl AS (SELECT docno,
+         |              regexp_extract_all(content, '${ClassicSqlPattern.replace("'", "''")}') AS ts
+         |       FROM c2),
+         |z AS (SELECT docno, unnest(ts) AS term,
+         |             unnest(range(0, len(ts))) AS pos
+         |      FROM tl)
+         |SELECT docno, pos::BIGINT AS pos, term
+         |FROM z ORDER BY docno, pos""".stripMargin,
     // KStem replay via the generated CTE chain (KStemSql)
     "q_kstem_df" -> withCtes(
       s""",
