@@ -92,33 +92,18 @@ object SnowballSql {
          |       THEN substr(w, 1, $stemLen) || '$r' ELSE w END""".stripMargin
     }
 
-  private val Exception1 = Seq(
-    "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
-    "tying" -> "tie", "idly" -> "idl", "gently" -> "gentl", "ugly" -> "ugli",
-    "early" -> "earli", "only" -> "onli", "singly" -> "singl",
-    "sky" -> "sky", "news" -> "news", "howe" -> "howe", "atlas" -> "atlas",
-    "cosmos" -> "cosmos", "bias" -> "bias", "andes" -> "andes")
-
-  private val Exception2 = Seq("inning", "outing", "canning", "herring",
-    "earring", "proceed", "exceed", "succeed")
-
-  private val Step2Rules = Seq(
-    "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
-    "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
-    "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
-    "ation" -> "ate", "alism" -> "al", "aliti" -> "al", "ousli" -> "ous",
-    "iviti" -> "ive", "fulli" -> "ful", "enci" -> "ence",
-    "anci" -> "ance", "abli" -> "able", "izer" -> "ize", "ator" -> "ate",
-    "alli" -> "al", "bli" -> "ble")
-
-  private val Step3Rules = Seq(
-    "ational" -> "ate", "tional" -> "tion", "alize" -> "al",
-    "icate" -> "ic", "iciti" -> "ic", "ical" -> "ic",
-    "ness" -> "", "ful" -> "")
-
-  private val Step4Sufs = Seq("ement", "ance", "ence", "able", "ible",
-    "ment", "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
-    "al", "er", "ic")
+  // Rule tables come straight from the engine's stemmer (private[graft])
+  // — one source of truth, so a rule edit there can never silently diverge
+  // the oracle (same sharing scheme as KStemSql). Exception1/2 are
+  // unordered lookups; the step rules keep the stemmer's longest-match
+  // order, which the generated CASE chain relies on.
+  private val Exception1: Seq[(String, String)] =
+    analysis.SnowballStemmer.Exception1.toSeq.sortBy(_._1)
+  private val Exception2: Seq[String] =
+    analysis.SnowballStemmer.Exception2.toSeq.sorted
+  private val Step2Rules = analysis.SnowballStemmer.Step2Rules
+  private val Step3Rules = analysis.SnowballStemmer.Step3Rules
+  private val Step4Sufs = analysis.SnowballStemmer.Step4Sufs
 
   /** CTE chain from `swords(term)` (lowercase tokens) to
     * `snowball(term, stem)`. The caller embeds this after its own CTEs.

@@ -13,7 +13,10 @@ package graft.analysis
 object SnowballStemmer extends Stemmer {
   val name = "snowball"
 
-  private val Exception1: Map[String, String] = Map(
+  // Rule tables are private[graft] so graft.SnowballSql (the generated
+  // DuckDB oracle replay) reads the SAME data — engine and oracle cannot
+  // drift.
+  private[graft] val Exception1: Map[String, String] = Map(
     "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
     "tying" -> "tie", "idly" -> "idl", "gently" -> "gentl", "ugly" -> "ugli",
     "early" -> "earli", "only" -> "onli", "singly" -> "singl",
@@ -21,9 +24,30 @@ object SnowballStemmer extends Stemmer {
     "sky" -> "sky", "news" -> "news", "howe" -> "howe", "atlas" -> "atlas",
     "cosmos" -> "cosmos", "bias" -> "bias", "andes" -> "andes")
 
-  private val Exception2: Set[String] = Set(
+  private[graft] val Exception2: Set[String] = Set(
     "inning", "outing", "canning", "herring", "earring",
     "proceed", "exceed", "succeed")
+
+  // Ordered longest-match rule lists for steps 2-4 (order is semantic:
+  // `find` takes the first matching suffix).
+  private[graft] val Step2Rules: Seq[(String, String)] = Seq(
+    "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
+    "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
+    "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
+    "ation" -> "ate", "alism" -> "al", "aliti" -> "al", "ousli" -> "ous",
+    "iviti" -> "ive", "fulli" -> "ful", "enci" -> "ence",
+    "anci" -> "ance", "abli" -> "able", "izer" -> "ize", "ator" -> "ate",
+    "alli" -> "al", "bli" -> "ble")
+
+  private[graft] val Step3Rules: Seq[(String, String)] = Seq(
+    "ational" -> "ate", "tional" -> "tion", "alize" -> "al",
+    "icate" -> "ic", "iciti" -> "ic", "ical" -> "ic",
+    "ness" -> "", "ful" -> "")
+
+  private[graft] val Step4Sufs: Seq[String] = Seq(
+    "ement", "ance", "ence", "able", "ible", "ment",
+    "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+    "al", "er", "ic")
 
   private val Doubles =
     Set("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
@@ -136,15 +160,7 @@ object SnowballStemmer extends Stemmer {
 
     // Step 2 (longest suffix, conditions in R1)
     {
-      val rules: Seq[(String, String)] = Seq(
-        "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
-        "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
-        "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
-        "ation" -> "ate", "alism" -> "al", "aliti" -> "al", "ousli" -> "ous",
-        "iviti" -> "ive", "fulli" -> "ful", "enci" -> "ence",
-        "anci" -> "ance", "abli" -> "able", "izer" -> "ize", "ator" -> "ate",
-        "alli" -> "al", "bli" -> "ble")
-      rules.find { case (s, _) => w.endsWith(s) } match {
+      Step2Rules.find { case (s, _) => w.endsWith(s) } match {
         case Some((s, r)) => if (inR1(w, s.length)) w = w.dropRight(s.length) + r
         case None =>
           if (w.endsWith("ogi")) {
@@ -159,13 +175,9 @@ object SnowballStemmer extends Stemmer {
 
     // Step 3 (longest suffix, conditions in R1; ative needs R2)
     {
-      val rules: Seq[(String, String)] = Seq(
-        "ational" -> "ate", "tional" -> "tion", "alize" -> "al",
-        "icate" -> "ic", "iciti" -> "ic", "ical" -> "ic",
-        "ness" -> "", "ful" -> "")
       if (w.endsWith("ative")) {
         if (inR1(w, 5) && inR2(w, 5)) w = w.dropRight(5)
-      } else rules.find { case (s, _) => w.endsWith(s) } match {
+      } else Step3Rules.find { case (s, _) => w.endsWith(s) } match {
         case Some((s, r)) => if (inR1(w, s.length)) w = w.dropRight(s.length) + r
         case None =>
       }
@@ -173,14 +185,11 @@ object SnowballStemmer extends Stemmer {
 
     // Step 4 (longest suffix, delete if in R2)
     {
-      val sufs = Seq("ement", "ance", "ence", "able", "ible", "ment",
-        "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
-        "al", "er", "ic")
       if (w.endsWith("ion")) {
         if (inR2(w, 3) && w.length > 3 &&
             (w.charAt(w.length - 4) == 's' || w.charAt(w.length - 4) == 't'))
           w = w.dropRight(3)
-      } else sufs.find(w.endsWith) match {
+      } else Step4Sufs.find(w.endsWith) match {
         case Some(s) => if (inR2(w, s.length)) w = w.dropRight(s.length)
         case None =>
       }

@@ -163,10 +163,6 @@ object Dedup {
       }.toDF("docno", "simhash")
   }
 
-  /** Near-duplicate pairs by SimHash Hamming distance <= maxDist, found via
-    * 4×16-bit band blocking (any pair within distance 3 shares at least one
-    * exact 16-bit band — pigeonhole), then exact popcount verification.
-    */
   /** Connected components over verified near-duplicate pairs → duplicate
     * CLUSTERS, the last step of a training-set dedup pipeline: every doc
     * gets `cluster` = the lexicographically smallest docno reachable
@@ -197,6 +193,9 @@ object Dedup {
       .union(pairs.select(col("docno_b").cast("string"),
         col("docno_a").cast("string")))
       .distinct()
+      // materialize once: the pair lineage (LSH banding + verify joins) must
+      // not be re-executed on every fixpoint round below
+      .localCheckpoint()
     var labels = nodes.select(col("docno"), col("docno").as("cluster"))
     var changed = 1L
     var it = 0
@@ -223,6 +222,10 @@ object Dedup {
       (col("docno") === col("cluster")).as("keep"))
   }
 
+  /** Near-duplicate pairs by SimHash Hamming distance <= maxDist, found via
+    * 4×16-bit band blocking (any pair within distance 3 shares at least one
+    * exact 16-bit band — pigeonhole), then exact popcount verification.
+    */
   def simHashPairs(fingerprints: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-band blocking guarantees recall only for maxDist <= 3")
     val banded = fingerprints.select(col("docno"), col("simhash"),

@@ -772,10 +772,8 @@ final class Searcher(val index: BuiltIndex) {
     // — typed-operator plans defeat Catalyst's exchange reuse, so without
     // this the whole postings decode would run twice.
     val complementQids: Seq[(String, Float)] =
-      trees.toSeq.flatMap { case (qid, ts) =>
-        val s = BoolQuery.eval(
-          BoolQuery.foldQueryNorm(ts.root, qnByQid.getOrElse(qid, 1.0f)),
-          _ => Float.NaN, scorer.coord)
+      treeEval.toSeq.flatMap { case (qid, folded) =>
+        val s = BoolQuery.eval(folded, _ => Float.NaN, scorer.coord)
         if (s.isNaN) None else Some(qid -> s)
       }
     val evaluated: Dataset[(String, Long, Float)] =
