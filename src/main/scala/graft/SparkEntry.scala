@@ -28,6 +28,13 @@ object SparkEntry {
 
   val TopK = 20
 
+  // Curation-op gate parameters: a ~10% stable sample, and 512-token
+  // packed sequences (small enough that sf0.01 docs span chunk boundaries).
+  val SampleSalt = "s1"
+  val SampleBuckets = 20
+  val SampleKeep = 2
+  val PackSeqLen = 512
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Engine.searcher(spark, "/root/testdata/sf0.001")
@@ -523,6 +530,30 @@ object SparkEntry {
       ops.TextQuality.tokenCounts(corpus.Corpus.fromDocuments(s, dir))
         .orderBy("docno")
     }),
+    // training-pipeline op: deterministic md5-bucket sampling (stable
+    // keep/buckets holdout split; shuffle-free pure expressions)
+    "q_sample" -> ((s, dir) => {
+      ops.Curation.hashSample(corpus.Corpus.fromDocuments(s, dir),
+          SampleSalt, SampleBuckets, SampleKeep)
+        .orderBy("docno")
+    }),
+    // training-pipeline op: seeded reproducible corpus permutation via the
+    // distributed prefix sum (range partition + per-partition offsets),
+    // never a single-partition Window
+    "q_shuffle" -> ((s, dir) => {
+      ops.Curation.seededShuffle(corpus.Corpus.fromDocuments(s, dir),
+          SampleSalt)
+        .orderBy("pos")
+    }),
+    // training-pipeline op: concat-and-chunk sequence packing — docs laid
+    // end-to-end in docno order, cut into 512-token training sequences;
+    // same two-pass prefix-sum machinery
+    "q_pack" -> ((s, dir) => {
+      val toks = corpus.Corpus.fromDocuments(s, dir).select(col("docno"),
+        size(filter(split(lower(col("content")), "\\s+"), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      ops.Curation.packSequences(toks, PackSeqLen).orderBy("docno")
+    }),
     // explicit relevance feedback, model half: the M1 relevance-model term
     // weights (exact doubles — the whole computation is double arithmetic
     // replayed term-for-term by the oracle, ≙
@@ -951,6 +982,36 @@ object SparkEntry {
         |       min(docno) AS first_docno
         |FROM corpus GROUP BY sha256(content) HAVING count(*) > 1
         |ORDER BY sha""".stripMargin),
+    "q_sample" ->
+      s"""WITH $CorpusCte
+         |SELECT docno,
+         |       (('0x' || substr(md5('$SampleSalt:' || docno), 1, 8))::BIGINT
+         |        % $SampleBuckets) AS bucket
+         |FROM corpus
+         |WHERE ('0x' || substr(md5('$SampleSalt:' || docno), 1, 8))::BIGINT
+         |      % $SampleBuckets < $SampleKeep
+         |ORDER BY docno""".stripMargin,
+    "q_shuffle" ->
+      s"""WITH $CorpusCte
+         |SELECT docno,
+         |       (row_number() OVER (ORDER BY md5('$SampleSalt:' || docno),
+         |                           docno) - 1)::BIGINT AS pos
+         |FROM corpus ORDER BY pos""".stripMargin,
+    "q_pack" ->
+      s"""WITH $CorpusCte,
+         |t AS (SELECT docno,
+         |             len(list_filter(string_split_regex(lower(content), '\\s+'),
+         |                             x -> x <> ''))::BIGINT AS n_tokens
+         |      FROM corpus),
+         |c AS (SELECT docno, n_tokens,
+         |             coalesce(sum(n_tokens) OVER (ORDER BY docno
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |               0) AS cumb
+         |      FROM t)
+         |SELECT docno, n_tokens,
+         |       (cumb // $PackSeqLen)::BIGINT AS chunk,
+         |       (cumb % $PackSeqLen)::BIGINT AS chunk_offset
+         |FROM c ORDER BY docno""".stripMargin,
     "q_and_topk" -> withCtes(
       s""",
          |$TopicsCte,

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline: deterministic
+  * sampling, seeded global shuffle, and sequence packing. Beyond the
+  * reference's own surface (its corpus ops stop at parsing/indexing,
+  * `FileParser.java:77-303`) — these are the standard curation steps a
+  * 100-TB pretraining pipeline runs downstream of dedup/quality filtering.
+  *
+  * All three are oracle-replayable: the only randomness is md5 of a salt
+  * plus the stable docno, and the only global coordination is a two-pass
+  * distributed prefix sum with driver state bounded by the partition count
+  * (the classic parallel-scan shape), never a single-partition Window or an
+  * unbounded collect.
+  */
+object Curation {
+
+  /** Deterministic hash-bucket sampling: keep documents whose
+    * `md5(salt:docno)` bucket (first 8 hex chars mod `buckets`) falls below
+    * `keep` — a `keep/buckets` sample that is stable across runs, executors
+    * and engines (the standard holdout/sample split of corpus pipelines,
+    * e.g. CCNet's hash sharding). Returns (docno, bucket). Pure codegen
+    * expressions; embarrassingly parallel, no shuffle.
+    */
+  def hashSample(corpus: DataFrame, salt: String, buckets: Int,
+                 keep: Int): DataFrame = {
+    require(buckets > 0 && keep > 0 && keep <= buckets,
+      s"need 0 < keep <= buckets, got keep=$keep buckets=$buckets")
+    corpus.select(col("docno"),
+        (conv(substring(md5(concat_ws(":", lit(salt), col("docno"))), 1, 8),
+          16, 10).cast("long") % buckets).as("bucket"))
+      .where(col("bucket") < keep)
+  }
+
+  /** Seeded deterministic global shuffle: every document gets a stable
+    * 0-based position `pos` in the order of `md5(salt:docno)` (docno
+    * tie-break, so the order is total even under a hash collision) — the
+    * reproducible corpus permutation training runs need for epoch
+    * shuffling. Equivalent to `row_number() over (order by md5, docno) - 1`
+    * but computed scalably: range-repartition on the hash (uniform keys →
+    * balanced partitions) + the distributed prefix sum of [[cumBefore]],
+    * never a single-partition Window.
+    */
+  def seededShuffle(corpus: DataFrame, salt: String): DataFrame =
+    cumBefore(corpus.select(
+        md5(concat_ws(":", lit(salt), col("docno"))).as("skey"),
+        col("docno"), lit(1L).as("w")))
+      .select(col("docno"), col("cum_before").as("pos"))
+
+  /** Concat-and-chunk sequence packing: documents are laid out end-to-end
+    * in ascending `docno` order and cut into fixed `seqLen`-token training
+    * sequences (the packing used by GPT-style pretraining dataloaders).
+    * Returns (docno, n_tokens, chunk, chunk_offset): the doc's first token
+    * lands in sequence `chunk` at offset `chunk_offset` (docs spanning a
+    * boundary continue into the next chunk). `docTokens` is (docno,
+    * n_tokens); feed it a shuffled position key upstream to pack in
+    * shuffled order.
+    */
+  def packSequences(docTokens: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    cumBefore(docTokens.select(col("docno").as("skey"), col("docno"),
+        col("n_tokens").cast("long").as("w")))
+      .select(col("docno"), col("w").as("n_tokens"),
+        floor(col("cum_before") / lit(seqLen.toLong)).cast("long").as("chunk"),
+        (col("cum_before") % seqLen).as("chunk_offset"))
+  }
+
+  /** Distributed exclusive prefix sum. Input columns (skey, docno, w);
+    * output (docno, w, cum_before) where `cum_before` = Σ w over all rows
+    * strictly before this one in (skey, docno) order — which must be a
+    * total order, i.e. (skey, docno) tuples unique (docno alone unique
+    * suffices).
+    *
+    * Two-pass parallel scan: range-repartition + sort on the key (so
+    * partition i holds keys strictly before partition i+1's), pass 1
+    * collects ONE (pid, Σw) row per partition to the driver — bounded by
+    * the partition count, not the data — pass 2 re-walks each partition
+    * adding its broadcast exclusive offset. The range shuffle is
+    * materialized once (localCheckpoint) so both passes share it and the
+    * partition layout/order provably can't drift between them.
+    */
+  private[graft] def cumBefore(keyed: DataFrame): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val sorted: Dataset[(String, String, Long)] = keyed
+      .select(col("skey").cast("string"), col("docno").cast("string"),
+        col("w").cast("long"))
+      .as[(String, String, Long)]
+      .repartitionByRange(col("skey"), col("docno"))
+      .sortWithinPartitions("skey", "docno")
+      .localCheckpoint()
+    val partSums: Array[(Int, Long)] = sorted.mapPartitions { it =>
+      var s = 0L
+      it.foreach(s += _._3)
+      Iterator.single((TaskContext.getPartitionId(), s))
+    }.collect()
+    val offsets: Map[Int, Long] = partSums.sortBy(_._1)
+      .scanLeft((-1, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
+      .sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }
+      .toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      var run = bc.value.getOrElse(TaskContext.getPartitionId(), 0L)
+      it.map { case (_, docno, w) =>
+        val before = run
+        run += w
+        (docno, w, before)
+      }
+    }.toDF("docno", "w", "cum_before")
+  }
+}
