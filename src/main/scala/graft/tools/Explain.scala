@@ -70,6 +70,13 @@ object Explain {
     graft.ops.Knn.ivfTopK(emb, q, 10,
       graft.ops.Knn.ivfSeedCentroids(emb, 8), nProbe = 2).explain("formatted")
 
+    println("\n========== hash sample (filter pushed to the corpus scan, zero shuffles) ==========")
+    val corp = graft.corpus.Corpus.fromDocuments(spark, sfDir)
+    graft.ops.Curation.hashSample(corp, "s1", 20, 2).explain("formatted")
+
+    println("\n========== seeded shuffle prefix sum (exactly ONE range exchange; both passes read the materialized sort) ==========")
+    graft.ops.Curation.seededShuffle(corp, "s1").explain("formatted")
+
     spark.stop()
   }
 }
