@@ -74,6 +74,17 @@ object Engine {
   def kstemIndex(spark: SparkSession, sfDir: String): BuiltIndex =
     indexFor(spark, sfDir, IndexConfig(analyzer = KStemAnalyzer), "kstem")
 
+  /** Tokenizer selected by fully-qualified class name — drives the
+    * reflective plugin seam (≙ `TrecAnalyzer.java:63-70` Class.forName)
+    * through a real index build rather than just a unit test.
+    */
+  val FqcnAnalyzer: AnalyzerConfig =
+    AnalyzerConfig(tokenizer = "graft.analysis.ClassicLikeTokenizer",
+      stopWords = Set("a", "the"), stemmer = "none")
+
+  def fqcnIndex(spark: SparkSession, sfDir: String): BuiltIndex =
+    indexFor(spark, sfDir, IndexConfig(analyzer = FqcnAnalyzer), "fqcn")
+
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(oracleIndex(spark, sfDir))
 }

@@ -35,6 +35,10 @@ object SparkEntry {
   val SampleKeep = 2
   val PackSeqLen = 512
 
+  // Paging gate parameters: the second 5-hit page of topic 1.
+  val PageNo = 1
+  val PageSize = 5
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Engine.searcher(spark, "/root/testdata/sf0.001")
@@ -87,6 +91,31 @@ object SparkEntry {
       Engine.searcher(s, dir).search(topics, TopK)
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
+    }),
+    // §2.7 block-max WAND: the SAME topics/k as q_bm25_topk but with
+    // pruning enabled — a green row certifies the skip logic is
+    // rank-identical against the independent SQL replay (WandSpec
+    // additionally asserts blocks actually skip)
+    "q_wand_topk" -> ((s, dir) => {
+      Engine.searcher(s, dir).search(topics, TopK, pruning = true)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // §2.5 paging (≙ SearchFiles 5-page prefetch): the second 5-hit page
+    // of topic 1 — a rank slice of the BM25 ordering
+    "q_page_topk" -> ((s, dir) => {
+      import s.implicits._
+      Engine.searcher(s, dir).searchPaged(topics.head, PageNo, PageSize)
+        .map(l => (l.qid, l.docno, l.rank.toLong))
+        .toDF("qid", "docno", "rank").orderBy("rank")
+    }),
+    // §2.8 reflective FQCN seam driven end-to-end: the index analyzer's
+    // tokenizer is loaded by fully-qualified class name (Class.forName ≙
+    // TrecAnalyzer.java:63-70), then df over the resulting index
+    "q_fqcn_df" -> ((s, dir) => {
+      Engine.fqcnIndex(s, dir).termStats
+        .select(col("term"), col("df").cast("long").as("df"))
+        .orderBy("term")
     }),
     // §2.5 top-terms ordering (df desc, term asc)
     "q_top_terms" -> ((s, dir) => {
@@ -850,7 +879,10 @@ object SparkEntry {
     * q_stream_topk: BM25 over the streamed UnionIndex is float-identical
     * to the monolithic build, so both engines' ranks replay the same SQL.
     */
-  private lazy val Bm25TopkSql: String = withCtes(
+  /** The shared BM25 ranking CTEs (through `ranked(qid, docno, rank)`);
+    * the top-k, WAND, and paging oracles select different slices of it.
+    */
+  private lazy val Bm25RankedCtes: String =
     s""",
        |$TopicsCte,
        |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
@@ -875,9 +907,19 @@ object SparkEntry {
        |  SELECT qid, docno,
        |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
        |  FROM scored
-       |)
+       |)""".stripMargin
+
+  private lazy val Bm25TopkSql: String = withCtes(
+    s"""$Bm25RankedCtes
        |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
        |ORDER BY qid, rank""".stripMargin)
+
+  private lazy val PageTopkSql: String = withCtes(
+    s"""$Bm25RankedCtes
+       |SELECT qid, docno, rank FROM ranked
+       |WHERE qid = '1' AND rank >= ${PageNo * PageSize}
+       |  AND rank < ${(PageNo + 1) * PageSize}
+       |ORDER BY rank""".stripMargin)
 
   /** Snippet replay: the greedy char-budget fragmenter is a sequential fold
     * (cur + 1 + |tok| > 15 → new fragment), replayed with a RECURSIVE walk
@@ -973,6 +1015,21 @@ object SparkEntry {
       """SELECT term, docno, count(*)::BIGINT AS tf
         |FROM tok GROUP BY term, docno ORDER BY term, docno""".stripMargin),
     "q_bm25_topk" -> Bm25TopkSql,
+    // WAND is rank-identical to exhaustive BM25 by design — same oracle
+    "q_wand_topk" -> Bm25TopkSql,
+    "q_page_topk" -> PageTopkSql,
+    // classic-tokenized df: the FQCN-loaded tokenizer replayed via the
+    // same RE2 alternation as q_classic_tok, then lower + stop + df
+    "q_fqcn_df" ->
+      s"""WITH $CorpusCte,
+         |ct0 AS (SELECT docno,
+         |               unnest(regexp_extract_all(content,
+         |                 '${ClassicSqlPattern.replace("'", "''")}')) AS term
+         |        FROM corpus),
+         |ct AS (SELECT docno, lower(term) AS term FROM ct0
+         |       WHERE lower(term) NOT IN ('a', 'the'))
+         |SELECT term, count(DISTINCT docno)::BIGINT AS df
+         |FROM ct GROUP BY term ORDER BY term""".stripMargin,
     "q_top_terms" -> withCtes(
       """SELECT term, count(DISTINCT docno)::BIGINT AS df
         |FROM tok GROUP BY term
