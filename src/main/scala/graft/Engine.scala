@@ -74,13 +74,14 @@ object Engine {
   def kstemIndex(spark: SparkSession, sfDir: String): BuiltIndex =
     indexFor(spark, sfDir, IndexConfig(analyzer = KStemAnalyzer), "kstem")
 
-  /** Tokenizer selected by fully-qualified class name — drives the
-    * reflective plugin seam (≙ `TrecAnalyzer.java:63-70` Class.forName)
-    * through a real index build rather than just a unit test.
+  /** Tokenizer AND stemmer selected by fully-qualified class name — drives
+    * the reflective plugin seam (≙ `TrecAnalyzer.java:63-70,78-103`
+    * Class.forName) through a real index build rather than just a unit
+    * test. The `$` suffix addresses the Scala object's singleton class.
     */
   val FqcnAnalyzer: AnalyzerConfig =
     AnalyzerConfig(tokenizer = "graft.analysis.ClassicLikeTokenizer",
-      stopWords = Set("a", "the"), stemmer = "none")
+      stopWords = Set("a", "the"), stemmer = "graft.analysis.PorterStemmer$")
 
   def fqcnIndex(spark: SparkSession, sfDir: String): BuiltIndex =
     indexFor(spark, sfDir, IndexConfig(analyzer = FqcnAnalyzer), "fqcn")

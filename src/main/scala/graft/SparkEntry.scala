@@ -110,12 +110,21 @@ object SparkEntry {
         .toDF("qid", "docno", "rank").orderBy("rank")
     }),
     // §2.8 reflective FQCN seam driven end-to-end: the index analyzer's
-    // tokenizer is loaded by fully-qualified class name (Class.forName ≙
-    // TrecAnalyzer.java:63-70), then df over the resulting index
+    // tokenizer AND stemmer are loaded by fully-qualified class name
+    // (Class.forName ≙ TrecAnalyzer.java:63-70,78-103), then df over the
+    // resulting classic-tokenized Porter-stemmed index
     "q_fqcn_df" -> ((s, dir) => {
       Engine.fqcnIndex(s, dir).termStats
         .select(col("term"), col("df").cast("long").as("df"))
         .orderBy("term")
+    }),
+    // §2.8 the third reflective seam: scorer by FQCN — ranks must equal
+    // the by-name bm25 ranking exactly
+    "q_fqcn_scorer_topk" -> ((s, dir) => {
+      Engine.searcher(s, dir)
+        .search(topics, TopK, scorerName = "graft.search.Bm25Scorer$")
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
     }),
     // §2.5 top-terms ordering (df desc, term asc)
     "q_top_terms" -> ((s, dir) => {
@@ -1018,8 +1027,9 @@ object SparkEntry {
     // WAND is rank-identical to exhaustive BM25 by design — same oracle
     "q_wand_topk" -> Bm25TopkSql,
     "q_page_topk" -> PageTopkSql,
-    // classic-tokenized df: the FQCN-loaded tokenizer replayed via the
-    // same RE2 alternation as q_classic_tok, then lower + stop + df
+    // classic-tokenized Porter-stemmed df: the FQCN-loaded tokenizer
+    // replayed via the same RE2 alternation as q_classic_tok, then lower +
+    // stop, then the generated full-Porter SQL replay
     "q_fqcn_df" ->
       s"""WITH $CorpusCte,
          |ct0 AS (SELECT docno,
@@ -1027,9 +1037,13 @@ object SparkEntry {
          |                 '${ClassicSqlPattern.replace("'", "''")}')) AS term
          |        FROM corpus),
          |ct AS (SELECT docno, lower(term) AS term FROM ct0
-         |       WHERE lower(term) NOT IN ('a', 'the'))
-         |SELECT term, count(DISTINCT docno)::BIGINT AS df
-         |FROM ct GROUP BY term ORDER BY term""".stripMargin,
+         |       WHERE lower(term) NOT IN ('a', 'the')),
+         |pwords AS (SELECT DISTINCT term FROM ct),
+         |${PorterSql.ctes}
+         |SELECT p.stem AS term, count(DISTINCT t.docno)::BIGINT AS df
+         |FROM ct t JOIN porter p ON p.term = t.term
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_fqcn_scorer_topk" -> Bm25TopkSql,
     "q_top_terms" -> withCtes(
       """SELECT term, count(DISTINCT docno)::BIGINT AS df
         |FROM tok GROUP BY term
