@@ -562,6 +562,25 @@ object SparkEntry {
         .toDF("docno", "parsed")
         .orderBy("docno")
     }),
+    // simple-parser round trip: each doc rendered as a one-doc "file"
+    // (basename = docno + .txt extension, every space turned into a line
+    // break) — the parser must recover docno from the basename and join
+    // the lines WITHOUT separators (the reference's no-separator quirk,
+    // FileParser.java:154-155), so parsed = content minus spaces
+    "q_simple_parse" -> ((s, dir) => {
+      import s.implicits._
+      corpus.Corpus.fromDocuments(s, dir)
+        .select($"docno",
+          concat(lit("data/sub.dir/"), $"docno", lit(".txt")).as("fn"),
+          regexp_replace($"content", " ", "\n").as("txt"))
+        .as[(String, String, String)]
+        .map { case (_, fn, txt) =>
+          val p = corpus.Parsers.parseSimple(txt, fn)
+          (p.docno, p.content)
+        }
+        .toDF("docno", "parsed")
+        .orderBy("docno")
+    }),
     // training-pipeline op: BPE-ish token budgeting counts (letter/digit
     // runs + single marks; the path column exercises digits/punctuation)
     "q_token_count" -> ((s, dir) => {
@@ -1829,6 +1848,12 @@ object SparkEntry {
         |       trim(text) AS parsed
         |FROM documents WHERE doc_id % 7 NOT IN (3, 5)
         |ORDER BY docno""".stripMargin,
+    // simple-parse replay: docno survives the basename/extension strip;
+    // lines (split at spaces) joined without separators = spaces deleted
+    "q_simple_parse" ->
+      s"""WITH $CorpusCte
+         |SELECT docno, replace(content, ' ', '') AS parsed
+         |FROM corpus ORDER BY docno""".stripMargin,
     // BPE-ish token budgeting: the same regex runs verbatim in both engines
     // (valid Java regex AND RE2)
     "q_token_count" ->
