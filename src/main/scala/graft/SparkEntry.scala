@@ -39,6 +39,10 @@ object SparkEntry {
   val PageNo = 1
   val PageSize = 5
 
+  // Composed curation pipeline: quality floor and 90% train split.
+  val CurateMinTokens = 5
+  val CurateTrainKeep = 18
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Engine.searcher(spark, "/root/testdata/sf0.001")
@@ -269,6 +273,29 @@ object SparkEntry {
       ops.Dedup.dupClusters(c, pairs)
         .select(col("docno"), col("cluster"), col("keep"))
         .orderBy("docno")
+    }),
+    // composed end-to-end curation pipeline — the ops above chained the
+    // way a pretraining data build runs them: near-dup canonical keep →
+    // token-count quality floor → deterministic 90% train split →
+    // fixed-size sequence packing
+    "q_curate" -> ((s, dir) => {
+      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+      val c = corpus.Corpus.fromDocuments(s, dir)
+      val sh = ops.Dedup.shingles(c, an, 3)
+      val cand = ops.Dedup.minHashCandidates(c, an, 3, 12, 2, maxBucketSize = 0)
+      val pairs = ops.Dedup.verifyJaccard(cand, sh)
+        .where(col("inter") * 2 >= col("uni"))
+      val kept = ops.Dedup.dupClusters(c, pairs)
+        .where(col("keep")).select("docno")
+      val toks = c.join(kept, "docno")
+        .select(col("docno"),
+          size(filter(split(lower(col("content")), "\\s+"), t => t =!= ""))
+            .cast("long").as("n_tokens"))
+        .where(col("n_tokens") >= CurateMinTokens)
+      val train = toks.join(
+        ops.Curation.hashSample(c, SampleSalt, SampleBuckets, CurateTrainKeep)
+          .select("docno"), "docno")
+      ops.Curation.packSequences(train, PackSeqLen).orderBy("docno")
     }),
     // training-pipeline op: brute-force cosine top-k over embeddings
     "q_knn" -> ((s, dir) => {
@@ -785,6 +812,38 @@ object SparkEntry {
       |  )
       |)""".stripMargin
 
+  /** Verified near-dup pairs → connected components (recursive transitive
+    * closure; cluster = min reachable docno). Requires `sh` + `cand` from
+    * [[ShingleCte]]/[[MinHashCte]] and a RECURSIVE WITH.
+    */
+  private val DupClusterCtes =
+    """sizes AS (SELECT docno, count(*) AS n FROM sh GROUP BY docno),
+      |inter AS (
+      |  SELECT c.docno_a, c.docno_b, count(*) AS inter
+      |  FROM cand c
+      |  JOIN sh a ON a.docno = c.docno_a
+      |  JOIN sh b ON b.docno = c.docno_b AND b.shingle = a.shingle
+      |  GROUP BY c.docno_a, c.docno_b),
+      |vp AS (
+      |  SELECT c.docno_a, c.docno_b
+      |  FROM cand c
+      |  LEFT JOIN inter i ON i.docno_a = c.docno_a AND i.docno_b = c.docno_b
+      |  JOIN sizes sa ON sa.docno = c.docno_a
+      |  JOIN sizes sb ON sb.docno = c.docno_b
+      |  WHERE 2 * coalesce(i.inter, 0) >= (sa.n + sb.n - coalesce(i.inter, 0))),
+      |sym AS (
+      |  SELECT docno_a AS a, docno_b AS b FROM vp
+      |  UNION SELECT docno_b, docno_a FROM vp),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+      |clus AS (
+      |  SELECT c.docno,
+      |         least(c.docno, coalesce(min(r.b), c.docno)) AS cluster
+      |  FROM corpus c LEFT JOIN reach r ON r.a = c.docno
+      |  GROUP BY c.docno)""".stripMargin
+
   private val MinHashCte =
     """mh AS (
       |  SELECT docno, idx.i, min(md5(concat(idx.i, ':', shingle))) AS minv
@@ -1165,34 +1224,34 @@ object SparkEntry {
       s"""WITH RECURSIVE $CorpusCte,
          |$ShingleCte,
          |$MinHashCte,
-         |sizes AS (SELECT docno, count(*) AS n FROM sh GROUP BY docno),
-         |inter AS (
-         |  SELECT c.docno_a, c.docno_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN sh a ON a.docno = c.docno_a
-         |  JOIN sh b ON b.docno = c.docno_b AND b.shingle = a.shingle
-         |  GROUP BY c.docno_a, c.docno_b),
-         |vp AS (
-         |  SELECT c.docno_a, c.docno_b
-         |  FROM cand c
-         |  LEFT JOIN inter i ON i.docno_a = c.docno_a AND i.docno_b = c.docno_b
-         |  JOIN sizes sa ON sa.docno = c.docno_a
-         |  JOIN sizes sb ON sb.docno = c.docno_b
-         |  WHERE 2 * coalesce(i.inter, 0) >= (sa.n + sb.n - coalesce(i.inter, 0))),
-         |sym AS (
-         |  SELECT docno_a AS a, docno_b AS b FROM vp
-         |  UNION SELECT docno_b, docno_a FROM vp),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM sym
-         |  UNION
-         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
-         |clus AS (
-         |  SELECT c.docno,
-         |         least(c.docno, coalesce(min(r.b), c.docno)) AS cluster
-         |  FROM corpus c LEFT JOIN reach r ON r.a = c.docno
-         |  GROUP BY c.docno)
+         |$DupClusterCtes
          |SELECT docno, cluster, (docno = cluster) AS keep
          |FROM clus ORDER BY docno""".stripMargin,
+    // composed curation pipeline replay: canonical keep (clusters above) →
+    // token floor → md5 train split → concat-and-chunk packing
+    "q_curate" ->
+      s"""WITH RECURSIVE $CorpusCte,
+         |$ShingleCte,
+         |$MinHashCte,
+         |$DupClusterCtes,
+         |kept AS (SELECT docno FROM clus WHERE docno = cluster),
+         |tq AS (SELECT c.docno,
+         |              len(list_filter(string_split_regex(lower(c.content), '\\s+'),
+         |                              x -> x <> ''))::BIGINT AS n_tokens
+         |       FROM corpus c JOIN kept USING (docno)),
+         |tr AS (SELECT * FROM tq
+         |       WHERE n_tokens >= $CurateMinTokens
+         |         AND ('0x' || substr(md5('$SampleSalt:' || docno), 1, 8))::BIGINT
+         |             % $SampleBuckets < $CurateTrainKeep),
+         |cum AS (SELECT docno, n_tokens,
+         |               coalesce(sum(n_tokens) OVER (ORDER BY docno
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |                 0) AS cumb
+         |        FROM tr)
+         |SELECT docno, n_tokens,
+         |       (cumb // $PackSeqLen)::BIGINT AS chunk,
+         |       (cumb % $PackSeqLen)::BIGINT AS chunk_offset
+         |FROM cum ORDER BY docno""".stripMargin,
     "q_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
         |           FROM embeddings WHERE vec_id < 5),
