@@ -251,12 +251,7 @@ object SparkEntry {
     }),
     // training-pipeline op: exact n-gram Jaccard verification (float-free)
     "q_neardup" -> ((s, dir) => {
-      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
-      val c = corpus.Corpus.fromDocuments(s, dir)
-      val sh = ops.Dedup.shingles(c, an, 3)
-      val cand = ops.Dedup.minHashCandidates(c, an, 3, 12, 2, maxBucketSize = 0)
-      ops.Dedup.verifyJaccard(cand, sh)
-        .where(col("inter") * 2 >= col("uni"))
+      neardupPipeline(s, dir)._2
         .select(col("docno_a"), col("docno_b"), col("inter"), col("uni"))
         .orderBy("docno_a", "docno_b")
     }),
@@ -264,12 +259,7 @@ object SparkEntry {
     // components over the verified pair graph (cluster = min reachable
     // docno; keep = the canonical representative the dedup'd corpus keeps)
     "q_dup_clusters" -> ((s, dir) => {
-      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
-      val c = corpus.Corpus.fromDocuments(s, dir)
-      val sh = ops.Dedup.shingles(c, an, 3)
-      val cand = ops.Dedup.minHashCandidates(c, an, 3, 12, 2, maxBucketSize = 0)
-      val pairs = ops.Dedup.verifyJaccard(cand, sh)
-        .where(col("inter") * 2 >= col("uni"))
+      val (c, pairs) = neardupPipeline(s, dir)
       ops.Dedup.dupClusters(c, pairs)
         .select(col("docno"), col("cluster"), col("keep"))
         .orderBy("docno")
@@ -279,12 +269,7 @@ object SparkEntry {
     // token-count quality floor → deterministic 90% train split →
     // fixed-size sequence packing
     "q_curate" -> ((s, dir) => {
-      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
-      val c = corpus.Corpus.fromDocuments(s, dir)
-      val sh = ops.Dedup.shingles(c, an, 3)
-      val cand = ops.Dedup.minHashCandidates(c, an, 3, 12, 2, maxBucketSize = 0)
-      val pairs = ops.Dedup.verifyJaccard(cand, sh)
-        .where(col("inter") * 2 >= col("uni"))
+      val (c, pairs) = neardupPipeline(s, dir)
       val kept = ops.Dedup.dupClusters(c, pairs)
         .where(col("keep")).select("docno")
       val toks = c.join(kept, "docno")
@@ -680,6 +665,24 @@ object SparkEntry {
     })
   )
 
+  /** Shared near-dup prologue — the SINGLE Scala-side home of the gate's
+    * dedup parameters (shingle n=3, 12 hashes, 2 rows/band, uncapped
+    * buckets, keep when Jaccard >= 1/2), mirrored on the oracle side by
+    * ShingleCte/MinHashCte/DupClusterCtes. Shingles are built once and
+    * shared between LSH banding and Jaccard verification. Returns
+    * (corpus, verified pairs with inter/uni counts).
+    */
+  private def neardupPipeline(s: SparkSession,
+                              dir: String): (DataFrame, DataFrame) = {
+    val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+    val c = corpus.Corpus.fromDocuments(s, dir)
+    val sh = ops.Dedup.shingles(c, an, 3)
+    val pairs = ops.Dedup.verifyJaccard(
+        ops.Dedup.minHashCandidatesFrom(sh, 12, 2, maxBucketSize = 0), sh)
+      .where(col("inter") * 2 >= col("uni"))
+    (c, pairs)
+  }
+
   /** Standard-topic ranks under a named stock scorer. */
   private def stockRanks(s: SparkSession, dir: String, scorer: String): DataFrame =
     Engine.searcher(s, dir).search(topics, TopK, scorerName = scorer)
@@ -962,10 +965,6 @@ object SparkEntry {
   /** NormalizationH2 tfn and the DFR/IB lambdas, substituted textually. */
   private val TfnSql = s"(f.tf * log2(1.0 + $AvgdlSql / d.lossy_dl))"
 
-  /** The BM25 top-k oracle — shared verbatim by q_bm25_topk and
-    * q_stream_topk: BM25 over the streamed UnionIndex is float-identical
-    * to the monolithic build, so both engines' ranks replay the same SQL.
-    */
   /** The shared BM25 ranking CTEs (through `ranked(qid, docno, rank)`);
     * the top-k, WAND, and paging oracles select different slices of it.
     */
@@ -996,6 +995,11 @@ object SparkEntry {
        |  FROM scored
        |)""".stripMargin
 
+  /** The BM25 top-k oracle — shared verbatim by q_bm25_topk, q_wand_topk
+    * (pruning is rank-identical), q_fqcn_scorer_topk (FQCN load of the
+    * same scorer), and q_stream_topk (BM25 over the streamed UnionIndex is
+    * float-identical to the monolithic build).
+    */
   private lazy val Bm25TopkSql: String = withCtes(
     s"""$Bm25RankedCtes
        |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK

@@ -68,8 +68,16 @@ object Dedup {
     */
   def minHashCandidates(corpus: DataFrame, analyzer: Analyzer,
                         shingleN: Int = 3, k: Int = 12, rowsPerBand: Int = 2,
-                        maxBucketSize: Int = 1000): DataFrame = {
-    val sh = shingles(corpus, analyzer, shingleN)
+                        maxBucketSize: Int = 1000): DataFrame =
+    minHashCandidatesFrom(shingles(corpus, analyzer, shingleN), k,
+      rowsPerBand, maxBucketSize)
+
+  /** As [[minHashCandidates]] but over an already-built shingle table, so
+    * callers that also verify (and thus need the shingles anyway) don't
+    * recompute the corpus-wide shingling.
+    */
+  def minHashCandidatesFrom(sh: DataFrame, k: Int = 12, rowsPerBand: Int = 2,
+                            maxBucketSize: Int = 1000): DataFrame = {
     val bands = bandKeys(minHashSignatures(sh, k), rowsPerBand)
     val bounded =
       if (maxBucketSize <= 0) bands
