@@ -208,7 +208,10 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      // min over the neighborhood's labels, then min with the own label
+      // min over the neighborhood's labels, then min with the own label;
+      // `chg` records in-row whether this round lowered the label, so
+      // convergence is a scan of the checkpointed round — no extra join
+      // against the previous labels
       val nbrMin = edges
         .join(labels.withColumnRenamed("docno", "src"), "src")
         .groupBy(col("dst").as("docno"))
@@ -216,11 +219,11 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("docno"), "left")
         .select(col("docno"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          (col("nbr_cluster") < col("cluster")).as("chg"))
         .localCheckpoint() // truncate the per-round lineage growth
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "docno")
-        .where(col("cluster") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("chg")).count()
+      labels = next.select("docno", "cluster")
       it += 1
     }
     require(changed == 0,
