@@ -507,6 +507,10 @@ object SparkEntry {
     // and ranks degenerate to the (count desc, docid asc) tie-break — an
     // EXACT integer determinism probe of the whole collector chain
     "q_tmpl_topk" -> ((s, dir) => stockRanks(s, dir, "tmpl")),
+    // TMPLe: same constant-1.0 template THROUGH the byte315 lossy-norm
+    // read path — the lossy dl cannot move a constant score, so ranks
+    // must replay the exact same tie-break oracle as tmpl
+    "q_tmple_topk" -> ((s, dir) => stockRanks(s, dir, "tmple")),
     "q_bm25l_topk" -> ((s, dir) => stockRanks(s, dir, "bm25L")),
     "q_classicl_topk" -> ((s, dir) => stockRanks(s, dir, "defaultL")),
     "q_lmd_topk" -> ((s, dir) => stockRanks(s, dir, "lmdirichletL")),
@@ -994,6 +998,29 @@ object SparkEntry {
        |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
        |  FROM scored
        |)""".stripMargin
+
+  /** The template-scorer oracle (score ≡ Σ clause weights per matched doc,
+    * i.e. an integer-exact collector/tie-break probe) — shared by
+    * q_tmpl_topk and q_tmple_topk: the byte315 lossy norm cannot move a
+    * constant per-clause score, so both models rank identically.
+    */
+  private lazy val TmplTopkSql: String = withCtes(
+    s""",
+       |$TopicsCte,
+       |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
+       |scored AS (
+       |  SELECT q.qid, t.docno, sum(q.w) AS score
+       |  FROM qterm q
+       |  JOIN (SELECT DISTINCT docno, term FROM tok) t ON t.term = q.term
+       |  GROUP BY 1, 2
+       |),
+       |ranked AS (
+       |  SELECT qid, docno,
+       |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+       |ORDER BY qid, rank""".stripMargin)
 
   /** The BM25 top-k oracle — shared verbatim by q_bm25_topk, q_wand_topk
     * (pruning is rank-identical), q_fqcn_scorer_topk (FQCN load of the
@@ -1844,23 +1871,8 @@ object SparkEntry {
          |ORDER BY qid, rank""".stripMargin),
     // TMPL replay: totals = Σ topic-term multiplicity over matched terms
     // (integer-exact; score ≡ 1 per clause)
-    "q_tmpl_topk" -> withCtes(
-      s""",
-         |$TopicsCte,
-         |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
-         |scored AS (
-         |  SELECT q.qid, t.docno, sum(q.w) AS score
-         |  FROM qterm q
-         |  JOIN (SELECT DISTINCT docno, term FROM tok) t ON t.term = q.term
-         |  GROUP BY 1, 2
-         |),
-         |ranked AS (
-         |  SELECT qid, docno,
-         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
-         |  FROM scored
-         |)
-         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
-         |ORDER BY qid, rank""".stripMargin),
+    "q_tmpl_topk" -> TmplTopkSql,
+    "q_tmple_topk" -> TmplTopkSql,
     // Lucene 5.4 BM25Similarity: natural-log idf, avgdl over maxDoc, lossy
     // 1-byte doc length (LuceneNormSql)
     "q_bm25l_topk" -> stockModelSql(
