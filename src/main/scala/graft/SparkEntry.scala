@@ -680,7 +680,10 @@ object SparkEntry {
                               dir: String): (DataFrame, DataFrame) = {
     val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
     val c = corpus.Corpus.fromDocuments(s, dir)
-    val sh = ops.Dedup.shingles(c, an, 3)
+    // materialized once: the shingle plan is referenced by the signature
+    // groupBy AND both sides of the Jaccard verify join, and lazy
+    // evaluation would re-run the corpus-wide shingling per occurrence
+    val sh = ops.Dedup.shingles(c, an, 3).localCheckpoint()
     val pairs = ops.Dedup.verifyJaccard(
         ops.Dedup.minHashCandidatesFrom(sh, 12, 2, maxBucketSize = 0), sh)
       .where(col("inter") * 2 >= col("uni"))
