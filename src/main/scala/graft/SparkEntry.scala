@@ -368,7 +368,7 @@ object SparkEntry {
       // streamed batches
       val fpRow = corpus.Corpus.fromDocuments(s, dir)
         .agg(count(lit(1)),
-          coalesce(sum(crc32(concat_ws(" ", col("docno"), col("content")))), lit(0L)))
+          coalesce(sum(crc32(concat_ws("\u0000", col("docno"), col("content")))), lit(0L)))
         .head()
       val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(fpRow.getLong(1))}"
       val root = s"${Engine.workDir}/stream_${safeSf}_$fp"
