@@ -415,6 +415,48 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // streaming stateful exact dedup: batch 0 streams the corpus, batch 1
+    // streams dup-prefixed copies of the even docs (dropped by STATE),
+    // plus fresha-/freshb- twins with new content for every 5th doc (the
+    // within-batch min-docno winner is fresha-). Kept set ≡ min(docno)
+    // per sha over everything streamed — exactly the oracle's GROUP BY
+    "q_stream_dedup" -> ((s, dir) => {
+      val safeSf = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val fpRow = corpus.Corpus.fromDocuments(s, dir)
+        .agg(count(lit(1)),
+          coalesce(sum(crc32(concat_ws("\u0000", col("docno"), col("content")))), lit(0L)))
+        .head()
+      val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(fpRow.getLong(1))}"
+      val root = s"${Engine.workDir}/sdedup_${safeSf}_$fp"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      val done = new org.apache.hadoop.fs.Path(s"$root/_done")
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val src = s"$root/src"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+        val c = corpus.Corpus.fromDocuments(s, dir).select(col("docno"), col("content"))
+        val id = substring(col("docno"), 5, 8).cast("long")
+        val dups = c.where(id % 2 === 0)
+          .select(concat(lit("dup-"), col("docno")).as("docno"), col("content"))
+        def freshHalf(prefix: String) = c.where(id % 5 === 0)
+          .select(concat(lit(prefix), col("docno")).as("docno"),
+            concat(col("content"), lit(" v2")).as("content"))
+        Seq(c, dups.union(freshHalf("fresha-")).union(freshHalf("freshb-")))
+          .zipWithIndex.foreach { case (batch, i) =>
+            val tmp = s"$root/srctmp_$i"
+            batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+            fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/batch_$i.parquet"))
+            fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          }
+        streaming.StreamingDedup.start(s, src, s"$root/out", s"$root/ckpt")
+          .awaitTermination()
+        fs.create(done).close()
+      }
+      s.read.parquet(s"$root/out").select(col("docno"), col("sha"))
+        .orderBy("docno")
+    }),
     // training-pipeline op: winnowing document fingerprints (SIGMOD'03) —
     // k-gram md5-hashes, per-window rightmost minimum
     "q_winnow" -> ((s, dir) => {
@@ -1114,6 +1156,26 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_snippets" -> SnippetsSql,
     "q_stream_topk" -> Bm25TopkSql,
+    // streaming dedup replay: the kept set is min(docno) per sha over
+    // everything streamed — batch order (originals first) and the
+    // within-batch min-docno rule both collapse to the same GROUP BY
+    // because 'doc-' < 'dup-'/'fresh*-' lexicographically
+    "q_stream_dedup" ->
+      s"""WITH $CorpusCte,
+         |allin AS (
+         |  SELECT docno, sha256(content) AS sha FROM corpus
+         |  UNION ALL
+         |  SELECT 'dup-' || docno, sha256(content) FROM corpus
+         |  WHERE CAST(substr(docno, 5) AS BIGINT) % 2 = 0
+         |  UNION ALL
+         |  SELECT 'fresha-' || docno, sha256(content || ' v2') FROM corpus
+         |  WHERE CAST(substr(docno, 5) AS BIGINT) % 5 = 0
+         |  UNION ALL
+         |  SELECT 'freshb-' || docno, sha256(content || ' v2') FROM corpus
+         |  WHERE CAST(substr(docno, 5) AS BIGINT) % 5 = 0
+         |)
+         |SELECT min(docno) AS docno, sha FROM allin
+         |GROUP BY sha ORDER BY docno""".stripMargin,
     "q_corpus" ->
       s"""WITH $CorpusCte
          |SELECT docno, repo, path, commit_sha AS "commit", lang,
