@@ -457,6 +457,51 @@ object SparkEntry {
       s.read.parquet(s"$root/out").select(col("docno"), col("sha"))
         .orderBy("docno")
     }),
+    // streaming watermarked hourly windows over the events table: two
+    // ts-ordered batches then a far-future sentinel that advances the
+    // watermark past every real window, so the append-mode output is the
+    // COMPLETE finalized rollup — which is exactly the batch GROUP BY the
+    // oracle runs. Counts exact; value summed in integer cents.
+    "q_stream_window" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val fpRow = ev.agg(count(lit(1)), coalesce(sum(crc32(
+          concat_ws(" ", col("event_id"), col("ts").cast("string")))), lit(0L)))
+        .head()
+      val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(fpRow.getLong(1))}"
+      val safeSf = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val root = s"${Engine.workDir}/swin_${safeSf}_$fp"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      val done = new org.apache.hadoop.fs.Path(s"$root/_done")
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val src = s"$root/src"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+        val n = ev.count()
+        // ts is monotone in event_id, so an id split is a time split —
+        // batch 1's events all sit above batch 0's watermark
+        val half0 = ev.where(col("event_id") < n / 2)
+        val half1 = ev.where(col("event_id") >= n / 2)
+        val sentinel = s.sql(
+          """SELECT CAST(-1 AS BIGINT) AS event_id,
+            |       CAST('2030-01-01 00:00:00' AS TIMESTAMP) AS ts,
+            |       CAST(0 AS BIGINT) AS user_id, 'sentinel' AS event_type,
+            |       CAST(0.0 AS DOUBLE) AS value, '{}' AS props""".stripMargin)
+        Seq(half0, half1, sentinel).zipWithIndex.foreach { case (batch, i) =>
+          val tmp = s"$root/srctmp_$i"
+          batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/batch_$i.parquet"))
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        }
+        streaming.StreamingEvents.start(s, src, s"$root/out", s"$root/ckpt",
+          cutoff = "2029-01-01 00:00:00").awaitTermination()
+        fs.create(done).close()
+      }
+      s.read.parquet(s"$root/out")
+        .select(col("win_start"), col("event_type"), col("n_events"), col("sum_cents"))
+        .orderBy("win_start", "event_type")
+    }),
     // training-pipeline op: winnowing document fingerprints (SIGMOD'03) —
     // k-gram md5-hashes, per-window rightmost minimum
     "q_winnow" -> ((s, dir) => {
@@ -1160,6 +1205,14 @@ object SparkEntry {
     // everything streamed — batch order (originals first) and the
     // within-batch min-docno rule both collapse to the same GROUP BY
     // because 'doc-' < 'dup-'/'fresh*-' lexicographically
+    // windowed-rollup replay: the finalized append-mode stream output IS
+    // the full batch aggregation (UTC hour buckets; cents are exact)
+    "q_stream_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+        |       event_type,
+        |       count(*)::BIGINT AS n_events,
+        |       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_dedup" ->
       s"""WITH $CorpusCte,
          |allin AS (
