@@ -366,11 +366,8 @@ object SparkEntry {
       // IndexBuilder's keys-only scheme) so a regenerated fixture — even one
       // with identical docnos but changed text — can never serve stale
       // streamed batches
-      val fpRow = corpus.Corpus.fromDocuments(s, dir)
-        .agg(count(lit(1)),
-          coalesce(sum(crc32(concat_ws("\u0000", col("docno"), col("content")))), lit(0L)))
-        .head()
-      val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(fpRow.getLong(1))}"
+      val fp = streaming.StreamFixtures.fingerprint(
+        corpus.Corpus.fromDocuments(s, dir), Seq(col("docno"), col("content")))
       val root = s"${Engine.workDir}/stream_${safeSf}_$fp"
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
@@ -398,14 +395,8 @@ object SparkEntry {
               it.reduceOption((a, b) => if (a <= b) a else b).iterator
             else Iterator.empty
           }.collect().headOption.getOrElse("")
-        Seq(0, 1).foreach { half =>
-          val tmp = s"$root/srctmp_$half"
-          (if (half == 0) c.where(col("docno") < mid) else c.where(col("docno") >= mid))
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
-          fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/half_$half.parquet"))
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        }
+        streaming.StreamFixtures.writeOrderedBatches(s, src,
+          Seq(c.where(col("docno") < mid), c.where(col("docno") >= mid)))
         streaming.StreamingIngest.start(s, src, root,
           graft.index.IndexConfig(analyzer = Engine.OracleAnalyzer))
           .awaitTermination()
@@ -422,19 +413,10 @@ object SparkEntry {
     // per sha over everything streamed — exactly the oracle's GROUP BY
     "q_stream_dedup" -> ((s, dir) => {
       val safeSf = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val fpRow = corpus.Corpus.fromDocuments(s, dir)
-        .agg(count(lit(1)),
-          coalesce(sum(crc32(concat_ws("\u0000", col("docno"), col("content")))), lit(0L)))
-        .head()
-      val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(fpRow.getLong(1))}"
+      val fp = streaming.StreamFixtures.fingerprint(
+        corpus.Corpus.fromDocuments(s, dir), Seq(col("docno"), col("content")))
       val root = s"${Engine.workDir}/sdedup_${safeSf}_$fp"
-      val conf = s.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-      val done = new org.apache.hadoop.fs.Path(s"$root/_done")
-      if (!fs.exists(done)) {
-        fs.delete(new org.apache.hadoop.fs.Path(root), true)
-        val src = s"$root/src"
-        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      streaming.StreamFixtures.cachedRoot(s, root) {
         val c = corpus.Corpus.fromDocuments(s, dir).select(col("docno"), col("content"))
         val id = substring(col("docno"), 5, 8).cast("long")
         val dups = c.where(id % 2 === 0)
@@ -442,17 +424,10 @@ object SparkEntry {
         def freshHalf(prefix: String) = c.where(id % 5 === 0)
           .select(concat(lit(prefix), col("docno")).as("docno"),
             concat(col("content"), lit(" v2")).as("content"))
-        Seq(c, dups.union(freshHalf("fresha-")).union(freshHalf("freshb-")))
-          .zipWithIndex.foreach { case (batch, i) =>
-            val tmp = s"$root/srctmp_$i"
-            batch.coalesce(1).write.mode("overwrite").parquet(tmp)
-            val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
-            fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/batch_$i.parquet"))
-            fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-          }
-        streaming.StreamingDedup.start(s, src, s"$root/out", s"$root/ckpt")
+        streaming.StreamFixtures.writeOrderedBatches(s, s"$root/src",
+          Seq(c, dups.union(freshHalf("fresha-")).union(freshHalf("freshb-"))))
+        streaming.StreamingDedup.start(s, s"$root/src", s"$root/out", s"$root/ckpt")
           .awaitTermination()
-        fs.create(done).close()
       }
       s.read.parquet(s"$root/out").select(col("docno"), col("sha"))
         .orderBy("docno")
@@ -464,19 +439,13 @@ object SparkEntry {
     // oracle runs. Counts exact; value summed in integer cents.
     "q_stream_window" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
-      val fpRow = ev.agg(count(lit(1)), coalesce(sum(crc32(
-          concat_ws(" ", col("event_id"), col("ts").cast("string")))), lit(0L)))
-        .head()
-      val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(fpRow.getLong(1))}"
+      // fingerprint covers every streamed column the rollup consumes
+      val fp = streaming.StreamFixtures.fingerprint(ev,
+        Seq(col("event_id"), col("ts").cast("string"), col("event_type"),
+          col("value").cast("string")))
       val safeSf = dir.replaceAll("[^A-Za-z0-9.]+", "_")
       val root = s"${Engine.workDir}/swin_${safeSf}_$fp"
-      val conf = s.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-      val done = new org.apache.hadoop.fs.Path(s"$root/_done")
-      if (!fs.exists(done)) {
-        fs.delete(new org.apache.hadoop.fs.Path(root), true)
-        val src = s"$root/src"
-        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      streaming.StreamFixtures.cachedRoot(s, root) {
         val n = ev.count()
         // ts is monotone in event_id, so an id split is a time split —
         // batch 1's events all sit above batch 0's watermark
@@ -487,16 +456,10 @@ object SparkEntry {
             |       CAST('2030-01-01 00:00:00' AS TIMESTAMP) AS ts,
             |       CAST(0 AS BIGINT) AS user_id, 'sentinel' AS event_type,
             |       CAST(0.0 AS DOUBLE) AS value, '{}' AS props""".stripMargin)
-        Seq(half0, half1, sentinel).zipWithIndex.foreach { case (batch, i) =>
-          val tmp = s"$root/srctmp_$i"
-          batch.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
-          fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/batch_$i.parquet"))
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        }
-        streaming.StreamingEvents.start(s, src, s"$root/out", s"$root/ckpt",
+        streaming.StreamFixtures.writeOrderedBatches(s, s"$root/src",
+          Seq(half0, half1, sentinel))
+        streaming.StreamingEvents.start(s, s"$root/src", s"$root/out", s"$root/ckpt",
           cutoff = "2029-01-01 00:00:00").awaitTermination()
-        fs.create(done).close()
       }
       s.read.parquet(s"$root/out")
         .select(col("win_start"), col("event_type"), col("n_events"), col("sum_cents"))
@@ -1201,10 +1164,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_snippets" -> SnippetsSql,
     "q_stream_topk" -> Bm25TopkSql,
-    // streaming dedup replay: the kept set is min(docno) per sha over
-    // everything streamed — batch order (originals first) and the
-    // within-batch min-docno rule both collapse to the same GROUP BY
-    // because 'doc-' < 'dup-'/'fresh*-' lexicographically
     // windowed-rollup replay: the finalized append-mode stream output IS
     // the full batch aggregation (UTC hour buckets; cents are exact)
     "q_stream_window" ->
@@ -1213,6 +1172,10 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_events,
         |       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // streaming dedup replay: the kept set is min(docno) per sha over
+    // everything streamed — batch order (originals first) and the
+    // within-batch min-docno rule both collapse to the same GROUP BY
+    // because 'doc-' < 'dup-'/'fresh*-' lexicographically
     "q_stream_dedup" ->
       s"""WITH $CorpusCte,
          |allin AS (

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared scaffolding for bounded file-stream replays (the q_stream_*
+  * gate fixtures): content fingerprints for cache roots, strictly
+  * mtime-ordered batch files, and a run-once guard.
+  */
+object StreamFixtures {
+
+  /** Cache-root fingerprint: row count + summed crc32 over `keyCols`.
+    * Callers must include EVERY column the stream consumes, so a
+    * regenerated fixture — even one keeping some columns identical — can
+    * never serve stale cached stream output.
+    */
+  def fingerprint(df: DataFrame, keyCols: Seq[Column]): String = {
+    val row = df.agg(count(lit(1)),
+      coalesce(sum(crc32(concat_ws("|", keyCols: _*))), lit(0L))).head()
+    s"${row.getLong(0)}_${java.lang.Long.toHexString(row.getLong(1))}"
+  }
+
+  /** Write each batch as ONE parquet file `srcDir/batch_<i>.parquet` with
+    * STRICTLY increasing modification times (2 s apart via fs.setTimes).
+    * FileStreamSource orders files by mtime with no path tie-break, so on
+    * a coarse-granularity filesystem two quickly-written files could tie
+    * and process out of order — explicit mtimes make the batch order a
+    * contract, not a race.
+    */
+  def writeOrderedBatches(spark: SparkSession, srcDir: String,
+                          batches: Seq[DataFrame]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    val base = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (batch, i) =>
+      val tmp = s"$srcDir/_tmp_$i"
+      batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      val dest = new org.apache.hadoop.fs.Path(s"$srcDir/batch_$i.parquet")
+      fs.rename(part, dest)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.setTimes(dest, base + i * 2000L, -1)
+    }
+  }
+
+  /** Run `build` once per root: skipped when the `_done` marker exists; a
+    * partial root (killed mid-build) is deleted and rebuilt.
+    */
+  def cachedRoot(spark: SparkSession, root: String)(build: => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val done = new org.apache.hadoop.fs.Path(s"$root/_done")
+    if (!fs.exists(done)) {
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      build
+      fs.create(done).close()
+    }
+  }
+}
