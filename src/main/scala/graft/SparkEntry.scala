@@ -465,6 +465,29 @@ object SparkEntry {
         .select(col("win_start"), col("event_type"), col("n_events"), col("sum_cents"))
         .orderBy("win_start", "event_type")
     }),
+    // watermarked stream-stream join over two sources on the same event
+    // files: each user's clicks correlated with errors within 10 minutes.
+    // Inner-join matches emit as both sides arrive and state eviction only
+    // drops provably-unmatchable rows, so the streamed pairs equal the
+    // batch self-join the oracle runs — no sentinel needed
+    "q_stream_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val fp = streaming.StreamFixtures.fingerprint(ev,
+        Seq(col("event_id"), col("ts").cast("string"), col("event_type"),
+          col("user_id")))
+      val safeSf = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val root = s"${Engine.workDir}/sjoin_${safeSf}_$fp"
+      streaming.StreamFixtures.cachedRoot(s, root) {
+        val n = ev.count()
+        streaming.StreamFixtures.writeOrderedBatches(s, s"$root/src",
+          Seq(ev.where(col("event_id") < n / 2), ev.where(col("event_id") >= n / 2)))
+        streaming.StreamingJoin.start(s, s"$root/src", s"$root/out", s"$root/ckpt")
+          .awaitTermination()
+      }
+      s.read.parquet(s"$root/out")
+        .select(col("user_id"), col("click_id"), col("error_id"))
+        .orderBy("user_id", "click_id", "error_id")
+    }),
     // training-pipeline op: winnowing document fingerprints (SIGMOD'03) —
     // k-gram md5-hashes, per-window rightmost minimum
     "q_winnow" -> ((s, dir) => {
@@ -1172,6 +1195,14 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_events,
         |       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // stream-stream join replay: the batch self-join (inner joins are
+    // arrival-order-independent; eviction only drops unmatchable rows)
+    "q_stream_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS error_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'error'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
     // streaming dedup replay: the kept set is min(docno) per sha over
     // everything streamed — batch order (originals first) and the
     // within-batch min-docno rule both collapse to the same GROUP BY
