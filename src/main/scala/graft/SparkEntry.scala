@@ -488,6 +488,20 @@ object SparkEntry {
         .select(col("user_id"), col("click_id"), col("error_id"))
         .orderBy("user_id", "click_id", "error_id")
     }),
+    // session windows (gap-merged, 5 min) per user over the events table —
+    // the third windowing flavor next to fixed windows and stream joins;
+    // Spark's session_window merges an event into the open session iff
+    // ts < last_ts + gap, replayed by a gaps-and-islands oracle with the
+    // matching >= break condition
+    "q_sessions" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window").getField("start")).as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
     // training-pipeline op: winnowing document fingerprints (SIGMOD'03) —
     // k-gram md5-hashes, per-window rightmost minimum
     "q_winnow" -> ((s, dir) => {
@@ -1195,6 +1209,29 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_events,
         |       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session-window replay: gaps-and-islands — a session breaks exactly
+    // when ts >= prev + gap (Spark merges only while ts < last + gap)
+    "q_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 5 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m)
+        |SELECT user_id,
+        |       -- floor, not cast: Spark's unix_timestamp truncates the
+        |       -- subsecond fraction while a double->bigint CAST rounds
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |       count(*)::BIGINT AS n_events
+        |FROM g GROUP BY user_id, grp ORDER BY 1, 2""".stripMargin,
     // stream-stream join replay: the batch self-join (inner joins are
     // arrival-order-independent; eviction only drops unmatchable rows)
     "q_stream_join" ->
