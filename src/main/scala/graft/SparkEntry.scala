@@ -490,9 +490,10 @@ object SparkEntry {
     }),
     // session windows (gap-merged, 5 min) per user over the events table —
     // the third windowing flavor next to fixed windows and stream joins;
-    // Spark's session_window merges an event into the open session iff
-    // ts < last_ts + gap, replayed by a gaps-and-islands oracle with the
-    // matching >= break condition
+    // Spark's session_window merges an event into the open session while
+    // ts <= last_ts + gap (boundary-inclusive — verified empirically),
+    // replayed by a gaps-and-islands oracle with the matching strict->
+    // break condition
     "q_sessions" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
@@ -1209,8 +1210,9 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_events,
         |       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // session-window replay: gaps-and-islands — a session breaks exactly
-    // when ts >= prev + gap (Spark merges only while ts < last + gap)
+    // session-window replay: gaps-and-islands — a session breaks only
+    // when ts > prev + gap, strictly (Spark's session_window merges the
+    // boundary-touching event at exactly prev + gap)
     "q_sessions" ->
       """WITH o AS (
         |  SELECT user_id, ts,
@@ -1218,7 +1220,7 @@ object SparkEntry {
         |  FROM events),
         |m AS (
         |  SELECT user_id, ts,
-        |         CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 5 MINUTE
+        |         CASE WHEN prev IS NULL OR ts > prev + INTERVAL 5 MINUTE
         |              THEN 1 ELSE 0 END AS brk
         |  FROM o),
         |g AS (

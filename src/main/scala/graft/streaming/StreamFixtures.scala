@@ -15,8 +15,11 @@ object StreamFixtures {
     * never serve stale cached stream output.
     */
   def fingerprint(df: DataFrame, keyCols: Seq[Column]): String = {
+    // NUL separator: it cannot occur in the data, so shifting a field
+    // boundary can never produce the same concatenation (any printable
+    // separator could appear inside document text)
     val row = df.agg(count(lit(1)),
-      coalesce(sum(crc32(concat_ws("|", keyCols: _*))), lit(0L))).head()
+      coalesce(sum(crc32(concat_ws("\u0000", keyCols: _*))), lit(0L))).head()
     s"${row.getLong(0)}_${java.lang.Long.toHexString(row.getLong(1))}"
   }
 
