@@ -426,8 +426,10 @@ object SparkEntry {
             concat(col("content"), lit(" v2")).as("content"))
         streaming.StreamFixtures.writeOrderedBatches(s, s"$root/src",
           Seq(c, dups.union(freshHalf("fresha-")).union(freshHalf("freshb-"))))
-        streaming.StreamingDedup.start(s, s"$root/src", s"$root/out", s"$root/ckpt")
-          .awaitTermination()
+        streaming.StreamFixtures.withShufflePartitions(s, 8) {
+          streaming.StreamingDedup.start(s, s"$root/src", s"$root/out", s"$root/ckpt")
+            .awaitTermination()
+        }
       }
       s.read.parquet(s"$root/out").select(col("docno"), col("sha"))
         .orderBy("docno")
@@ -458,8 +460,10 @@ object SparkEntry {
             |       CAST(0.0 AS DOUBLE) AS value, '{}' AS props""".stripMargin)
         streaming.StreamFixtures.writeOrderedBatches(s, s"$root/src",
           Seq(half0, half1, sentinel))
-        streaming.StreamingEvents.start(s, s"$root/src", s"$root/out", s"$root/ckpt",
-          cutoff = "2029-01-01 00:00:00").awaitTermination()
+        streaming.StreamFixtures.withShufflePartitions(s, 8) {
+          streaming.StreamingEvents.start(s, s"$root/src", s"$root/out", s"$root/ckpt",
+            cutoff = "2029-01-01 00:00:00").awaitTermination()
+        }
       }
       s.read.parquet(s"$root/out")
         .select(col("win_start"), col("event_type"), col("n_events"), col("sum_cents"))
@@ -481,8 +485,10 @@ object SparkEntry {
         val n = ev.count()
         streaming.StreamFixtures.writeOrderedBatches(s, s"$root/src",
           Seq(ev.where(col("event_id") < n / 2), ev.where(col("event_id") >= n / 2)))
-        streaming.StreamingJoin.start(s, s"$root/src", s"$root/out", s"$root/ckpt")
-          .awaitTermination()
+        streaming.StreamFixtures.withShufflePartitions(s, 8) {
+          streaming.StreamingJoin.start(s, s"$root/src", s"$root/out", s"$root/ckpt")
+            .awaitTermination()
+        }
       }
       s.read.parquet(s"$root/out")
         .select(col("user_id"), col("click_id"), col("error_id"))

@@ -48,6 +48,22 @@ object StreamFixtures {
     }
   }
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily set to `n`,
+    * restoring the previous value after. Stateful streaming operators
+    * create state-store instances per shuffle partition PER micro-batch;
+    * a bounded gate-scale replay over a handful of files doesn't need the
+    * session's batch-tuned partition count, and the per-partition state
+    * overhead (files, providers, commits) dominates its wall time.
+    * A streaming query pins the partition count from the session conf at
+    * its FIRST run, so this must wrap the initial `start()`.
+    */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Run `build` once per root: skipped when the `_done` marker exists; a
     * partial root (killed mid-build) is deleted and rebuilt.
     */
