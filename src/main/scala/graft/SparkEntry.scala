@@ -397,9 +397,11 @@ object SparkEntry {
           }.collect().headOption.getOrElse("")
         streaming.StreamFixtures.writeOrderedBatches(s, src,
           Seq(c.where(col("docno") < mid), c.where(col("docno") >= mid)))
-        streaming.StreamingIngest.start(s, src, root,
-          graft.index.IndexConfig(analyzer = Engine.OracleAnalyzer))
-          .awaitTermination()
+        streaming.StreamFixtures.withShufflePartitions(s, 8) {
+          streaming.StreamingIngest.start(s, src, root,
+            graft.index.IndexConfig(analyzer = Engine.OracleAnalyzer))
+            .awaitTermination()
+        }
       }
       val union = streaming.StreamingIngest.openUnion(s, root)
       new graft.search.Searcher(union).search(topics, TopK)
