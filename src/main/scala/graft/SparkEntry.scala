@@ -144,6 +144,22 @@ object SparkEntry {
         .where(col("n_dups") > 1)
         .orderBy("sha")
     }),
+    // training-pipeline op: per-doc keyword extraction (top-3 tf·idf
+    // terms) straight from the decoded index tables — tf from the posting
+    // blobs, df from term_stats, N from the stats manifest
+    "q_keywords" -> ((s, dir) => {
+      val idx = Engine.oracleIndex(s, dir)
+      import s.implicits._
+      val tf = idx.postings.as[PostingRun].flatMap { r =>
+        PostingCodec.decodeBlobs(r.ndocs, r.doc_blob, r.tf_blob, r.dl_blob)
+          .map(p => (r.term, p.docid, p.tf.toLong))
+      }.toDF("term", "docid", "tf")
+        .join(idx.docs.select("docid", "docno"), Seq("docid"))
+        .select("docno", "term", "tf")
+      val df = idx.termStats.select(col("term"), col("df"))
+      ops.TextQuality.topKeywords(tf, df, idx.stats.max_doc, 3)
+        .orderBy("docno", "kw_rank")
+    }),
     // training-pipeline op: per-doc token statistics (quality signals)
     "q_text_stats" -> ((s, dir) => {
       val idx = Engine.oracleIndex(s, dir)
@@ -2082,6 +2098,24 @@ object SparkEntry {
         |       trim(text) AS parsed
         |FROM documents WHERE doc_id % 7 NOT IN (3, 5)
         |ORDER BY docno""".stripMargin,
+    // keyword replay: tf·idf rank with the same double math (tf · ln(N/df))
+    // and the same (score desc, term asc) tie-break
+    "q_keywords" -> withCtes(
+      """,
+        |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM corpus) AS n),
+        |scored AS (
+        |  SELECT f.docno, f.term,
+        |         f.tf * ln(CAST(st.n AS DOUBLE) / v.df) AS s
+        |  FROM tf f JOIN df v USING (term) CROSS JOIN st),
+        |r AS (
+        |  SELECT docno, term,
+        |         (row_number() OVER (PARTITION BY docno
+        |                             ORDER BY s DESC, term ASC) - 1) AS kw_rank
+        |  FROM scored)
+        |SELECT docno, term, kw_rank FROM r WHERE kw_rank < 3
+        |ORDER BY docno, kw_rank""".stripMargin),
     // simple-parse replay: docno survives the basename/extension strip;
     // lines (split at spaces) joined without separators = spaces deleted
     "q_simple_parse" ->

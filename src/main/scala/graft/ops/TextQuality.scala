@@ -78,6 +78,26 @@ object TextQuality {
       best.getField("n").as("n_markers"))
   }
 
+  /** Per-document keyword extraction: the top-k most distinctive terms by
+    * tf·idf with idf = ln(N/df) — the classic corpus-analysis op a
+    * training pipeline uses for topic tagging/weighting. Deterministic
+    * rank: (score desc, term asc); equal (tf, df) pairs produce identical
+    * doubles in any IEEE engine, so the tie-break replays exactly. The
+    * Window partitions by docno (fine-grained keys — no global sort).
+    */
+  def topKeywords(tf: DataFrame, df: DataFrame, nDocs: Long,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = tf.join(df, "term")
+      .select(col("docno"), col("term"),
+        (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("s"))
+    scored.select(col("docno"), col("term"),
+        (row_number().over(
+          Window.partitionBy("docno").orderBy(desc("s"), asc("term"))) - 1)
+          .cast("long").as("kw_rank"))
+      .where(col("kw_rank") < k)
+  }
+
   /** Crude language-evidence counts: occurrences of a few high-frequency
     * marker words per language family (a real n-gram model would slot in
     * here; the synthetic corpus shares one vocabulary, so this op's value
