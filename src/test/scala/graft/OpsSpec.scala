@@ -236,6 +236,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got("l4") == ("en", 1L)) // strict > keeps the earlier profile
   }
 
+  test("topKeywords: tf·idf order with term-asc tie-break, df=N scores zero") {
+    import spark.implicits._
+    // N=4: "rare" df=1 beats "mid" df=2 at equal tf; "common" df=4 → idf 0
+    val tf = Seq(
+      ("d1", "common", 5L), ("d1", "rare", 1L), ("d1", "mid", 1L),
+      ("d1", "beta", 1L), ("d1", "alpha", 1L)).toDF("docno", "term", "tf")
+    val df = Seq(("common", 4L), ("rare", 1L), ("mid", 2L),
+      ("alpha", 1L), ("beta", 1L)).toDF("term", "df")
+    val got = TextQuality.topKeywords(tf, df, nDocs = 4, k = 4).collect()
+      .map(r => (r.getLong(2), r.getString(1))).sorted.toSeq
+    // alpha/beta/rare tie exactly (tf=1, df=1) → term asc; common (idf=0) last
+    assert(got == Seq((0L, "alpha"), (1L, "beta"), (2L, "rare"), (3L, "mid")))
+  }
+
   test("quality signals are exact integer counts") {
     import spark.implicits._
     val c = Seq(("x1", "The cat; sat!! on THE mat 42 times"),
