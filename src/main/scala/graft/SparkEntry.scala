@@ -78,13 +78,7 @@ object SparkEntry {
     }),
     // §2.7 codec round-trip: decoded (term, docno, tf) from the blobs
     "q_tf" -> ((s, dir) => {
-      val idx = Engine.oracleIndex(s, dir)
-      import s.implicits._
-      val decoded = idx.postings.as[PostingRun].flatMap { r =>
-        PostingCodec.decodeBlobs(r.ndocs, r.doc_blob, r.tf_blob, r.dl_blob)
-          .map(p => (r.term, p.docid, p.tf.toLong))
-      }.toDF("term", "docid", "tf")
-      decoded.join(idx.docs.select("docid", "docno"), Seq("docid"))
+      decodedTf(Engine.oracleIndex(s, dir))
         .select(col("term"), col("docno"), col("tf"))
         .orderBy("term", "docno")
     }),
@@ -149,15 +143,10 @@ object SparkEntry {
     // blobs, df from term_stats, N from the stats manifest
     "q_keywords" -> ((s, dir) => {
       val idx = Engine.oracleIndex(s, dir)
-      import s.implicits._
-      val tf = idx.postings.as[PostingRun].flatMap { r =>
-        PostingCodec.decodeBlobs(r.ndocs, r.doc_blob, r.tf_blob, r.dl_blob)
-          .map(p => (r.term, p.docid, p.tf.toLong))
-      }.toDF("term", "docid", "tf")
-        .join(idx.docs.select("docid", "docno"), Seq("docid"))
-        .select("docno", "term", "tf")
-      val df = idx.termStats.select(col("term"), col("df"))
-      ops.TextQuality.topKeywords(tf, df, idx.stats.max_doc, 3)
+      ops.TextQuality.topKeywords(
+          decodedTf(idx).select("docno", "term", "tf"),
+          idx.termStats.select(col("term"), col("df")),
+          idx.stats.max_doc, 3)
         .orderBy("docno", "kw_rank")
     }),
     // training-pipeline op: per-doc token statistics (quality signals)
@@ -780,6 +769,20 @@ object SparkEntry {
         .orderBy("qid", "rank")
     })
   )
+
+  /** The certified tf derivation — posting blobs decoded to (term, docno,
+    * tf) with the docno attached — shared by q_tf (the codec round-trip
+    * row) and q_keywords so the two can never desynchronize.
+    */
+  private def decodedTf(idx: graft.index.BuiltIndex): DataFrame = {
+    val s = idx.spark
+    import s.implicits._
+    idx.postings.as[PostingRun].flatMap { r =>
+      PostingCodec.decodeBlobs(r.ndocs, r.doc_blob, r.tf_blob, r.dl_blob)
+        .map(p => (r.term, p.docid, p.tf.toLong))
+    }.toDF("term", "docid", "tf")
+      .join(idx.docs.select("docid", "docno"), Seq("docid"))
+  }
 
   /** Shared near-dup prologue — the SINGLE Scala-side home of the gate's
     * dedup parameters (shingle n=3, 12 hashes, 2 rows/band, uncapped
@@ -2107,7 +2110,7 @@ object SparkEntry {
         |st AS (SELECT (SELECT count(*) FROM corpus) AS n),
         |scored AS (
         |  SELECT f.docno, f.term,
-        |         f.tf * ln(CAST(st.n AS DOUBLE) / v.df) AS s
+        |         round(f.tf * ln(CAST(st.n AS DOUBLE) / v.df), 10) AS s
         |  FROM tf f JOIN df v USING (term) CROSS JOIN st),
         |r AS (
         |  SELECT docno, term,

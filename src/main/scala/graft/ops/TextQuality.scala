@@ -81,16 +81,20 @@ object TextQuality {
   /** Per-document keyword extraction: the top-k most distinctive terms by
     * tf·idf with idf = ln(N/df) — the classic corpus-analysis op a
     * training pipeline uses for topic tagging/weighting. Deterministic
-    * rank: (score desc, term asc); equal (tf, df) pairs produce identical
-    * doubles in any IEEE engine, so the tie-break replays exactly. The
-    * Window partitions by docno (fine-grained keys — no global sort).
+    * rank: (score desc, term asc), with the score rounded to 10 decimals
+    * before ranking so mathematically-equal scores from DISTINCT (tf, df)
+    * pairs (e.g. 2·ln2 vs ln4) tie identically in every engine — ln() is
+    * only ~1-ulp accurate and not identically rounded across libms, while
+    * genuine tf·idf gaps are orders of magnitude above 1e-10 (same
+    * collapse the stock-scorer oracles use). The Window partitions by
+    * docno (fine-grained keys — no global sort).
     */
   def topKeywords(tf: DataFrame, df: DataFrame, nDocs: Long,
                   k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = tf.join(df, "term")
       .select(col("docno"), col("term"),
-        (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("s"))
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 10).as("s"))
     scored.select(col("docno"), col("term"),
         (row_number().over(
           Window.partitionBy("docno").orderBy(desc("s"), asc("term"))) - 1)
