@@ -44,11 +44,18 @@ object Engine {
 
   /** Positions on: the oracle index also serves the phrase-query gate entry
     * (pos blobs are only decoded by phrase clauses; every other entry reads
-    * the same columns as before).
+    * the same columns as before). rangePartitions is PINNED (not inherited
+    * from spark.sql.shuffle.partitions) because the deterministic docid
+    * packing — and with it the q_postings_meta oracle's row_number replay —
+    * is a function of the ntile fan-out: Verify (32 shuffle partitions) and
+    * Bench (128) must mint byte-identical docids over the same corpus.
     */
+  val OracleRangePartitions = 32
+
   def oracleIndex(spark: SparkSession, sfDir: String): BuiltIndex =
     indexFor(spark, sfDir,
-      IndexConfig(analyzer = OracleAnalyzer, indexPositions = true), "oracle")
+      IndexConfig(analyzer = OracleAnalyzer, indexPositions = true,
+        rangePartitions = OracleRangePartitions), "oracle")
 
   def porterIndex(spark: SparkSession, sfDir: String): BuiltIndex =
     indexFor(spark, sfDir, IndexConfig(analyzer = PorterAnalyzer), "porter")

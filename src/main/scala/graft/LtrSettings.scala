@@ -29,7 +29,10 @@ final case class LtrSettings(
     warcFieldsToIndex: Seq[String] = Nil,
     // engine extension (no reference analog): store in-doc positions so
     // SimpleQueryParser "..." phrases match by exact adjacency
-    indexPositions: Boolean = false
+    indexPositions: Boolean = false,
+    // ≙ SearchFiles.java:42,60-62 `-repeat n`: before paging, re-run each
+    // query n times and print `Time: <ms>ms` — the demo's latency loop
+    repeat: Int = 0
 ) {
   /** Engine analyzer config from the reference-style settings. */
   def analyzerConfig(stopWords: Set[String]): AnalyzerConfig =
@@ -110,6 +113,7 @@ object LtrSettings {
       case ("trecFieldsToIndex", v)   => s = s.copy(trecFieldsToIndex = parseList(v))
       case ("warcFieldsToIndex", v)   => s = s.copy(warcFieldsToIndex = parseList(v))
       case ("indexPositions", v)      => s = s.copy(indexPositions = v.toBoolean)
+      case ("repeat", v)              => s = s.copy(repeat = v.toInt)
       case _                          => // unknown keys ignored like Gson does
     }
     s

@@ -223,13 +223,19 @@ object SparkEntry {
         .select(col("qid"), col("n_hits").cast("long").as("n_hits"))
         .orderBy("qid")
     }),
-    // rows-only check (not SQL-expressible in the oracle): postings/segment
-    // blob internals depend on the docid range-partition packing
+    // posting-run shape (one run per (term, merged group) with ndocs /
+    // block count / tf stats): docids are a deterministic exact-ntile
+    // packing of the docno's global rank (IndexBuilder.ntileBoundaries),
+    // so the oracle replays grp/ndocs/n_blocks as a pure function of
+    // (docno order, rangePartitions=32, groupShift, mergeShift, BlockSize)
+    // with a row_number() window
     "q_postings_meta" -> ((s, dir) => {
       Engine.oracleIndex(s, dir).postings
-        .select(col("term"), col("grp"), col("ndocs"),
-          size(col("block_last_docid")).as("n_blocks"),
-          col("max_tf"), col("sum_tf"))
+        .select(col("term"), col("grp").cast("long").as("grp"),
+          col("ndocs").cast("long").as("ndocs"),
+          size(col("block_last_docid")).cast("long").as("n_blocks"),
+          col("max_tf").cast("long").as("max_tf"),
+          col("sum_tf").cast("long").as("sum_tf"))
         .orderBy("term", "grp")
     }),
     // BM25 over byte315-encoded doc lengths: the lossy norm has a closed
@@ -790,20 +796,53 @@ object SparkEntry {
     * ShingleCte/MinHashCte/DupClusterCtes. Shingles are built once and
     * shared between LSH banding and Jaccard verification. Returns
     * (corpus, verified pairs with inter/uni counts).
+    *
+    * The verified pair graph is the one expensive prologue three gate
+    * entries share (q_neardup, q_dup_clusters, q_curate), so it is
+    * persisted under a content-fingerprinted root in the work dir (same
+    * atomic-publish + manifest machinery as the index stages) and memoized
+    * in-JVM: within one Verify/Bench process the shingle→LSH→verify pass
+    * runs at most once, and a second process against the same corpus reads
+    * the parquet instead of recomputing.
     */
+  private val neardupCache =
+    scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]()
+
   private def neardupPipeline(s: SparkSession,
-                              dir: String): (DataFrame, DataFrame) = {
-    val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
-    val c = corpus.Corpus.fromDocuments(s, dir)
-    // materialized once: the shingle plan is referenced by the signature
-    // groupBy AND both sides of the Jaccard verify join, and lazy
-    // evaluation would re-run the corpus-wide shingling per occurrence
-    val sh = ops.Dedup.shingles(c, an, 3).localCheckpoint()
-    val pairs = ops.Dedup.verifyJaccard(
-        ops.Dedup.minHashCandidatesFrom(sh, 12, 2, maxBucketSize = 0), sh)
-      .where(col("inter") * 2 >= col("uni"))
-    (c, pairs)
-  }
+                              dir: String): (DataFrame, DataFrame) =
+    neardupCache.getOrElseUpdate(dir, {
+      import graft.index.Checkpoint
+      val c = corpus.Corpus.fromDocuments(s, dir)
+      val conf = s.sparkContext.hadoopConfiguration
+      // content-sensitive fingerprint (unlike the index stages' docno-only
+      // resume key): edited content must invalidate cached pairs. XOR of
+      // 64-bit hashes — order-independent and overflow-free under ANSI
+      // arithmetic at any row count (xxhash64 frames each column itself,
+      // so no separator ambiguity)
+      val row = c.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("docno"), col("content"))), lit(0L)))
+        .head()
+      val fp = s"n=${row.getLong(0)};h=${java.lang.Long.toHexString(row.getLong(1))}"
+      val cfgId = "neardup-v1;sh=3;k=12;rpb=2;cap=0;keep=2i>=u"
+      val cacheDir =
+        s"${Engine.workDir}/neardup_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+      if (!Checkpoint.isComplete(cacheDir, fp, cfgId, conf)) {
+        val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+        // materialized once: the shingle plan is referenced by the
+        // signature groupBy AND both sides of the Jaccard verify join, and
+        // lazy evaluation would re-run the corpus-wide shingling per use
+        val sh = ops.Dedup.shingles(c, an, 3).localCheckpoint()
+        val pairs = ops.Dedup.verifyJaccard(
+            ops.Dedup.minHashCandidatesFrom(sh, 12, 2, maxBucketSize = 0), sh)
+          .where(col("inter") * 2 >= col("uni"))
+        Checkpoint.atomically(cacheDir, conf) { tmp =>
+          pairs.write.mode("overwrite").parquet(tmp)
+        }
+        Checkpoint.writeManifest(cacheDir,
+          Checkpoint.Manifest("neardup_pairs", fp, cfgId, 0L, 0L, Nil), conf)
+      }
+      (c, s.read.parquet(cacheDir))
+    })
 
   /** Standard-topic ranks under a named stock scorer. */
   private def stockRanks(s: SparkSession, dir: String, scorer: String): DataFrame =
@@ -917,6 +956,60 @@ object SparkEntry {
 
   private def withCtes(body: String): String =
     s"WITH $CorpusCte,\n$TokCte\n$body"
+
+  /** Like [[withCtes]] but RECURSIVE, for bodies containing walk CTEs. */
+  private def withCtesRec(body: String): String =
+    s"WITH RECURSIVE $CorpusCte,\n$TokCte\n$body"
+
+  /** Recursive-CTE replay of the faithful 2-term sloppy-phrase walk
+    * ([[graft.search.SloppyPhrase]]; the 2-cursor reduction is
+    * cross-checked against the general priority-queue implementation by
+    * PhraseSpec's 2000-case battery): state = (cursor indexes, sticky
+    * side, open-window min `ml`, accumulated freq). The popped side keeps
+    * advancing through ties; a STRICT overshoot of the other cursor closes
+    * an event contributing 1/(ml+1) when ml ≤ slop and hands the walk
+    * over; cursor exhaustion closes the last event. Emits CTEs
+    * `la/lb/init/walk/ph` suffixed with `tag`, expecting `rawpos`
+    * (docno, term, pos) in scope; `termB` positions are pre-adjusted by
+    * the slot offset (−1).
+    */
+  private def sloppyWalkCtes(tag: String, termA: String, termB: String,
+                             slop: Int): String =
+    s"""la$tag AS (SELECT docno, list(pos ORDER BY pos) AS la
+       |        FROM rawpos WHERE term = '$termA' GROUP BY docno),
+       |lb$tag AS (SELECT docno, list(pos - 1 ORDER BY pos) AS lb
+       |        FROM rawpos WHERE term = '$termB' GROUP BY docno),
+       |init$tag AS (SELECT docno, la, lb FROM la$tag JOIN lb$tag USING (docno)),
+       |walk$tag(docno, ia, ib, sa, ml, freq, done) AS (
+       |  SELECT docno, 1, 1, la[1] <= lb[1], abs(la[1] - lb[1]),
+       |         CAST(0 AS DOUBLE), FALSE
+       |  FROM init$tag
+       |  UNION ALL
+       |  SELECT w.docno,
+       |    CASE WHEN w.fin OR NOT w.sa THEN w.ia ELSE w.ia + 1 END,
+       |    CASE WHEN w.fin OR w.sa THEN w.ib ELSE w.ib + 1 END,
+       |    CASE WHEN w.fin THEN w.sa WHEN w.ov THEN NOT w.sa ELSE w.sa END,
+       |    CASE WHEN w.fin THEN w.ml
+       |         WHEN w.ov AND w.sa THEN w.npa - w.pb
+       |         WHEN w.ov THEN w.npb - w.pa
+       |         WHEN w.sa THEN least(w.ml, w.pb - w.npa)
+       |         ELSE least(w.ml, w.pa - w.npb) END,
+       |    w.freq + CASE WHEN (w.fin OR w.ov) AND w.ml <= $slop
+       |                  THEN 1.0 / (w.ml + 1) ELSE 0 END,
+       |    w.fin
+       |  FROM (
+       |    SELECT w.*,
+       |      i.la[w.ia] AS pa, i.lb[w.ib] AS pb,
+       |      i.la[w.ia + 1] AS npa, i.lb[w.ib + 1] AS npb,
+       |      CASE WHEN w.sa THEN w.ia + 1 > len(i.la)
+       |           ELSE w.ib + 1 > len(i.lb) END AS fin,
+       |      CASE WHEN w.sa THEN coalesce(i.la[w.ia + 1] > i.lb[w.ib], FALSE)
+       |           ELSE coalesce(i.lb[w.ib + 1] > i.la[w.ia], FALSE) END AS ov
+       |    FROM walk$tag w JOIN init$tag i USING (docno)
+       |    WHERE NOT w.done
+       |  ) w
+       |),
+       |ph$tag AS (SELECT docno, freq FROM walk$tag WHERE done AND freq > 0),""".stripMargin
 
   /** Word-3-gram shingles + MinHash(12)/bands(2) CTEs — exact mirror of
     * [[ops.Dedup]]'s md5-keyed construction.
@@ -1310,6 +1403,40 @@ object SparkEntry {
     "q_tf" -> withCtes(
       """SELECT term, docno, count(*)::BIGINT AS tf
         |FROM tok GROUP BY term, docno ORDER BY term, docno""".stripMargin),
+    // deterministic docid replay (IndexBuilder.ntileBoundaries): rank0 =
+    // row_number over docno (binary collation ≡ Spark's UTF8 sort), group
+    // g = rank0*32 // N (exact ntile, rangePartitions pinned at 32 by
+    // Engine.oracleIndex), idx = rank0 - ceil(g*N/32), docid = g*2^40 +
+    // idx; physical grp = docid // 2^18 (groupShift), merged grp =
+    // sorted-grp-rank // 2^4 (mergeShift); one posting run per
+    // (term, merged grp): ndocs = docs containing the term there,
+    // n_blocks = ceil(ndocs/128) (PostingCodec.BlockSize)
+    "q_postings_meta" ->
+      s"""WITH $CorpusCte,
+         |$TokCte,
+         |tf AS (SELECT term, docno, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |rk AS (SELECT docno,
+         |              row_number() OVER (ORDER BY docno) - 1 AS r,
+         |              count(*) OVER () AS n
+         |       FROM corpus),
+         |did AS (SELECT docno,
+         |               ((r * 32) // n) * 1099511627776
+         |                 + (r - (((r * 32) // n) * n + 31) // 32) AS docid
+         |        FROM rk),
+         |pg AS (SELECT docno, docid // 262144 AS pgrp FROM did),
+         |gmap AS (SELECT pgrp,
+         |                (row_number() OVER (ORDER BY pgrp) - 1) // 16 AS mgrp
+         |         FROM (SELECT DISTINCT pgrp FROM pg))
+         |SELECT f.term, g.mgrp AS grp,
+         |       count(*)::BIGINT AS ndocs,
+         |       ((count(*) + 127) // 128)::BIGINT AS n_blocks,
+         |       max(f.tf)::BIGINT AS max_tf,
+         |       sum(f.tf)::BIGINT AS sum_tf
+         |FROM tf f
+         |JOIN pg p USING (docno)
+         |JOIN gmap g USING (pgrp)
+         |GROUP BY 1, 2
+         |ORDER BY term, grp""".stripMargin,
     "q_bm25_topk" -> Bm25TopkSql,
     // WAND is rank-identical to exhaustive BM25 by design — same oracle
     "q_wand_topk" -> Bm25TopkSql,
@@ -1608,7 +1735,15 @@ object SparkEntry {
         |ORDER BY qid, rank""".stripMargin,
     // IVF replay: nearest-centroid assignment (cos desc, cid asc — the
     // engine's ascending-cid fold keeps the lowest cid on exact ties),
-    // top-2 probed cells per query, exact cosine re-rank inside them
+    // top-2 probed cells per query, exact cosine re-rank inside them.
+    // FIXTURE PRECONDITIONS (Knn.ivfCellExpr ranks by dot(e,c)/|c| in
+    // double while list_cosine_similarity divides by both norms and rounds
+    // differently): (a) no zero-norm embeddings — the engine assigns them
+    // deterministically to the lowest cid, the oracle's cosine is
+    // NaN/undefined; (b) no centroid assignments tied within ~1e-12
+    // relative cosine, where libm rounding could flip the argmax. The
+    // generated embeddings table satisfies both (verified: min vector
+    // norm > 0, min assignment margin ≫ 1e-9 at every sf the gate runs).
     "q_ivf_knn" ->
       """WITH cents AS (SELECT vec_id AS cid, embedding AS cv
         |               FROM embeddings WHERE vec_id < 8),
@@ -2177,7 +2312,7 @@ object SparkEntry {
     // match needs ml ≤ slop and contributes the slop factor 1/(ml+1)
     // (≙ BM25.computeSlopFactor, BM25.java:110-114) to the phrase freq,
     // scored with the accumulated multi-term idf like the exact oracle
-    "q_phrase_slop_topk" -> withCtes(
+    "q_phrase_slop_topk" -> withCtesRec(
       s""",
          |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
          |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
@@ -2192,18 +2327,8 @@ object SparkEntry {
          |widf AS (SELECT d.term,
          |                ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) / ln(2.0) AS w
          |         FROM df d CROSS JOIN st),
-         |ph1 AS (SELECT docno, sum(1.0 / (1 + ml)) AS freq FROM (
-         |          SELECT a.docno,
-         |                 (SELECT min(abs(b.pos - (a.pos + 1))) FROM rawpos b
-         |                  WHERE b.docno = a.docno AND b.term = 'merge') AS ml
-         |          FROM rawpos a WHERE a.term = 'hash') t1
-         |        WHERE ml <= 2 GROUP BY docno),
-         |ph2 AS (SELECT docno, sum(1.0 / (1 + ml)) AS freq FROM (
-         |          SELECT a.docno,
-         |                 (SELECT min(abs(b.pos - (a.pos + 1))) FROM rawpos b
-         |                  WHERE b.docno = a.docno AND b.term = 'hash') AS ml
-         |          FROM rawpos a WHERE a.term = 'join') t2
-         |        WHERE ml <= 3 GROUP BY docno),
+         |${sloppyWalkCtes("1", "hash", "merge", 2)}
+         |${sloppyWalkCtes("2", "join", "hash", 3)}
          |partials AS (
          |  SELECT '1' AS qid, p.docno,
          |         ((1.2 + 1.0) * p.freq)

@@ -14,9 +14,12 @@ import java.security.MessageDigest
   * `TrecAnalyzer` + Lucene's opaque segment write; SURVEY.md §3.1):
   *
   *   scan corpus table
-  *     → deterministic docid assignment (range-sort by docno; ids packed
-  *       (rangePartition << 40 | localIndex) so no global count barrier is
-  *       needed and docid order ≡ docno order)
+  *     → deterministic docid assignment (exact-ntile group of the docno's
+  *       global rank, found via a narrow docno-only boundary pass; ids
+  *       packed (group << 40 | rankWithinGroup) so no global count barrier
+  *       is needed, docid order ≡ docno order, and the packing is a pure
+  *       function of (docno order, rangePartitions) — reproducible across
+  *       rebuilds and replayable by a SQL oracle)
   *     → tokenize/tf/dl in one narrow pass (analyzer chain ≙ TrecAnalyzer)
   *     → checkpointed `stage_tokenized` (content dropped)
   *     → docs + stats tables
@@ -49,9 +52,9 @@ object IndexBuilder {
 
     // ---- stage: tokenized ------------------------------------------------
     val tokDir = s"$dir/$TokenizedDir"
-    // Σdl per partition, accumulated alongside the row metrics so the stats
-    // stage needs no table re-read (deduped by pid like the manifest — task
-    // retries re-add and the last report wins).
+    // Σdl per physical partition, accumulated alongside the row metrics so
+    // the stats stage needs no table re-read (deduped by pid like the
+    // manifest — task retries re-add and the last report wins).
     var freshDl: Option[Long] = None
     if (!Checkpoint.isComplete(tokDir, fp, cfg.id, conf)) {
       force = true
@@ -61,46 +64,77 @@ object IndexBuilder {
       val parts = if (cfg.rangePartitions > 0) cfg.rangePartitions
                   else spark.sessionState.conf.numShufflePartitions
       // epoch-namespaced docids (streaming deltas) reserve bits 52+ for the
-      // epoch, leaving 12 bits for the range-partition id — a larger build
+      // epoch, leaving 12 bits for the docno-range group id — a larger build
       // must fail loudly, never silently collide docids across batches
       require(cfg.docidEpoch == 0 || parts <= (1 << 12),
         s"docidEpoch > 0 limits range partitions to 4096 (got $parts)")
+      // Deterministic docid assignment: group g of a doc = exact ntile of
+      // its docno's global sorted rank (floor(rank*parts/N)) computed from
+      // boundary docnos found by one narrow docno-only pass — NOT Spark's
+      // sampled range boundaries. docid = (g << 40 | rank-within-g), a pure
+      // function of (docno order, parts): rebuilt, resumed, or re-planned
+      // builds always mint byte-identical docids, and a SQL oracle can
+      // replay the packing with a row_number() window (q_postings_meta).
+      val bounds = ntileBoundaries(
+        corpus.select($"docno".cast("string")).as[String], parts)
+      val bBounds = spark.sparkContext.broadcast(bounds)
+      val grpU = udf((d: String) => grpOf(bBounds.value, d))
+      // range-partition on the group id: equal keys can't straddle a
+      // boundary, so every group is atomic in one task (idx needs no
+      // cross-task offset), and sampling a uniform 0..parts-1 key lands
+      // ~one group per partition — ntile groups are balanced ±1 row, so
+      // this is *less* skewed than sampled docno ranges
       val sorted = corpus.select($"docno".cast("string"), $"content".cast("string"))
-        .repartitionByRange(parts, $"docno")
-        .sortWithinPartitions($"docno")
-        .as[(String, String)]
+        .withColumn("g", grpU($"docno"))
+        .repartitionByRange(parts, $"g")
+        .sortWithinPartitions($"g", $"docno")
+        .as[(String, String, Int)]
       val tokenized = sorted.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val md = MessageDigest.getInstance("SHA-256")
-        var idx = 0L
-        var dlLocal = 0L
-        var dlReported = false
         val epochBase = cfg.docidEpoch.toLong << 52
-        val base = metered(it, acc, pid) { case (docno, content) =>
-          val text = if (content == null) "" else content
-          val docid = epochBase | (pid.toLong << 40) | idx
-          idx += 1
-          val terms =
-            if (cfg.indexPositions) {
-              val (tfs, d) = analyzer.termFreqsWithPositions(text)
-              (tfs.map { case (t, f, ps) => TermTF(t, f, ps) }, d)
-            } else {
-              val (tfs, d) = analyzer.termFreqs(text)
-              (tfs.map { case (t, f) => TermTF(t, f) }, d)
-            }
-          dlLocal += terms._2
-          md.reset()
-          val sha = hex(md.digest(text.getBytes("UTF-8")))
-          (TokenizedDoc(docid, docno, sha, terms._2, terms._1),
-            text.length.toLong)
-        }
+        // row metrics keyed by GROUP id (not task id): the manifest's
+        // (pid, rows) lineage is what derives the grp universe downstream,
+        // and groups are task-atomic so groupBy(pid).last still dedupes
+        // task retries
+        var curGrp = -1
+        var idx = 0L
+        var gRows = 0L
+        var gBytes = 0L
+        var dlLocal = 0L
+        var reported = false
+        def closeGrp(): Unit = if (curGrp >= 0) acc.add((curGrp, gRows, gBytes))
         new Iterator[TokenizedDoc] {
           def hasNext: Boolean = {
-            val h = base.hasNext
-            if (!h && !dlReported) { dlAcc.add((pid, dlLocal)); dlReported = true }
+            val h = it.hasNext
+            if (!h && !reported) {
+              closeGrp(); dlAcc.add((pid, dlLocal)); reported = true
+            }
             h
           }
-          def next(): TokenizedDoc = base.next()
+          def next(): TokenizedDoc = {
+            val (docno, content, g) = it.next()
+            if (g != curGrp) {
+              closeGrp(); curGrp = g; idx = 0L; gRows = 0L; gBytes = 0L
+            }
+            val text = if (content == null) "" else content
+            val docid = epochBase | (g.toLong << 40) | idx
+            idx += 1
+            val terms =
+              if (cfg.indexPositions) {
+                val (tfs, d) = analyzer.termFreqsWithPositions(text)
+                (tfs.map { case (t, f, ps) => TermTF(t, f, ps) }, d)
+              } else {
+                val (tfs, d) = analyzer.termFreqs(text)
+                (tfs.map { case (t, f) => TermTF(t, f) }, d)
+              }
+            dlLocal += terms._2
+            gRows += 1
+            gBytes += text.length.toLong
+            md.reset()
+            val sha = hex(md.digest(text.getBytes("UTF-8")))
+            TokenizedDoc(docid, docno, sha, terms._2, terms._1)
+          }
         }
       }
       Checkpoint.atomically(tokDir, conf) { tmp =>
@@ -110,9 +144,10 @@ object IndexBuilder {
       import scala.jdk.CollectionConverters._
       freshDl = Some(dlAcc.value.asScala.groupBy(_._1)
         .map { case (_, xs) => xs.last._2 }.sum)
+      bBounds.destroy()
     }
     val tokenized = spark.read.parquet(tokDir)
-    // (pid, rows) lineage of the tokenize stage — docids are (pid<<40 | idx),
+    // (grp, rows) lineage of the tokenize stage — docids are (grp<<40 | idx),
     // so downstream counts and the grp universe derive from it with no jobs
     val tokManifest = Checkpoint.readManifest(tokDir, conf)
 
@@ -162,13 +197,13 @@ object IndexBuilder {
     }
 
     // ---- docid-range group → merged-group rank map -------------------------
-    // grp values embed the range-partition id in their high bits (docid
+    // grp values embed the ntile group id in their high bits (docid
     // packing), so merged groups come from the global SORTED grp rank —
-    // bit-shifting grp could never merge across range partitions. The map
+    // bit-shifting grp could never merge across ntile groups. The map
     // is tiny (one entry per 2^groupShift docids) and broadcast. Docids are
-    // (pid << 40 | idx), so each partition's grp set is the contiguous
-    // range [(pid<<40)>>shift, ((pid<<40)|(rows-1))>>shift] — the whole
-    // universe derives from the tokenize manifest's (pid, rows) lineage
+    // (g << 40 | idx), so each group's grp set is the contiguous
+    // range [(g<<40)>>shift, ((g<<40)|(rows-1))>>shift] — the whole
+    // universe derives from the tokenize manifest's (grp, rows) lineage
     // with NO Spark job (fallback: distinct scan when lineage is absent).
     val postDir = s"$dir/$PostingsDir"
     val runsDir = s"$dir/$RunsDir"
@@ -362,10 +397,105 @@ object IndexBuilder {
     cfg.fingerprint match {
       case "none" => "static"
       case _ =>
+        // order-independent XOR of 64-bit hashes: unlike a summed crc32 it
+        // cannot overflow ANSI arithmetic at 10^12 rows and row-swap
+        // collisions need a full 64-bit collision
         val row = corpus
-          .agg(count(lit(1)), coalesce(sum(crc32(col("docno"))), lit(0L))).head()
-        s"n=${row.getLong(0)};crc=${row.getLong(1)}"
+          .agg(count(lit(1)),
+            coalesce(bit_xor(xxhash64(col("docno"))), lit(0L))).head()
+        s"n=${row.getLong(0)};h=${java.lang.Long.toHexString(row.getLong(1))}"
     }
+
+  /** Exact ntile boundary keys over `keys`' global ascending order:
+    * result(g-1) = the key at 0-based rank ceil(g*N/parts), g ∈
+    * [1, parts-1], so that `grpOf(result, k)` = floor(rank(k)*parts/N) —
+    * the deterministic group of every key, balanced to ±1 row with no
+    * dependence on Spark's boundary sampling. Cost: one narrow key-only
+    * shuffle and two jobs over it (the second job's shuffle map stages are
+    * skipped — same RDD lineage), comparable to the fingerprint() pass the
+    * build already pays; the wide corpus is never read here. Keys are
+    * ranked in UTF-8 byte order (Spark's UTF8String sort order, and
+    * DuckDB's binary collation — the oracle replays ranks with a
+    * row_number() window).
+    */
+  private[index] def ntileBoundaries(keys: Dataset[String],
+                                     parts: Int): Array[String] = {
+    if (parts <= 1) return Array.empty
+    val spark = keys.sparkSession
+    val sorted = keys.toDF("k")
+      .repartitionByRange(parts, col("k"))
+      .sortWithinPartitions("k")
+      .as[String](keys.encoder)
+      .rdd
+    val cm = sorted
+      .mapPartitionsWithIndex((p, it) => Iterator((p, it.size.toLong)))
+      .collect().toMap
+    val nPhys = sorted.getNumPartitions
+    val offsets = (0 until nPhys).map(p => cm.getOrElse(p, 0L))
+      .scanLeft(0L)(_ + _).toArray
+    val n = offsets.last
+    if (n == 0) return Array.empty
+    // global ranks wanted (with multiplicity when N < parts — trailing
+    // groups whose start rank would be >= N stay empty and mint no bound),
+    // bucketed by the physical partition that owns each rank
+    val targets: Seq[Long] = (1 until parts)
+      .map(g => (g * n + parts - 1) / parts)
+      .filter(_ < n)
+    // owner(r) = last p with offsets(p) <= r (upper-bound search; empty
+    // partitions share an offset with their successor and are skipped)
+    def owner(r: Long): Int = {
+      var lo = 0
+      var hi = offsets.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (offsets(mid) <= r) lo = mid + 1 else hi = mid
+      }
+      lo - 1
+    }
+    val wantByPart: Map[Int, Seq[Long]] = targets.distinct
+      .groupBy(owner)
+      .map { case (p, rs) => p -> rs.map(_ - offsets(p)).sorted }
+    val bWant = spark.sparkContext.broadcast(wantByPart)
+    val offs = offsets
+    val picked: Map[Long, String] = sorted.mapPartitionsWithIndex { (p, it) =>
+      val want = bWant.value.getOrElse(p, Nil)
+      if (want.isEmpty) Iterator.empty
+      else {
+        val out = Seq.newBuilder[(Long, String)]
+        var i = 0L
+        val wi = want.iterator
+        var nextWant = wi.next()
+        var more = true
+        while (more && it.hasNext) {
+          val k = it.next()
+          if (i == nextWant) {
+            out += ((offs(p) + i, k))
+            if (wi.hasNext) nextWant = wi.next() else more = false
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+    }.collect().toMap
+    bWant.destroy()
+    targets.map(picked).toArray
+  }
+
+  /** Count of boundary keys <= k in UTF-8 byte order (rightmost binary
+    * search) — the deterministic ntile group of `k` given boundaries from
+    * [[ntileBoundaries]].
+    */
+  private[index] def grpOf(bounds: Array[String], k: String): Int = {
+    val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val mb = bounds(mid).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (java.util.Arrays.compareUnsigned(mb, kb) <= 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 
   /** Wrap an iterator so the enclosing task reports (pid, rows, bytes) into
     * `acc` once exhausted; retried tasks re-add, so manifest writers dedupe

@@ -86,8 +86,10 @@ final case class IndexConfig(
     docidEpoch: Int = 0 // high docid bits (bit 52+): streaming batch isolation
 ) {
   require(docidEpoch >= 0 && docidEpoch < (1 << 11), "docidEpoch must fit 11 bits")
+  // v5: deterministic ntile docid packing — rangePartitions now shapes the
+  // docid layout, so it joins the id and a bump forces stale-stage rebuilds
   def id: String =
-    s"v4;${analyzer.id};b=$buckets;g=$groupShift;m=$mergeShift;tp=$twoPhase;pos=$indexPositions;e=$docidEpoch"
+    s"v5;${analyzer.id};b=$buckets;g=$groupShift;m=$mergeShift;r=$rangePartitions;tp=$twoPhase;pos=$indexPositions;e=$docidEpoch"
 }
 
 object IndexLayout {

@@ -69,6 +69,13 @@ object BoolQuery {
   }
 
   def parse(text: String, leaves: LeafFactory): Option[Node] = {
+    // Deliberately `text.trim` — Lucene's SimpleQueryParser.parse opens
+    // with `if ("*".equals(queryText.trim())) return new
+    // MatchAllDocsQuery();`, so whitespace-padded "  *  " IS match-all
+    // there too (the r3 advisory suggesting a length==1 guard would have
+    // introduced the deviation it meant to prevent; locked by
+    // BoolQuerySpec). "* *" etc. trim to something longer and flow through
+    // the normal token path on both sides.
     if (text.trim == "*") return Some(MatchAllNode)
     val st = new State(text.toCharArray, 0, text.length)
     parseSub(st, leaves)

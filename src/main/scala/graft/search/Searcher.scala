@@ -27,16 +27,16 @@ final case class WeightedClause(qid: String, qidx: Int, term: String, boost: Flo
   * positions-enabled index (`IndexConfig.indexPositions`).
   *
   * `slop = 0` is exact adjacency (ExactPhraseScorer). `slop > 0` is sloppy
-  * matching (`"…"~N`): an anchor occurrence of the FIRST slot at position p
-  * matches when every other slot j has a position within
-  * `p + offset_j ± slop`, and contributes the slop factor
-  * `1/(matchLength+1)` — the reference similarity's `computeSlopFactor`
-  * (`BM25.java:110-114`) — to the phrase frequency, where matchLength sums
-  * each slot's nearest-position distance. Documented deviation from
-  * Lucene's SloppyPhraseScorer: the per-slot-nearest window test replaces
-  * the full edit-transcript alignment (identical for 2-term phrases; an
-  * approximation for longer ones with repeated terms) — and the semantics
-  * stay exactly SQL-replayable (the oracle's position self-join).
+  * matching (`"…"~N`) via [[SloppyPhrase.freq]] — the faithful
+  * SloppyPhraseScorer event walk: every match window within the slop
+  * contributes the reference similarity's `computeSlopFactor`
+  * `1/(matchLength+1)` (`BM25.java:110-114`) where matchLength is the
+  * window width `end − min` over phase-adjusted positions, and slots
+  * repeating a term are pinned to distinct document occurrences. For
+  * 2-term phrases this coincides with the per-slot-nearest form the
+  * q_phrase_slop_topk oracle replays as a SQL position self-join
+  * (cross-checked on a random battery in PhraseSpec); the gate's sloppy
+  * topics are 2-term, so the oracle stays exact.
   */
 final case class PhraseClause(qid: String, qidx: Int,
                               terms: Seq[(String, Int)], boost: Float,
@@ -86,7 +86,8 @@ final case class BlendedClause(qid: String, qidx: Int,
   * Query analysis reuses the index's persisted analyzer config, ruling out
   * the reference's possible index/query analyzer mismatch by construction.
   */
-final class Searcher(val index: BuiltIndex) {
+final class Searcher(val index: BuiltIndex,
+                     maxComplementDocs: Long = Searcher.DefaultMaxComplementDocs) {
   private val spark: SparkSession = index.spark
   private val analyzer = new Analyzer(index.cfg.analyzer)
   // term → Some((df, cf)) | None for terms absent from the index
@@ -197,6 +198,13 @@ final class Searcher(val index: BuiltIndex) {
   def searchQuery(topics: Seq[Topic], k: Int = 1000,
                   scorerName: String = "bm25"): Dataset[RunLine] = {
     import BoolQuery._
+    // treeB is keyed by qid (last-wins): two topics sharing a qid would
+    // leave both topics' clauses covered by one surviving TreeSpec and
+    // silently mix their partials — fail loudly instead (the uncovered-qid
+    // check below cannot catch this case)
+    require(topics.map(_.qid).distinct.size == topics.size,
+      s"searchQuery topics must have distinct qids, got: " +
+        topics.map(_.qid).mkString(", "))
     val wc = Seq.newBuilder[WeightedClause]
     val pc = Seq.newBuilder[PhraseClause]
     val ec = Seq.newBuilder[ExpansionClause]
@@ -622,51 +630,38 @@ final class Searcher(val index: BuiltIndex) {
             else {
               val offs = pc.terms.map(_._2).toArray
               val slop = pc.slop
-              // exact (slop 0): anchor on the sparsest slot — the count of
-              // full-phrase starts is anchor-invariant. Sloppy: anchor MUST
-              // be slot 0 (freq = matching first-slot positions; see
-              // PhraseClause scaladoc).
-              var minSlot = 0
-              if (slop == 0) {
+              // slop 0 (ExactPhraseScorer analog): freq = integer count of
+              // full-phrase starts, anchored on the sparsest slot (the
+              // count is anchor-invariant). slop > 0: the faithful
+              // SloppyPhraseScorer event walk (SloppyPhrase.freq) — each
+              // match window contributes the reference similarity's slop
+              // factor 1/(matchLength+1) (`BM25.java:110-114`), with
+              // repeated terms pinned to distinct occurrences.
+              var freq = 0.0f
+              if (slop > 0) {
+                freq = SloppyPhrase.freq(pc.terms.map(_._1).toArray,
+                  posBySlot, offs, slop)
+              } else {
+                var minSlot = 0
                 var s = 1
                 while (s < nSlots) {
                   if (posBySlot(s).length < posBySlot(minSlot).length) minSlot = s
                   s += 1
                 }
-              }
-              // slop 0: freq = integer occurrence count. slop > 0: each
-              // anchor match contributes 1/(matchLength+1) — the slop
-              // factor the reference's similarity defines
-              // (`BM25.java:110-114`) — where matchLength sums each other
-              // slot's distance to its NEAREST in-window position (the
-              // per-slot-nearest generalization of SloppyPhraseScorer's
-              // 2-term matchLength). Anchors iterate in ascending position
-              // order, so the Float accumulation is deterministic.
-              var freq = 0.0f
-              val anchorOff = offs(minSlot)
-              posBySlot(minSlot).foreach { p0 =>
-                val base = p0 - anchorOff // phrase start position in the doc
-                var ok = slop > 0 || base >= 0
-                var matchLen = 0
-                var j = 0
-                while (ok && j < nSlots) {
-                  if (j != minSlot) {
-                    val exp = base + offs(j)
-                    val arr = posBySlot(j)
-                    val idx = java.util.Arrays.binarySearch(arr, exp)
-                    if (idx >= 0) () // exact slot position, distance 0
-                    else {
-                      val ins = -idx - 1
-                      var best = Int.MaxValue
-                      if (ins < arr.length) best = arr(ins) - exp
-                      if (ins > 0) best = math.min(best, exp - arr(ins - 1))
-                      ok = best <= slop
-                      matchLen += best
+                val anchorOff = offs(minSlot)
+                posBySlot(minSlot).foreach { p0 =>
+                  val base = p0 - anchorOff // phrase start position in doc
+                  var ok = base >= 0
+                  var j = 0
+                  while (ok && j < nSlots) {
+                    if (j != minSlot) {
+                      val arr = posBySlot(j)
+                      ok = java.util.Arrays.binarySearch(arr, base + offs(j)) >= 0
                     }
+                    j += 1
                   }
-                  j += 1
+                  if (ok) freq += 1.0f
                 }
-                if (ok) freq += (if (slop == 0) 1.0f else 1.0f / (matchLen + 1))
               }
               if (freq == 0.0f) Iterator.empty
               else {
@@ -819,6 +814,18 @@ final class Searcher(val index: BuiltIndex) {
     val scoresWithComplement: Dataset[(String, Long, Float)] =
       if (complementQids.isEmpty) scores
       else {
+        // Scale guard: each complement qid schedules a full docid-column
+        // scan — semantically inherent to the match-all wrap, but a batch
+        // of careless pure-negation topics at 10^12 docs must fail loudly
+        // instead of quietly queueing N corpus scans. Raise the cap (or
+        // use a MUST_NOT clause / searchClauses negTerms, which anti-join
+        // only the negated postings) when the tail is genuinely wanted.
+        val nDocs = index.stats.max_doc
+        require(nDocs <= maxComplementDocs,
+          s"match-all complement over $nDocs docs for ${complementQids.size} " +
+            s"pure-negation/match-all topic(s) exceeds maxComplementDocs=" +
+            s"$maxComplementDocs; raise the Searcher cap to opt in, or " +
+            "express hard exclusion as MUST_NOT terms")
         // candidates = every (qid, doc) that had ANY leaf partial — the
         // evaluated stream pre-NaN-drop, so eval-rejected docs (e.g. a doc
         // holding only the negated term) stay excluded from the complement
@@ -1035,6 +1042,17 @@ final class Searcher(val index: BuiltIndex) {
   * buffers merge associatively (map-side combine), final order is
   * (score desc, docid asc).
   */
+object Searcher {
+  /** Ceiling on corpus size for the match-all complement tail (pure
+    * negations, explicit `*`): above this, a tree query that would append
+    * the whole corpus at the constant score throws instead of scheduling a
+    * full scan per topic. 10M docs ≈ a few seconds of columnar docid scan
+    * on one executor — cheap enough to allow silently; a 10^12-doc corpus
+    * is three orders past it and must be an explicit opt-in.
+    */
+  val DefaultMaxComplementDocs: Long = 10L * 1000 * 1000
+}
+
 final class TopKAgg(k: Int,
                     bufEnc: Encoder[Seq[(Long, Float)]],
                     outEnc: Encoder[Seq[(Long, Float)]])

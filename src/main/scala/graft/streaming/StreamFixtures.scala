@@ -9,17 +9,20 @@ import org.apache.spark.sql.functions._
   */
 object StreamFixtures {
 
-  /** Cache-root fingerprint: row count + summed crc32 over `keyCols`.
-    * Callers must include EVERY column the stream consumes, so a
-    * regenerated fixture — even one keeping some columns identical — can
-    * never serve stale cached stream output.
+  /** Cache-root fingerprint: row count + an order-independent XOR of
+    * per-row xxhash64 digests over `keyCols`. Callers must include EVERY
+    * column the stream consumes. xxhash64 hashes each column value with
+    * its own length/type framing (no separator ambiguity) and avalanches
+    * to 64 bits, so the row-swap / compensating-edit collisions a summed
+    * crc32 admits (crc is linear) would have to collide in mixed 64-bit
+    * space; XOR (not sum) keeps the combine overflow-free under ANSI
+    * arithmetic, and the row count catches the duplicate-pair
+    * cancellation XOR alone would miss — collision-resistant enough for
+    * fixture caching, though not a cryptographic commitment.
     */
   def fingerprint(df: DataFrame, keyCols: Seq[Column]): String = {
-    // NUL separator: it cannot occur in the data, so shifting a field
-    // boundary can never produce the same concatenation (any printable
-    // separator could appear inside document text)
     val row = df.agg(count(lit(1)),
-      coalesce(sum(crc32(concat_ws("\u0000", keyCols: _*))), lit(0L))).head()
+      coalesce(bit_xor(xxhash64(keyCols: _*)), lit(0L))).head()
     s"${row.getLong(0)}_${java.lang.Long.toHexString(row.getLong(1))}"
   }
 

@@ -16,7 +16,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * `click_ts + withinMinutes`, so state cannot grow with an unbounded
   * 100-TB stream. Because eviction only drops rows that can no longer
   * match, the streamed result over a bounded replay equals the batch
-  * join exactly — which is what the oracle runs.
+  * join exactly — which is what the oracle runs — PROVIDED each source's
+  * out-of-orderness stays within the watermark delay (= the join window
+  * here, so there is zero extra slack): a row arriving later than that is
+  * evicted from state before its match and silently dropped, where the
+  * batch join would keep it. The gate fixture replays ts-ordered batches,
+  * which trivially satisfies the precondition; with genuinely disordered
+  * sources, widen `withWatermark` beyond `withinMinutes` by the expected
+  * lateness.
   */
 object StreamingJoin {
 

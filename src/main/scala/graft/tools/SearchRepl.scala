@@ -29,15 +29,20 @@ object SearchRepl {
     val searcher = new Searcher(BuiltIndex.open(spark, settings.indexPath))
     val in = new BufferedReader(new java.io.InputStreamReader(System.in, "UTF-8"))
     loop(searcher, in, System.out, hitsPerPage = 10,
-      scorerName = settings.scorerName)
+      scorerName = settings.scorerName, repeat = settings.repeat)
     spark.stop()
   }
 
   /** The prompt loop (testable: reader/printer injected). A null or blank
     * line ends the session, exactly like the reference (`:96-104`).
+    * `repeat > 0` re-runs each query that many times and prints
+    * `Time: <ms>ms` before paging — the reference demo's only measurement
+    * affordance (`SearchFiles.java:109-117`, `searcher.search(query, 100)`
+    * in the timed loop, hence k=100 here too).
     */
   def loop(searcher: Searcher, in: BufferedReader, out: PrintStream,
-           hitsPerPage: Int, scorerName: String = "bm25"): Unit = {
+           hitsPerPage: Int, scorerName: String = "bm25",
+           repeat: Int = 0): Unit = {
     var qn = 0
     var done = false
     while (!done) {
@@ -48,6 +53,16 @@ object SearchRepl {
         qn += 1
         val text = line.trim
         out.println(s"Searching for: $text")
+        if (repeat > 0) { // repeat & time as benchmark (SearchFiles.java:109)
+          val start = System.currentTimeMillis()
+          var i = 0
+          while (i < repeat) {
+            searcher.search(Seq(Topic(s"i$qn", text)), 100, scorerName)
+              .collect()
+            i += 1
+          }
+          out.println(s"Time: ${System.currentTimeMillis() - start}ms")
+        }
         doPagingSearch(searcher, Topic(s"i$qn", text), in, out, hitsPerPage,
           scorerName)
       }

@@ -171,6 +171,28 @@ class BoolQuerySpec extends AnyFunSuite {
     assert(all.forall(_.score == 1.0f))
   }
 
+  test("searchQuery: duplicate qids are rejected, not silently merged") {
+    // treeB is keyed by qid (last-wins) while clause builders accumulate
+    // for every topic — colliding qids would mix both topics' partials
+    val e = intercept[IllegalArgumentException] {
+      searcher.searchQuery(Seq(Topic("1", "alpha"), Topic("1", "beta")), 10)
+    }
+    assert(e.getMessage.contains("distinct qids"))
+  }
+
+  test("searchQuery: match-all complement is capped by maxComplementDocs") {
+    // 4-doc index, cap at 2: a pure negation (full-corpus complement tail)
+    // must fail loudly instead of scheduling the scan …
+    val capped = new Searcher(searcher.index, maxComplementDocs = 2)
+    val e = intercept[IllegalArgumentException] {
+      capped.searchQuery(Seq(Topic("1", "-alpha")), 10).collect()
+    }
+    assert(e.getMessage.contains("maxComplementDocs"))
+    // … while complement-free queries are untouched by the cap
+    val ok = capped.searchQuery(Seq(Topic("1", "alpha + beta")), 10).collect()
+    assert(ok.map(_.docno).toSet == Set("s-1", "s-2"))
+  }
+
   test("searchQuery: left-associative chains and groups change the matched set") {
     // alpha + beta -gamma ⇒ (alpha AND beta) OR (NOT gamma) — all four docs
     val chain = searcher.searchQuery(Seq(Topic("1", "alpha + beta -gamma")), 10)

@@ -129,4 +129,88 @@ class PhraseSpec extends AnyFunSuite {
       .collect().map(_.docno).toSet
     assert(mixed.contains("p-2")) // gamma hit even where the phrase misses
   }
+
+  test("SloppyPhrase ≡ independent 2-cursor merge walk (random battery)") {
+    import graft.search.SloppyPhrase
+    // Cross-check the general priority-queue implementation against an
+    // independently-structured 2-cursor merge simulation — the SAME state
+    // machine the q_phrase_slop_topk oracle replays as a recursive CTE, so
+    // this battery is what keeps engine and oracle in lock-step for the
+    // gate's 2-term sloppy topics.
+    def mergeWalk(aRaw: Array[Int], bRaw: Array[Int], slop: Int): Double = {
+      val a = aRaw // slot 0: adjusted = raw
+      val b = bRaw.map(_ - 1) // slot 1: adjusted = raw − offset
+      var ia = 0; var ib = 0
+      // the popped cursor is STICKY: it keeps advancing through ties with
+      // the other (only a strict overshoot hands the walk over), so the
+      // side is state, not a per-step min — init tie → lower slot offset
+      var sideA = a(0) <= b(0)
+      var ml = math.abs(a(0) - b(0))
+      var freq = 0.0
+      var done = false
+      while (!done) {
+        val fin = if (sideA) ia + 1 >= a.length else ib + 1 >= b.length
+        if (fin) {
+          if (ml <= slop) freq += 1.0 / (ml + 1)
+          done = true
+        } else if (sideA) {
+          ia += 1
+          if (a(ia) > b(ib)) { // overshoot: close the event, hand over
+            if (ml <= slop) freq += 1.0 / (ml + 1)
+            ml = a(ia) - b(ib)
+            sideA = false
+          } else ml = math.min(ml, b(ib) - a(ia))
+        } else {
+          ib += 1
+          if (b(ib) > a(ia)) {
+            if (ml <= slop) freq += 1.0 / (ml + 1)
+            ml = b(ib) - a(ia)
+            sideA = true
+          } else ml = math.min(ml, a(ia) - b(ib))
+        }
+      }
+      freq
+    }
+    val rnd = new scala.util.Random(7)
+    def randPos(n: Int): Array[Int] =
+      rnd.shuffle((0 until 40).toList).take(n).sorted.toArray
+    for (trial <- 0 until 2000) {
+      val a = randPos(1 + rnd.nextInt(8))
+      val b = randPos(1 + rnd.nextInt(8))
+      val slop = rnd.nextInt(7)
+      val want = mergeWalk(a, b, slop)
+      val got = SloppyPhrase.freq(Array("x", "y"), Array(a, b),
+        Array(0, 1), slop)
+      assert(math.abs(got - want) < 1e-5,
+        s"trial $trial a=${a.toSeq} b=${b.toSeq} slop=$slop " +
+          s"got=$got want=$want")
+    }
+    // the documented r3 divergence: per-slot-nearest let three anchors
+    // each borrow the single partner occurrence (freq 1/6+1/4+1/2), the
+    // faithful walk minimizes ONE window to width 1 (freq 1/2)
+    assert(SloppyPhrase.freq(Array("x", "y"),
+      Array(Array(19, 21, 23), Array(25)), Array(0, 1), 6) == 0.5f)
+  }
+
+  test("SloppyPhrase: repeated terms are pinned to distinct occurrences") {
+    import graft.search.SloppyPhrase
+    // "a a b" over doc "a b": one 'a' occurrence cannot fill both slots —
+    // the r3 per-slot-nearest approximation matched here (both slots
+    // borrowing the same occurrence for 1/3); the faithful walk does not
+    assert(SloppyPhrase.freq(Array("a", "a", "b"),
+      Array(Array(0), Array(0), Array(1)), Array(0, 1, 2), 4) == 0.0f)
+    // over doc "a a b": the two slots take the 1st and 2nd occurrence,
+    // zero-width window even at slop 0
+    assert(SloppyPhrase.freq(Array("a", "a", "b"),
+      Array(Array(0, 1), Array(0, 1), Array(2)), Array(0, 1, 2), 0) == 1.0f)
+    // "a a" over doc "a a": exactly one event (not one per anchor)
+    assert(SloppyPhrase.freq(Array("a", "a"),
+      Array(Array(0, 1), Array(0, 1)), Array(0, 1), 0) == 1.0f)
+    // reordering costs window width: "x y"~2 over doc "y x" → 1/(2+1)
+    assert(SloppyPhrase.freq(Array("x", "y"),
+      Array(Array(1), Array(0)), Array(0, 1), 2) == 1.0f / 3)
+    // and is rejected once the slop cannot cover the displacement
+    assert(SloppyPhrase.freq(Array("x", "y"),
+      Array(Array(1), Array(0)), Array(0, 1), 1) == 0.0f)
+  }
 }

@@ -25,12 +25,25 @@ class ReplSpec extends AnyFunSuite {
     new Searcher(idx)
   }
 
-  private def run(script: String, hitsPerPage: Int): Seq[String] = {
+  private def run(script: String, hitsPerPage: Int,
+                  repeat: Int = 0): Seq[String] = {
     val in = new BufferedReader(new StringReader(script))
     val bytes = new ByteArrayOutputStream()
     val out = new PrintStream(bytes, true, "UTF-8")
-    SearchRepl.loop(searcher, in, out, hitsPerPage)
+    SearchRepl.loop(searcher, in, out, hitsPerPage, repeat = repeat)
     new String(bytes.toByteArray, "UTF-8").split("\n").toSeq
+  }
+
+  test("-repeat N times the query loop before paging (SearchFiles.java:109-117)") {
+    val outp = run("common\nq\n\n", hitsPerPage = 2, repeat = 3)
+    val timeLines = outp.filter(_.matches("""Time: \d+ms"""))
+    assert(timeLines.size == 1)
+    // the timing line prints between `Searching for:` and the page output
+    assert(outp.indexOf("Searching for: common") < outp.indexOf(timeLines.head))
+    assert(outp.indexOf(timeLines.head) < outp.indexOf("7 total matching documents"))
+    // repeat = 0 (default) prints no timing line
+    assert(!run("common\nq\n\n", hitsPerPage = 2)
+      .exists(_.startsWith("Time: ")))
   }
 
   test("matchCounts = distinct matching docs (the demo's totalHits)") {
