@@ -910,7 +910,7 @@ object SparkEntry {
     val email = "[a-z0-9]+(?:[._\\-][a-z0-9]+)*@[a-z0-9]+(?:[.\\-][a-z0-9]+)+"
     val host = "[a-z0-9]+(?:\\.[a-z0-9]+)+"
     val acronym = "[a-z]\\.(?:[a-z]\\.)+"
-    val company = "[a-z]+(?:[&@][a-z]+)+"
+    val company = "[a-z]+[&@][a-z]+"
     val apostrophe = "[a-z]+(?:'[a-z]+)+"
     Seq(email, acronym, num, host, company, apostrophe, alnum).mkString("|")
   }

@@ -24,7 +24,13 @@ package graft.analysis
   *
   * **Documented deviation:** words outside both tables follow the rules
   * instead of a 30k-dictionary lookup, so outputs can differ from Lucene's
-  * KStemFilter on uncommon irregulars (see README "Known gaps").
+  * KStemFilter on uncommon irregulars (see README "Known gaps"). The
+  * exposure is MEASURED, not guessed: KStemSpec's coverage probe
+  * classifies every gate-corpus vocabulary decision, reports the
+  * dictionary-confirmed share of the token mass (99.9% on the current
+  * corpus; zero unconfirmed rewrites) and fails if unconfirmed rule
+  * rewrites ever exceed a third of the mass. Swapping in a real Krovetz
+  * word list is a one-value change ([[Lexicon]]).
   */
 object KStemmer extends Stemmer {
   val name = "kstem"

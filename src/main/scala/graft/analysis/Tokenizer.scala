@@ -36,52 +36,95 @@ final class WhitespaceTokenizer(maxTokenLen: Int = 255) extends Tokenizer {
   }
 }
 
-/** Approximation of Lucene's `ClassicTokenizer` (the JFlex grammar behind
-  * the reference's `tokenizer: ClassicTokenizer` option,
-  * `TrecAnalyzer.java:57-59`): words, NUM forms (numbers with internal
-  * `,./-_` punctuation — "1,000", serials), apostrophe forms, acronyms,
-  * emails, hosts and company names survive as single tokens; other
-  * punctuation splits. Behavior is fixture-locked in AnalyzerSpec; the one
-  * known remaining JFlex deviation is documented on the NUM pattern below.
+/** Re-implementation of Lucene's `ClassicTokenizer` (the JFlex grammar in
+  * `ClassicTokenizerImpl.jflex` behind the reference's
+  * `tokenizer: ClassicTokenizer` option, `TrecAnalyzer.java:57-59`): words,
+  * NUM forms (numbers with internal `,./-_` punctuation — "1,000",
+  * serials), apostrophe forms, acronyms, emails, hosts and company names
+  * survive as single tokens; CJ codepoints tokenize one char at a time
+  * (the grammar's CJ rule); letters are full Unicode `\p{L}` minus the CJ
+  * ranges (so accented/Cyrillic/Hangul words stay whole); tokens longer
+  * than `maxTokenLen` chars are DISCARDED, not split (ClassicTokenizer's
+  * `yylength() <= maxTokenLength` skip — unlike WhitespaceTokenizer's
+  * chunking). Behavior is fixture-locked in AnalyzerSpec and fuzz-locked
+  * against a brute-force grammar scanner in ClassicFuzzSpec.
+  *
+  * Two documented deviations from the JFlex scanner, both load-bearing for
+  * the RE2 oracle replay (q_classic_tok runs the same ordered alternation
+  * in DuckDB, whose RE2 has no leftmost-longest mode — see
+  * SparkEntry.ClassicSqlPattern):
+  *  1. Leftmost-FIRST alternation instead of JFlex leftmost-longest: a
+  *     digit-bearing host with 2+ trailing digit-free labels splits
+  *     ("a.b2.c.d" → "a.b2.c" + "d"; JFlex keeps the whole host). The
+  *     corpus + enrichment gate entry locks this exact behavior.
+  *  2. The deprecated ACRONYM_DEP rule (alnum dotted runs with a trailing
+  *     dot, kept in Lucene only for pre-3.1 backcompat) is omitted:
+  *     "a1.b2." tokenizes as the NUM/HOST prefix without the final dot.
+  *  3. NUM is the factored closed form `[A P] H ((P A)? P H)* [P A]`, a
+  *     SUPERSET of the grammar's six alternatives: it also joins segment
+  *     runs whose digit parity does not alternate ("a.b1-0.cd" stays one
+  *     token; JFlex's union stops at "a.b1-0"). Exact within-NUM longest
+  *     match is not expressible as an ordered RE2 alternation, and the
+  *     factored form agrees with JFlex on every alternating form ("1,000",
+  *     "2-3-4", "12/25/2021", serials — the locked fixtures).
+  * A fourth, minor: a discarded over-long token leaves no position gap
+  * (the Iterator[String] seam carries no positionIncrement signal).
   */
-final class ClassicLikeTokenizer extends Tokenizer {
+final class ClassicLikeTokenizer(maxTokenLen: Int) extends Tokenizer {
+  def this() = this(255) // no-arg ctor: the FQCN reflective seam needs it
   val name = "classic"
   import ClassicLikeTokenizer.TOKEN
   def tokenize(text: String): Iterator[String] = new Iterator[String] {
     private val m = TOKEN.matcher(text)
-    private var found = m.find()
-    def hasNext: Boolean = found
-    def next(): String = {
-      val tok = m.group()
-      found = m.find()
-      tok
+    private var tok: String = null
+    private def advance(): Unit = {
+      tok = null
+      while (tok == null && m.find()) {
+        val g = m.group()
+        if (g.length <= maxTokenLen) tok = g // over-long: skip, keep going
+      }
     }
+    advance()
+    def hasNext: Boolean = tok != null
+    def next(): String = { val t = tok; advance(); t }
   }
 }
 
 object ClassicLikeTokenizer {
-  // Ordered alternation (Java regex is leftmost-first):
-  //   email | acronym | num | host | company | apostrophe | alphanum
-  private val EMAIL = """[A-Za-z0-9]+(?:[._\-][A-Za-z0-9]+)*@[A-Za-z0-9]+(?:[.\-][A-Za-z0-9]+)+"""
-  private val HOST = """\p{Alnum}+(?:\.\p{Alnum}+)+"""
-  private val ACRONYM = """\p{Alpha}\.(?:\p{Alpha}\.)+"""
-  private val COMPANY = """\p{Alpha}+(?:[&@]\p{Alpha}+)+"""
-  private val APOSTROPHE = """\p{Alpha}+(?:'\p{Alpha}+)+"""
-  private val ALPHANUM = """\p{Alnum}+"""
+  // The grammar's CJ ranges (ClassicTokenizerImpl.jflex): CJK ideographs,
+  // kana, bopomofo, CJK-compat and halfwidth forms — one token per char
+  private[analysis] val CJRanges =
+    "\\u3100-\\u312f\\u3040-\\u309f\\u30a0-\\u30ff\\u31f0-\\u31ff" +
+    "\\u3300-\\u337f\\u3400-\\u4dbf\\u4e00-\\u9fff\\uf900-\\ufaff\\uff65-\\uff9f"
+  // LETTER = [:letter:] minus CJ; DIGIT = [:digit:] (Unicode Nd)
+  private val L = s"[\\p{L}&&[^$CJRanges]]"
+  private val D = """\p{Nd}"""
+  private val AN = s"(?:$L|$D)" // ALPHANUM char
+  // Ordered alternation (leftmost-FIRST; see class scaladoc, deviation 1):
+  //   email | acronym | num | host | company | apostrophe | alphanum | cj
+  private val EMAIL =
+    s"$AN+(?:[._\\-]$AN+)*@$AN+(?:[.\\-]$AN+)+"
+  private val HOST = s"$AN+(?:\\.$AN+)+"
+  private val ACRONYM = s"$L\\.(?:$L\\.)+"
+  // exactly ONE joint, like the grammar's {ALPHA} ("&"|"@") {ALPHA} —
+  // "at&t&x" is "at&t" + "x", not one token
+  private val COMPANY = s"$L+[&@]$L+"
+  private val APOSTROPHE = s"$L+(?:'$L+)+"
+  private val ALPHANUM = s"$AN+"
   // JFlex NUM (the Classic grammar's number forms, e.g. "1,000", "2-3-4",
   // "a-1-b"): alphanumeric segments joined by single P = [_\-/.,] chars
   // where every other segment contains a digit — expressed here as
   // [A P] H ([A P] P H)* [P A] with H = digit-bearing segment, which
-  // generates exactly the grammar's six alternatives. Remaining known
-  // deviation (Java regex picks the FIRST matching alternative, JFlex the
-  // LONGEST rule): a digit-bearing host with 2+ trailing digit-free labels
-  // ("a.b2.c.d" → "a.b2.c" + "d" here; JFlex keeps the whole host).
-  private val HASDIGIT = """\p{Alnum}*[0-9]\p{Alnum}*"""
+  // generates exactly the grammar's six alternatives.
+  private val HASDIGIT = s"$AN*$D$AN*"
   private val P = """[_\-/.,]"""
   private val NUM =
     s"(?:$ALPHANUM$P)?$HASDIGIT(?:(?:$P$ALPHANUM)?$P$HASDIGIT)*(?:$P$ALPHANUM)?"
+  private val CJ = s"[$CJRanges]"
   private[analysis] val TOKEN: Pattern =
-    Pattern.compile(Seq(EMAIL, ACRONYM, NUM, HOST, COMPANY, APOSTROPHE, ALPHANUM).mkString("|"))
+    Pattern.compile(
+      Seq(EMAIL, ACRONYM, NUM, HOST, COMPANY, APOSTROPHE, ALPHANUM, CJ)
+        .mkString("|"))
 }
 
 object Tokenizer {

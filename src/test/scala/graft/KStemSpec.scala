@@ -83,4 +83,49 @@ class KStemSpec extends AnyFunSuite {
     assert(KStemmer.stem("strings") == "string")
     assert(KStemmer.stem("kings") == "king")
   }
+
+  test("lexicon coverage over the gate corpus vocabulary is measured and bounded") {
+    // The full Krovetz dictionary is unreachable in this sandbox (zero
+    // egress, no Lucene jars on the classpath — verified), so the stand-in
+    // lexicon's EXPOSURE is quantified instead of hand-waved: a stemming
+    // decision is "dictionary-confirmed" when the word or its stem passes
+    // through the exception/lexicon tables; a REWRITE (stem ≠ word) that
+    // no table confirms is where a real KStem run could diverge. The gate
+    // corpus must keep that exposed-rewrite share of the token mass small,
+    // and this test prints the real numbers for the record.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val an = new graft.analysis.Analyzer(graft.Engine.OracleAnalyzer)
+    val vocab: Map[String, Long] = corpusVocab(spark, an)
+    val total = vocab.values.sum.toDouble
+    var confirmedMass = 0L
+    var exposedMass = 0L
+    var exposedTypes = 0
+    vocab.foreach { case (w, n) =>
+      val s = KStemmer.stem(w)
+      val confirmed = KStemmer.DirectConflations.contains(w) ||
+        KStemmer.Lexicon.contains(w) || KStemmer.Lexicon.contains(s)
+      if (confirmed) confirmedMass += n
+      else if (s != w) { exposedMass += n; exposedTypes += 1 }
+    }
+    info(f"corpus types=${vocab.size} tokens=${total.toLong} " +
+      f"dict-confirmed=${confirmedMass / total * 100}%.1f%% " +
+      f"exposed-rewrites=${exposedMass / total * 100}%.1f%% ($exposedTypes types)")
+    // unconfirmed rule rewrites must stay a minority of the token mass —
+    // if the corpus drifts (or the lexicon regresses) this fails loudly
+    assert(exposedMass / total < 0.35,
+      f"exposed rewrite mass ${exposedMass / total * 100}%.1f%%")
+    assert(vocab.nonEmpty && total > 0)
+  }
+
+  private def corpusVocab(spark: org.apache.spark.sql.SparkSession,
+                          an: graft.analysis.Analyzer): Map[String, Long] = {
+    import spark.implicits._
+    graft.corpus.Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+      .select("content").as[String].collect()
+      .iterator.flatMap(an.analyze)
+      .foldLeft(Map.empty[String, Long]) { (m, t) =>
+        m.updated(t, m.getOrElse(t, 0L) + 1)
+      }
+  }
 }
