@@ -87,10 +87,37 @@ object ScalingCluster {
     searcher.search(topics, 1000).count()
     val batchSec = (System.nanoTime() - tq0) / 1e9
     val tput = n / buildSec
+    // r4: the round-3 wide operators join the scaling leg — LSH banding,
+    // bucket-capped candidate pairs, exact Jaccard verify, and the
+    // connected-components fixpoint (checkpointed label propagation). A
+    // 4×-replicated base corpus gives every doc a 4-clique of near-dups:
+    // bounded pair fan-out, guaranteed non-trivial CC merges.
+    import org.apache.spark.sql.functions.{col, crc32, lit, pmod}
+    val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+    // 1/8 docno-hash slice of the base corpus, then 4 replicas: the
+    // lineitem text is densely self-similar (low-cardinality token space),
+    // so the FULL corpus under LSH banding yields a pair graph ~100× the
+    // gate's dedup workload and swamps the leg — the slice keeps the
+    // banding/verify/CC machinery under measurement at a bounded scale
+    val ddCorpus = Corpus.replicated(
+        Corpus.fromLineitem(spark, sfDir)
+          .where(pmod(crc32(col("docno")), lit(8)) === 0), 4)
+      .repartition(cores * 4)
+    val td0 = System.nanoTime()
+    val sh = graft.ops.Dedup.shingles(ddCorpus, an, 3)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val pairs = graft.ops.Dedup.verifyJaccard(
+        graft.ops.Dedup.minHashCandidatesFrom(sh, 12, 2, maxBucketSize = 64), sh)
+      .where(col("inter") * 2 >= col("uni"))
+    val nKeep = graft.ops.Dedup.dupClusters(ddCorpus, pairs)
+      .where(col("keep")).count()
+    val dedupSec = (System.nanoTime() - td0) / 1e9
+    sh.unpersist()
     require(executors() == workers,
       s"leg invalid: executor count changed to ${executors()} mid-leg")
     println(f"SCALING-CLUSTER workers=$workers cores=$cores n=$n " +
-      f"build=${buildSec}%.1fs docs_per_sec=${tput}%.0f query_batch=${batchSec}%.2fs")
+      f"build=${buildSec}%.1fs docs_per_sec=${tput}%.0f " +
+      f"query_batch=${batchSec}%.2fs dedup_cc=${dedupSec}%.1fs keep=$nKeep")
     // per-stage attribution from the checkpoint manifests
     val conf = spark.sparkContext.hadoopConfiguration
     for (st <- Seq(graft.index.IndexLayout.TokenizedDir, graft.index.IndexLayout.DocsDir,
