@@ -704,6 +704,81 @@ object SparkEntry {
         .toDF("docno", "parsed")
         .orderBy("docno")
     }),
+    // §2.1 compression sniffing, oracle-certified: the TREC render of the
+    // corpus is written through Spark's gzip codec for half the file
+    // groups and bzip2 for the other half, then read back through the
+    // REAL directory scan (extension-sniffed codecs, mixed inside one
+    // tree, ≙ FileParser.java:85-98) — output ≡ q_trec_parse, so the
+    // oracle replay is the same corpus projection
+    "q_codec_scan" -> ((s, dir) => {
+      import s.implicits._
+      val rendered = corpus.Corpus.fromDocuments(s, dir)
+        .select($"docno",
+          (substring($"docno", 5, 8).cast("int") / 10).cast("int").as("f"),
+          concat(lit("<DOC>\n<DOCNO> "), $"docno",
+            lit(" </DOCNO>\n<TEXT>\n"), $"content",
+            lit("\n</TEXT>\n</DOC>")).as("r"))
+      val grouped = rendered.groupBy($"f")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct($"docno", $"r"))),
+          x => x.getField("r")), "\n").as("text"))
+      val root =
+        s"${Engine.workDir}/codec_scan_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+      grouped.where($"f" % 2 === 0).select($"text").repartition(4)
+        .write.mode("overwrite").option("compression", "gzip")
+        .text(s"$root/gz")
+      grouped.where($"f" % 2 === 1).select($"text").repartition(4)
+        .write.mode("overwrite").option("compression", "bzip2")
+        .text(s"$root/bz")
+      corpus.Parsers.readTrecCorpus(s, s"$root/*")
+        .withColumnRenamed("content", "parsed")
+        .orderBy("docno")
+    }),
+    // §2.1 query-file scan, oracle-certified: a fixture file in the
+    // reference's query XML dialect — case-insensitive tags, self-closing
+    // AND inline-content feedback docs, topTermsToKeep, processor class
+    // attributes — parsed by the REAL parser; the oracle is the expected
+    // constant table (the driver still row/schema/hash-compares it)
+    "q_queryfile" -> ((s, dir) => {
+      import s.implicits._
+      val fileText =
+        """<top><num> t1 </num><text> alpha beta </text></top>
+          |<TOP><NUM>t2</NUM><TEXT>gamma</TEXT>
+          |  <preprocessor class="pre.Clazz"/>
+          |  <postprocessor class="post.Clazz"/>
+          |</TOP>
+          |<top>
+          |  <num>t3</num><text>delta</text>
+          |  <feedback>
+          |    <doc relevant="true" docno="doc-00000001"/>
+          |    <doc relevant="false">inline content here</doc>
+          |    <topTermsToKeep>7</topTermsToKeep>
+          |  </feedback>
+          |</top>""".stripMargin
+      corpus.Parsers.parseTopics(fileText)
+        .map(t => (t.qid, t.text, t.feedbackDocs.size.toLong,
+          t.topTermsToKeep.toLong,
+          t.feedbackDocs.flatMap(_.docno).mkString(","),
+          t.feedbackDocs.map(_.relevant).mkString(","),
+          t.preprocessor.getOrElse(""), t.postprocessor.getOrElse("")))
+        .toDF("qid", "text", "n_feedback", "keep", "fb_docnos", "fb_rel",
+          "pre", "post")
+        .orderBy("qid")
+    }),
+    // §2.1 run-file sink, oracle-certified: trec_eval-format lines
+    // (`qid Q0 docno rank score runtag`, Searcher.formatRun ≙
+    // BatchSearch.java:305-307) for the constant-score match-all query —
+    // every score is exactly 1.0f, which renders as the literal '1.0' the
+    // oracle replays; rank order = docid order ≡ docno order under the
+    // deterministic packing
+    "q_runfile" -> ((s, dir) => {
+      import s.implicits._
+      val searcher = Engine.searcher(s, dir)
+      val lines = searcher.formatRun(
+        searcher.searchQuery(Seq(graft.search.Topic("t1", "*")), 20)
+          .collect().sortBy(_.rank).toSeq)
+      lines.toDF("line").orderBy("line")
+    }),
     // training-pipeline op: BPE-ish token budgeting counts (letter/digit
     // runs + single marks; the path column exercises digits/punctuation)
     "q_token_count" -> ((s, dir) => {
@@ -2260,6 +2335,34 @@ object SparkEntry {
       s"""WITH $CorpusCte
          |SELECT docno, replace(content, ' ', '') AS parsed
          |FROM corpus ORDER BY docno""".stripMargin,
+    // compressed-scan round trip: the engine wrote gz+bz2 TREC renders and
+    // re-parsed them through the codec-sniffing directory scan — the
+    // expected output is the same corpus projection q_trec_parse replays
+    "q_codec_scan" ->
+      s"""WITH $CorpusCte
+         |SELECT docno,
+         |       trim(concat(docno, ' ',
+         |            array_to_string(list_filter(
+         |              string_split_regex(content, '\\s+'), x -> x <> ''), ' '))) AS parsed
+         |FROM corpus ORDER BY docno""".stripMargin,
+    // query-file parse: the expected constant table for the fixture XML
+    // (tag case-insensitivity, both feedback-doc forms, processor attrs)
+    "q_queryfile" ->
+      """SELECT * FROM (VALUES
+        |  ('t1', 'alpha beta', 0::BIGINT, -1::BIGINT, '', '', '', ''),
+        |  ('t2', 'gamma', 0::BIGINT, -1::BIGINT, '', '', 'pre.Clazz', 'post.Clazz'),
+        |  ('t3', 'delta', 2::BIGINT, 7::BIGINT, 'doc-00000001', 'true,false', '', '')
+        |) AS t(qid, "text", n_feedback, keep, fb_docnos, fb_rel, pre, post)
+        |ORDER BY qid""".stripMargin,
+    // run-file sink: trec_eval lines for the constant-score match-all
+    // query — score is the literal 1.0, runtag the default scorer name,
+    // rank = docno rank under the deterministic docid packing
+    "q_runfile" ->
+      s"""WITH $CorpusCte
+         |SELECT concat('t1 Q0 ', docno, ' ', rank, ' 1.0 bm25') AS line
+         |FROM (SELECT docno, row_number() OVER (ORDER BY docno) - 1 AS rank
+         |      FROM corpus)
+         |WHERE rank < 20 ORDER BY line""".stripMargin,
     // BPE-ish token budgeting: the same regex runs verbatim in both engines
     // (valid Java regex AND RE2)
     "q_token_count" ->
