@@ -643,16 +643,7 @@ object SparkEntry {
     // tag-strip/whitespace-collapse against a pure-SQL replay
     "q_trec_parse" -> ((s, dir) => {
       import s.implicits._
-      val rendered = corpus.Corpus.fromDocuments(s, dir)
-        .select($"docno",
-          (substring($"docno", 5, 8).cast("int") / 10).cast("int").as("f"),
-          concat(lit("<DOC>\n<DOCNO> "), $"docno",
-            lit(" </DOCNO>\n<TEXT>\n"), $"content",
-            lit("\n</TEXT>\n</DOC>")).as("r"))
-      rendered.groupBy($"f")
-        .agg(array_join(transform(
-          array_sort(collect_list(struct($"docno", $"r"))),
-          x => x.getField("r")), "\n").as("text"))
+      renderedTrecGroups(s, dir)
         .select($"text").as[String]
         .flatMap(t => corpus.Parsers.parseTrec(t))
         .toDF("docno", "parsed")
@@ -712,16 +703,7 @@ object SparkEntry {
     // oracle replay is the same corpus projection
     "q_codec_scan" -> ((s, dir) => {
       import s.implicits._
-      val rendered = corpus.Corpus.fromDocuments(s, dir)
-        .select($"docno",
-          (substring($"docno", 5, 8).cast("int") / 10).cast("int").as("f"),
-          concat(lit("<DOC>\n<DOCNO> "), $"docno",
-            lit(" </DOCNO>\n<TEXT>\n"), $"content",
-            lit("\n</TEXT>\n</DOC>")).as("r"))
-      val grouped = rendered.groupBy($"f")
-        .agg(array_join(transform(
-          array_sort(collect_list(struct($"docno", $"r"))),
-          x => x.getField("r")), "\n").as("text"))
+      val grouped = renderedTrecGroups(s, dir)
       val root =
         s"${Engine.workDir}/codec_scan_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
       grouped.where($"f" % 2 === 0).select($"text").repartition(4)
@@ -851,6 +833,26 @@ object SparkEntry {
     })
   )
 
+  /** TREC render of the corpus grouped into per-file texts (docno/10
+    * buckets, docno-sorted within a file) — the ONE home of the render
+    * format, consumed by both q_trec_parse (parse round trip) and
+    * q_codec_scan (compressed-scan round trip) so the two gate fixtures
+    * can never desynchronize.
+    */
+  private def renderedTrecGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    corpus.Corpus.fromDocuments(s, dir)
+      .select($"docno",
+        (substring($"docno", 5, 8).cast("int") / 10).cast("int").as("f"),
+        concat(lit("<DOC>\n<DOCNO> "), $"docno",
+          lit(" </DOCNO>\n<TEXT>\n"), $"content",
+          lit("\n</TEXT>\n</DOC>")).as("r"))
+      .groupBy($"f")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"docno", $"r"))),
+        x => x.getField("r")), "\n").as("text"))
+  }
+
   /** The certified tf derivation — posting blobs decoded to (term, docno,
     * tf) with the docno attached — shared by q_tf (the codec round-trip
     * row) and q_keywords so the two can never desynchronize.
@@ -875,17 +877,18 @@ object SparkEntry {
     * The verified pair graph is the one expensive prologue three gate
     * entries share (q_neardup, q_dup_clusters, q_curate), so it is
     * persisted under a content-fingerprinted root in the work dir (same
-    * atomic-publish + manifest machinery as the index stages) and memoized
-    * in-JVM: within one Verify/Bench process the shingle→LSH→verify pass
-    * runs at most once, and a second process against the same corpus reads
-    * the parquet instead of recomputing.
+    * atomic-publish + manifest machinery as the index stages): the
+    * shingle→LSH→verify pass runs once per corpus fingerprint; every call
+    * re-checks the fingerprint (cheap one-row agg), so an edited corpus
+    * invalidates the cache even within one JVM.
     */
-  private val neardupCache =
-    scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]()
-
   private def neardupPipeline(s: SparkSession,
-                              dir: String): (DataFrame, DataFrame) =
-    neardupCache.getOrElseUpdate(dir, {
+                              dir: String): (DataFrame, DataFrame) = {
+      // deliberately NO in-JVM memo of DataFrames: a dir-keyed memo would
+      // bypass the content fingerprint on later calls (stale pairs after a
+      // corpus edit) and pin plans to whichever SparkSession ran first.
+      // The fingerprint agg + manifest probe below cost ~0.2 s per call;
+      // the expensive shingle→LSH→verify pass is what the disk cache skips.
       import graft.index.Checkpoint
       val c = corpus.Corpus.fromDocuments(s, dir)
       val conf = s.sparkContext.hadoopConfiguration
@@ -917,7 +920,7 @@ object SparkEntry {
           Checkpoint.Manifest("neardup_pairs", fp, cfgId, 0L, 0L, Nil), conf)
       }
       (c, s.read.parquet(cacheDir))
-    })
+  }
 
   /** Standard-topic ranks under a named stock scorer. */
   private def stockRanks(s: SparkSession, dir: String, scorer: String): DataFrame =

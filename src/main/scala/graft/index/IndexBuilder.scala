@@ -41,10 +41,21 @@ object IndexBuilder {
     * expose `docno` (unique string key) and `content` columns — north-rule
     * corpus rows map 1:1 to reference documents (`FileParser.java:157-164`).
     */
-  def build(corpus: DataFrame, dir: String, cfg: IndexConfig,
+  def build(corpus: DataFrame, dir: String, cfg0: IndexConfig,
             verifySha: Boolean = false): BuiltIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // Resolve the docid fan-out BEFORE anything records cfg.id: with
+    // rangePartitions = 0 the ntile packing depends on the session's
+    // shuffle-partition conf, so the id must carry the RESOLVED value —
+    // a stage built under a different session conf then never passes for
+    // complete, and the "rebuilds mint byte-identical docids" contract
+    // holds per resolved fan-out (pin rangePartitions to make it hold
+    // across arbitrary sessions, as Engine.oracleIndex does).
+    val cfg =
+      if (cfg0.rangePartitions > 0) cfg0
+      else cfg0.copy(
+        rangePartitions = spark.sessionState.conf.numShufflePartitions)
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = fingerprint(corpus, cfg)
     val analyzer = new Analyzer(cfg.analyzer)
@@ -61,8 +72,7 @@ object IndexBuilder {
       val t0 = System.nanoTime()
       val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("tokenized_parts")
       val dlAcc = spark.sparkContext.collectionAccumulator[(Int, Long)]("tokenized_dl")
-      val parts = if (cfg.rangePartitions > 0) cfg.rangePartitions
-                  else spark.sessionState.conf.numShufflePartitions
+      val parts = cfg.rangePartitions // resolved at build entry
       // epoch-namespaced docids (streaming deltas) reserve bits 52+ for the
       // epoch, leaving 12 bits for the docno-range group id — a larger build
       // must fail loudly, never silently collide docids across batches
@@ -77,8 +87,11 @@ object IndexBuilder {
       // replay the packing with a row_number() window (q_postings_meta).
       val bounds = ntileBoundaries(
         corpus.select($"docno".cast("string")).as[String], parts)
-      val bBounds = spark.sparkContext.broadcast(bounds)
-      val grpU = udf((d: String) => grpOf(bBounds.value, d))
+      // boundary strings pre-encoded to UTF-8 once — grpOf probes them
+      // O(log parts) times per corpus row in the hottest build stage
+      val bBounds = spark.sparkContext.broadcast(
+        bounds.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val grpU = udf((d: String) => grpOfBytes(bBounds.value, d))
       // range-partition on the group id: equal keys can't straddle a
       // boundary, so every group is atomic in one task (idx needs no
       // cross-task offset), and sampling a uniform 0..parts-1 key lands
@@ -485,14 +498,21 @@ object IndexBuilder {
     * search) — the deterministic ntile group of `k` given boundaries from
     * [[ntileBoundaries]].
     */
-  private[index] def grpOf(bounds: Array[String], k: String): Int = {
+  private[index] def grpOf(bounds: Array[String], k: String): Int =
+    grpOfBytes(
+      bounds.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)), k)
+
+  /** [[grpOf]] over pre-encoded boundaries (the hot-path form: the build
+    * encodes the broadcast bounds once, not per probe per row).
+    */
+  private[index] def grpOfBytes(bounds: Array[Array[Byte]], k: String): Int = {
     val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var lo = 0
     var hi = bounds.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      val mb = bounds(mid).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      if (java.util.Arrays.compareUnsigned(mb, kb) <= 0) lo = mid + 1 else hi = mid
+      if (java.util.Arrays.compareUnsigned(bounds(mid), kb) <= 0) lo = mid + 1
+      else hi = mid
     }
     lo
   }

@@ -97,9 +97,17 @@ final class Searcher(val index: BuiltIndex,
   /** Top-k retrieval for a batch of topics. Default k mirrors the
     * reference's `returnedResultCount` (`LTRSettings.java:14`).
     */
+  // every topic-batch entry point: clause/weight state is keyed (qid,
+  // qidx), so two topics sharing a qid would silently blend their clause
+  // sets (maxOverlap, requireAll counts, weights) — fail loudly instead
+  private def requireDistinctQids(topics: Seq[Topic]): Unit =
+    require(topics.map(_.qid).distinct.size == topics.size,
+      s"topics must have distinct qids, got: ${topics.map(_.qid).mkString(", ")}")
+
   def search(topics: Seq[Topic], k: Int = 1000,
              scorerName: String = "bm25",
              pruning: Boolean = false): Dataset[RunLine] = {
+    requireDistinctQids(topics)
     // ≙ SimpleQueryParser over analyzed text: one SHOULD clause per token
     // occurrence, in token order (`BatchSearch.java:189-190,252`).
     val clauses = topics.flatMap { t =>
@@ -113,6 +121,7 @@ final class Searcher(val index: BuiltIndex,
   /** Conjunctive variant: only docs containing every analyzed query term. */
   def searchAnd(topics: Seq[Topic], k: Int = 1000,
                 scorerName: String = "bm25"): Dataset[RunLine] = {
+    requireDistinctQids(topics)
     val clauses = topics.flatMap { t =>
       analyzer.analyze(t.text).zipWithIndex.map { case (term, i) =>
         WeightedClause(t.qid, i, term, 1.0f)
@@ -198,13 +207,10 @@ final class Searcher(val index: BuiltIndex,
   def searchQuery(topics: Seq[Topic], k: Int = 1000,
                   scorerName: String = "bm25"): Dataset[RunLine] = {
     import BoolQuery._
-    // treeB is keyed by qid (last-wins): two topics sharing a qid would
-    // leave both topics' clauses covered by one surviving TreeSpec and
-    // silently mix their partials — fail loudly instead (the uncovered-qid
+    // treeB is keyed by qid (last-wins): colliding qids would leave both
+    // topics' clauses covered by one surviving TreeSpec (the uncovered-qid
     // check below cannot catch this case)
-    require(topics.map(_.qid).distinct.size == topics.size,
-      s"searchQuery topics must have distinct qids, got: " +
-        topics.map(_.qid).mkString(", "))
+    requireDistinctQids(topics)
     val wc = Seq.newBuilder[WeightedClause]
     val pc = Seq.newBuilder[PhraseClause]
     val ec = Seq.newBuilder[ExpansionClause]
@@ -995,6 +1001,7 @@ final class Searcher(val index: BuiltIndex,
     */
   def matchCounts(topics: Seq[Topic]): Map[String, Long] = {
     import spark.implicits._
+    requireDistinctQids(topics)
     val pairs = topics.flatMap(t =>
       analyzer.analyze(t.text).distinct.map(term => (t.qid, term)))
     if (pairs.isEmpty) return topics.map(_.qid -> 0L).toMap

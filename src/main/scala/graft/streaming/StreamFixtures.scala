@@ -9,21 +9,26 @@ import org.apache.spark.sql.functions._
   */
 object StreamFixtures {
 
-  /** Cache-root fingerprint: row count + an order-independent XOR of
-    * per-row xxhash64 digests over `keyCols`. Callers must include EVERY
-    * column the stream consumes. xxhash64 hashes each column value with
-    * its own length/type framing (no separator ambiguity) and avalanches
-    * to 64 bits, so the row-swap / compensating-edit collisions a summed
-    * crc32 admits (crc is linear) would have to collide in mixed 64-bit
-    * space; XOR (not sum) keeps the combine overflow-free under ANSI
-    * arithmetic, and the row count catches the duplicate-pair
-    * cancellation XOR alone would miss — collision-resistant enough for
-    * fixture caching, though not a cryptographic commitment.
+  /** Cache-root fingerprint: row count + an order-independent XOR and an
+    * exact decimal SUM of per-row xxhash64 digests over `keyCols`.
+    * Callers must include EVERY column the stream consumes. xxhash64
+    * hashes each column value with its own length/type framing (no
+    * separator ambiguity) and avalanches to 64 bits, so the row-swap /
+    * compensating-edit collisions a summed crc32 admits (crc is linear)
+    * would have to collide in mixed 64-bit space. XOR alone cancels
+    * duplicated PAIRS ({A,A} → {C,C} keeps count and XOR); the
+    * decimal(38,0) sum — exact and overflow-free under ANSI arithmetic to
+    * ~10^18 rows, unlike a bigint sum — catches those. Collision-resistant
+    * enough for fixture caching, though not a cryptographic commitment.
     */
   def fingerprint(df: DataFrame, keyCols: Seq[Column]): String = {
+    val h = xxhash64(keyCols: _*)
     val row = df.agg(count(lit(1)),
-      coalesce(bit_xor(xxhash64(keyCols: _*)), lit(0L))).head()
-    s"${row.getLong(0)}_${java.lang.Long.toHexString(row.getLong(1))}"
+      coalesce(bit_xor(h), lit(0L)),
+      coalesce(sum(h.cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+    s"${row.getLong(0)}_${java.lang.Long.toHexString(row.getLong(1))}_" +
+      row.getDecimal(2).toBigInteger.toString(16)
   }
 
   /** Write each batch as ONE parquet file `srcDir/batch_<i>.parquet` with

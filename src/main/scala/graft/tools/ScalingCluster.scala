@@ -103,6 +103,7 @@ object ScalingCluster {
         Corpus.fromLineitem(spark, sfDir)
           .where(pmod(crc32(col("docno")), lit(8)) === 0), 4)
       .repartition(cores * 4)
+    val nDd = ddCorpus.count() // before the timer: correctness input, not work
     val td0 = System.nanoTime()
     val sh = graft.ops.Dedup.shingles(ddCorpus, an, 3)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -113,6 +114,10 @@ object ScalingCluster {
       .where(col("keep")).count()
     val dedupSec = (System.nanoTime() - td0) / 1e9
     sh.unpersist()
+    // the leg is only valid if the CC result is right: exactly one kept
+    // representative per 4-replica clique
+    require(nKeep * 4 == nDd,
+      s"dedup/CC regression: kept $nKeep of $nDd docs (expected one per 4-clique)")
     require(executors() == workers,
       s"leg invalid: executor count changed to ${executors()} mid-leg")
     println(f"SCALING-CLUSTER workers=$workers cores=$cores n=$n " +
