@@ -125,8 +125,17 @@ object IndexBuilder {
             }
             h
           }
+          private var prevDocno: String = null
           def next(): TokenizedDoc = {
             val (docno, content, g) = it.next()
+            // docno is the unique corpus key (class scaladoc): duplicates
+            // would make the rank-based docid packing oracle-ambiguous.
+            // The deterministic grouping puts equal docnos in ONE group
+            // (grp is a pure function of docno) and the sort makes them
+            // adjacent — this O(1) check is therefore complete.
+            require(docno != prevDocno,
+              s"duplicate docno in corpus: $docno")
+            prevDocno = docno
             if (g != curGrp) {
               closeGrp(); curGrp = g; idx = 0L; gRows = 0L; gBytes = 0L
             }

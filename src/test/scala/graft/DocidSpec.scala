@@ -63,6 +63,31 @@ class DocidSpec extends AnyFunSuite {
     assert(b === want) // second build (fresh dir, same input): identical ids
   }
 
+  test("duplicate docnos fail the build loudly (rank packing would be ambiguous)") {
+    import spark.implicits._
+    val docs = Seq(("dup", "x"), ("dup", "y"), ("other", "z"))
+    val cfg = IndexConfig(analyzer = AnalyzerConfig(), rangePartitions = 2,
+      groupShift = 1, mergeShift = 1, buckets = 4)
+    val e = intercept[org.apache.spark.SparkException] {
+      IndexBuilder.build(docs.toDF("docno", "content"),
+        TestSpark.tmpDir("docid-dup"), cfg)
+    }
+    assert(e.getMessage.contains("duplicate docno")
+      || Option(e.getCause).exists(_.getMessage.contains("duplicate docno")))
+  }
+
+  test("epoch-namespaced docids keep the closed form in the low bits") {
+    import spark.implicits._
+    val docs = (0 until 9).map(i => (s"e$i", s"tok$i"))
+    val cfg = IndexConfig(analyzer = AnalyzerConfig(), rangePartitions = 2,
+      groupShift = 1, mergeShift = 1, buckets = 4, docidEpoch = 3)
+    val got = IndexBuilder.build(docs.toDF("docno", "content"),
+        TestSpark.tmpDir("docid-epoch"), cfg)
+      .docs.select("docno", "docid").as[(String, Long)].collect().toMap
+    val base = expectedDocids(docs.map(_._1), 2)
+    assert(got === base.map { case (d, id) => d -> ((3L << 52) | id) })
+  }
+
   test("more groups than docs: trailing groups stay empty, ids still closed-form") {
     import spark.implicits._
     val docs = Seq(("a", "x"), ("b", "y"), ("c", "z"))
