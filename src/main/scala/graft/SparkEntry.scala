@@ -901,7 +901,8 @@ object SparkEntry {
         coalesce(bit_xor(xxhash64(col("docno"), col("content"))), lit(0L)))
         .head()
       val fp = s"n=${row.getLong(0)};h=${java.lang.Long.toHexString(row.getLong(1))}"
-      val cfgId = "neardup-v1;sh=3;k=12;rpb=2;cap=0;keep=2i>=u"
+      // v2: Carter-Wegman minhash (1 md5/shingle) replaced per-k md5s
+      val cfgId = "neardup-v2;sh=3;k=12;rpb=2;cap=0;keep=2i>=u"
       val cacheDir =
         s"${Engine.workDir}/neardup_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
       if (!Checkpoint.isComplete(cacheDir, fp, cfgId, conf)) {
@@ -1142,13 +1143,19 @@ object SparkEntry {
 
   private val MinHashCte =
     """mh AS (
-      |  SELECT docno, idx.i, min(md5(concat(idx.i, ':', shingle))) AS minv
-      |  FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS i) idx
+      |  SELECT docno, idx.i,
+      |         min(((2 * idx.i + 1) * h1 + idx.i * h2) % 2147483647) AS minv
+      |  FROM (SELECT docno,
+      |               ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+      |               ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      |        FROM sh) s
+      |  CROSS JOIN (SELECT unnest(range(0, 12)) AS i) idx
       |  GROUP BY docno, idx.i
       |),
       |bands AS (
       |  SELECT docno,
-      |         md5(concat((i // 2), '|', string_agg(minv, ',' ORDER BY i))) AS band_key
+      |         md5(concat((i // 2), '|',
+      |             string_agg(CAST(minv AS VARCHAR), ',' ORDER BY i))) AS band_key
       |  FROM mh GROUP BY docno, (i // 2)
       |),
       |cand AS (

@@ -41,12 +41,25 @@ object Dedup {
 
   /** MinHash signatures: k md5-keyed hash functions, min per (doc, i). */
   def minHashSignatures(shingleDF: DataFrame, k: Int): DataFrame = {
+    // ONE md5 per shingle, not k: the digest's two 32-bit halves seed a
+    // Carter-Wegman family h_i = ((2i+1)·h1 + i·h2) mod (2^31 − 1) — the
+    // standard universal-hashing construction for MinHash. Products stay
+    // ≤ ~2^37, so the arithmetic is overflow-free under ANSI mode and
+    // bit-identical in DuckDB's replay (MinHashCte). At 100 TB the md5
+    // over every (shingle × k) was the dominant dedup cost; this is a k×
+    // reduction of it.
     val idx = explode(sequence(lit(0), lit(k - 1))).as("i")
-    shingleDF.select(col("docno"), col("shingle"), idx)
+    shingleDF
+      .select(col("docno"), md5(col("shingle")).as("md"))
+      .select(col("docno"),
+        conv(substring(col("md"), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(col("md"), 9, 8), 16, 10).cast("long").as("h2"))
+      .select(col("docno"), col("h1"), col("h2"), idx)
       .select(col("docno"), col("i"),
-        md5(concat(col("i"), lit(":"), col("shingle"))).as("h"))
+        (((lit(2) * col("i") + 1) * col("h1") + col("i") * col("h2"))
+          % 2147483647L).as("minv"))
       .groupBy(col("docno"), col("i"))
-      .agg(min(col("h")).as("minv"))
+      .agg(min(col("minv")).as("minv"))
   }
 
   /** LSH band keys: bands of `rowsPerBand` signature rows hashed together.
@@ -58,7 +71,7 @@ object Dedup {
       .groupBy(col("docno"), col("band"))
       .agg(md5(concat(col("band"), lit("|"),
         array_join(transform(array_sort(collect_list(struct(col("i"), col("minv")))),
-          x => x.getField("minv")), ","))).as("band_key"))
+          x => x.getField("minv").cast("string")), ","))).as("band_key"))
   }
 
   /** Candidate near-duplicate pairs: docs sharing any band bucket.
