@@ -136,19 +136,22 @@ object Dedup {
     */
   def embeddingNearDups(vectors: DataFrame, minCos: Double,
                         nPlanes: Int = 8): DataFrame = {
+    // per-vector norm computed ONCE here, not per candidate pair
     val vb = vectors.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", Knn.signBucket(col("embedding"), nPlanes))
-    val probes = vb.select(col("vec_id"), col("embedding"),
+      .withColumn("nrm", Knn.norm(col("embedding")))
+    val probes = vb.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
         .map(f => col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
     val a = probes.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = vb.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        Knn.cosine(col("emb_a"), col("emb_b")).as("cos"))
+        Knn.cosineFromParts(Knn.dotCol(col("emb_a"), col("emb_b")),
+          col("nrm_a"), col("nrm_b")).as("cos"))
       .where(col("cos") >= minCos)
       .select("vec_a", "vec_b")
       .distinct() // a pair can share several probe buckets

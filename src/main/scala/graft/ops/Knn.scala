@@ -28,12 +28,26 @@ import org.apache.spark.sql.functions._
 object Knn {
 
   /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  private[ops] def dotCol(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm of an embedding column. */
+  def norm(x: Column): Column = sqrt(dotCol(x, x))
+
+  def cosine(a: Column, b: Column): Column =
+    cosineFromParts(dotCol(a, b), norm(a), norm(b))
+
+  /** Cosine from a precomputed pair dot and per-side norms — the form
+    * every candidate JOIN uses: a vector's self-norm is computed once per
+    * vector instead of once per pair (≈3× less arithmetic on the pair
+    * stream). The expression is the same `dot / (√(a·a) · √(b·b))` as
+    * [[cosine]] with identical operation order, so results are
+    * bit-identical and the DuckDB `list_cosine_similarity` oracles are
+    * unaffected.
+    */
+  def cosineFromParts(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
 
   /** Rank the (qid, vec_id, cos) candidate stream to 0-based top-k ranks
     * per qid, order (cos desc, vec_id asc), via the bounded heap.
@@ -59,10 +73,12 @@ object Knn {
     * self-matches excluded.
     */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(queries))
+    val scored = vectors.withColumn("vn", norm(col("embedding")))
+      .crossJoin(broadcast(queries.withColumn("qn", norm(col("qv")))))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("qv"), col("embedding")).as("cos"))
+        cosineFromParts(dotCol(col("qv"), col("embedding")),
+          col("qn"), col("vn")).as("cos"))
     rankTopK(scored, k)
   }
 
@@ -97,16 +113,19 @@ object Knn {
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8,
               multiProbe: Boolean = true): DataFrame = {
     val vb = vectors.withColumn("bucket", signBucket(col("embedding"), nPlanes))
+      .withColumn("vn", norm(col("embedding")))
     val qb0 = queries.withColumn("bucket0", signBucket(col("qv"), nPlanes))
+      .withColumn("qn", norm(col("qv")))
     val qb =
       if (!multiProbe) qb0.withColumn("bucket", col("bucket0")).drop("bucket0")
-      else qb0.select(col("qid"), col("qv"),
+      else qb0.select(col("qid"), col("qv"), col("qn"),
         explode(array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
           .map(f => col("bucket0").bitwiseXOR(f)): _*)).as("bucket"))
     val scored = vb.join(broadcast(qb), Seq("bucket"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("qv"), col("embedding")).as("cos"))
+        cosineFromParts(dotCol(col("qv"), col("embedding")),
+          col("qn"), col("vn")).as("cos"))
     rankTopK(scored, k)
   }
 
@@ -231,10 +250,12 @@ object Knn {
       nProbe)
       .select(col("qid"), col("vec_id").as("cid"))
       .join(queries, "qid")
-    val scored = va.join(broadcast(probes), Seq("cid"))
+    val scored = va.withColumn("vn", norm(col("embedding")))
+      .join(broadcast(probes.withColumn("qn", norm(col("qv")))), Seq("cid"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("qv"), col("embedding")).as("cos"))
+        cosineFromParts(dotCol(col("qv"), col("embedding")),
+          col("qn"), col("vn")).as("cos"))
     rankTopK(scored, k)
   }
 }
