@@ -79,7 +79,13 @@ object Bench {
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        // a failed entry must not kill the leg, but it must be VISIBLE —
+        // a swallowed exception would otherwise publish its fail-fast
+        // elapsed time as a legitimate (and flattering) measurement
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> secs(t0)
       }
     val cold = pass()
