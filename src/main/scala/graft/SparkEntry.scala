@@ -712,7 +712,7 @@ object SparkEntry {
       grouped.where($"f" % 2 === 1).select($"text").repartition(4)
         .write.mode("overwrite").option("compression", "bzip2")
         .text(s"$root/bz")
-      corpus.Parsers.readTrecCorpus(s, s"$root/*")
+      corpus.Parsers.readTrecCorpus(s, root, recursive = true)
         .withColumnRenamed("content", "parsed")
         .orderBy("docno")
     }),

@@ -202,9 +202,15 @@ object Parsers {
     * `FileParser.java:85-98`).
     */
   def readTrecCorpus(spark: SparkSession, path: String,
-                     fieldsToIndex: Seq[String] = Nil): DataFrame = {
+                     fieldsToIndex: Seq[String] = Nil,
+                     recursive: Boolean = false): DataFrame = {
     import spark.implicits._
-    spark.read.option("wholetext", "true").textFile(path)
+    // recursive = walk the whole tree under `path` (preferred over a
+    // `path/*` glob: Spark's listing probes the literal glob string first
+    // and logs a spurious handled FileNotFoundException per query)
+    spark.read.option("wholetext", "true")
+      .option("recursiveFileLookup", recursive.toString)
+      .textFile(path)
       .flatMap(parseTrec(_, fieldsToIndex))
       .toDF("docno", "content")
   }
