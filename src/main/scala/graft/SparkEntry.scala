@@ -884,43 +884,39 @@ object SparkEntry {
     */
   private def neardupPipeline(s: SparkSession,
                               dir: String): (DataFrame, DataFrame) = {
-      // deliberately NO in-JVM memo of DataFrames: a dir-keyed memo would
-      // bypass the content fingerprint on later calls (stale pairs after a
-      // corpus edit) and pin plans to whichever SparkSession ran first.
-      // The fingerprint agg + manifest probe below cost ~0.2 s per call;
-      // the expensive shingle→LSH→verify pass is what the disk cache skips.
-      import graft.index.Checkpoint
-      val c = corpus.Corpus.fromDocuments(s, dir)
-      val conf = s.sparkContext.hadoopConfiguration
-      // content-sensitive fingerprint (unlike the index stages' docno-only
-      // resume key): edited content must invalidate cached pairs. XOR of
-      // 64-bit hashes — order-independent and overflow-free under ANSI
-      // arithmetic at any row count (xxhash64 frames each column itself,
-      // so no separator ambiguity)
-      val row = c.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("docno"), col("content"))), lit(0L)))
-        .head()
-      val fp = s"n=${row.getLong(0)};h=${java.lang.Long.toHexString(row.getLong(1))}"
-      // v2: Carter-Wegman minhash (1 md5/shingle) replaced per-k md5s
-      val cfgId = "neardup-v2;sh=3;k=12;rpb=2;cap=0;keep=2i>=u"
-      val cacheDir =
-        s"${Engine.workDir}/neardup_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
-      if (!Checkpoint.isComplete(cacheDir, fp, cfgId, conf)) {
-        val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
-        // materialized once: the shingle plan is referenced by the
-        // signature groupBy AND both sides of the Jaccard verify join, and
-        // lazy evaluation would re-run the corpus-wide shingling per use
-        val sh = ops.Dedup.shingles(c, an, 3).localCheckpoint()
-        val pairs = ops.Dedup.verifyJaccard(
-            ops.Dedup.minHashCandidatesFrom(sh, 12, 2, maxBucketSize = 0), sh)
-          .where(col("inter") * 2 >= col("uni"))
-        Checkpoint.atomically(cacheDir, conf) { tmp =>
-          pairs.write.mode("overwrite").parquet(tmp)
-        }
-        Checkpoint.writeManifest(cacheDir,
-          Checkpoint.Manifest("neardup_pairs", fp, cfgId, 0L, 0L, Nil), conf)
+    // deliberately NO in-JVM memo of DataFrames: a dir-keyed memo would
+    // bypass the content fingerprint on later calls (stale pairs after a
+    // corpus edit) and pin plans to whichever SparkSession ran first.
+    // The fingerprint agg + manifest probe below cost ~0.2 s per call;
+    // the expensive shingle→LSH→verify pass is what the disk cache skips.
+    import graft.index.Checkpoint
+    val c = corpus.Corpus.fromDocuments(s, dir)
+    val conf = s.sparkContext.hadoopConfiguration
+    // content-sensitive fingerprint (unlike the index stages' docno-only
+    // resume key): edited content must invalidate cached pairs — the
+    // shared stream-fixture digest (count + xxhash64 XOR + decimal sum)
+    val fp = streaming.StreamFixtures.fingerprint(
+      c, Seq(col("docno"), col("content")))
+    // v2: Carter-Wegman minhash (1 md5/shingle) replaced per-k md5s
+    val cfgId = "neardup-v2;sh=3;k=12;rpb=2;cap=0;keep=2i>=u"
+    val cacheDir =
+      s"${Engine.workDir}/neardup_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    if (!Checkpoint.isComplete(cacheDir, fp, cfgId, conf)) {
+      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+      // materialized once: the shingle plan is referenced by the
+      // signature groupBy AND both sides of the Jaccard verify join, and
+      // lazy evaluation would re-run the corpus-wide shingling per use
+      val sh = ops.Dedup.shingles(c, an, 3).localCheckpoint()
+      val pairs = ops.Dedup.verifyJaccard(
+          ops.Dedup.minHashCandidatesFrom(sh, 12, 2, maxBucketSize = 0), sh)
+        .where(col("inter") * 2 >= col("uni"))
+      Checkpoint.atomically(cacheDir, conf) { tmp =>
+        pairs.write.mode("overwrite").parquet(tmp)
       }
-      (c, s.read.parquet(cacheDir))
+      Checkpoint.writeManifest(cacheDir,
+        Checkpoint.Manifest("neardup_pairs", fp, cfgId, 0L, 0L, Nil), conf)
+    }
+    (c, s.read.parquet(cacheDir))
   }
 
   /** Standard-topic ranks under a named stock scorer. */
@@ -979,20 +975,14 @@ object SparkEntry {
     " 1,000 2-3-4 a.b2.c.d x-1 i.b.m. at&t o'brien a.b.c 3.14" +
       " bob@mail.example.com x_9 12/25/2021 app2.v1,beta plain-split"
   /** The engine's classic alternation specialized to ASCII lowercase for
-    * RE2 (`analysis.ClassicLikeTokenizer` pattern, same branch order).
+    * RE2 — the SAME grammar builder the tokenizer compiles
+    * (`analysis.ClassicLikeTokenizer.grammar`), so the oracle's pattern
+    * can never drift from the engine's; cj = None because RE2 lacks the
+    * Java \uXXXX class syntax (the corpus is verified pure ASCII).
     */
-  private val ClassicSqlPattern: String = {
-    val alnum = "[a-z0-9]+"
-    val hasdigit = "[a-z0-9]*[0-9][a-z0-9]*"
-    val p = "[_\\-/.,]"
-    val num = s"(?:$alnum$p)?$hasdigit(?:(?:$p$alnum)?$p$hasdigit)*(?:$p$alnum)?"
-    val email = "[a-z0-9]+(?:[._\\-][a-z0-9]+)*@[a-z0-9]+(?:[.\\-][a-z0-9]+)+"
-    val host = "[a-z0-9]+(?:\\.[a-z0-9]+)+"
-    val acronym = "[a-z]\\.(?:[a-z]\\.)+"
-    val company = "[a-z]+[&@][a-z]+"
-    val apostrophe = "[a-z]+(?:'[a-z]+)+"
-    Seq(email, acronym, num, host, company, apostrophe, alnum).mkString("|")
-  }
+  private val ClassicSqlPattern: String =
+    graft.analysis.ClassicLikeTokenizer.grammar(
+      "[a-z]", "[0-9]", "[a-z0-9]", None)
 
   /** Topics for the exact-phrase gate entry: a pure phrase query and a
     * phrase mixed with a loose OR term.

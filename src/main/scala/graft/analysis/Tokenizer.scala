@@ -105,16 +105,19 @@ object ClassicLikeTokenizer {
   /** The ordered alternation (leftmost-FIRST; see class scaladoc,
     * deviation 1) — email | acronym | num | host | company | apostrophe |
     * alphanum | cj — parameterized over the LETTER / DIGIT / ALPHANUM
-    * character classes so the same grammar compiles once with the Unicode
-    * classes and once ASCII-specialized (the pure-ASCII fast path).
-    * COMPANY takes exactly ONE joint, like the grammar's
-    * `{ALPHA} ("&"|"@") {ALPHA}` — "at&t&x" is "at&t" + "x". NUM is the
-    * factored closed form `[A P] H ((P A)? P H)* [P A]` of the grammar's
-    * number forms ("1,000", "2-3-4", "a-1-b"; H = digit-bearing segment,
-    * P = [_\-/.,]) — a documented SUPERSET of the six grammar
-    * alternatives (class scaladoc, deviation 3).
+    * character classes (and an optional CJ class) so ONE grammar builder
+    * serves the Unicode compilation, the ASCII fast-path compilation, AND
+    * the DuckDB oracle's RE2 replay (SparkEntry.ClassicSqlPattern — RE2
+    * has no \uXXXX class syntax, so the oracle passes cj = None; the
+    * corpus is verified pure ASCII). COMPANY takes exactly ONE joint, like
+    * the grammar's `{ALPHA} ("&"|"@") {ALPHA}` — "at&t&x" is "at&t" +
+    * "x". NUM is the factored closed form `[A P] H ((P A)? P H)* [P A]`
+    * of the grammar's number forms ("1,000", "2-3-4", "a-1-b"; H =
+    * digit-bearing segment, P = [_\-/.,]) — a documented SUPERSET of the
+    * six grammar alternatives (class scaladoc, deviation 3).
     */
-  private def grammar(l: String, d: String, an: String): String = {
+  private[graft] def grammar(l: String, d: String, an: String,
+                             cj: Option[String]): String = {
     val email = s"$an+(?:[._\\-]$an+)*@$an+(?:[.\\-]$an+)+"
     val host = s"$an+(?:\\.$an+)+"
     val acronym = s"$l\\.(?:$l\\.)+"
@@ -125,17 +128,18 @@ object ClassicLikeTokenizer {
     val p = """[_\-/.,]"""
     val num =
       s"(?:$alphanum$p)?$hasdigit(?:(?:$p$alphanum)?$p$hasdigit)*(?:$p$alphanum)?"
-    val cj = s"[$CJRanges]"
-    Seq(email, acronym, num, host, company, apostrophe, alphanum, cj)
+    (Seq(email, acronym, num, host, company, apostrophe, alphanum) ++ cj)
       .mkString("|")
   }
 
   // LETTER = [:letter:] minus CJ; DIGIT = [:digit:] (Unicode Nd)
   private val L = s"[\\p{L}&&[^$CJRanges]]"
   private[analysis] val TOKEN: Pattern =
-    Pattern.compile(grammar(L, """\p{Nd}""", s"(?:$L|\\p{Nd})"))
+    Pattern.compile(
+      grammar(L, """\p{Nd}""", s"(?:$L|\\p{Nd})", Some(s"[$CJRanges]")))
+  // the ASCII compilation omits the CJ branch: ASCII text can't match it
   private[analysis] val AsciiTOKEN: Pattern =
-    Pattern.compile(grammar("[a-zA-Z]", "[0-9]", "[a-zA-Z0-9]"))
+    Pattern.compile(grammar("[a-zA-Z]", "[0-9]", "[a-zA-Z0-9]", None))
 
   private[analysis] def isAscii(s: String): Boolean = {
     var i = 0
