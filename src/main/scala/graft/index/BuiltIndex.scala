@@ -40,10 +40,31 @@ class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig)
     val r = spark.read.parquet(s"$dir/$StatsDir").head()
     StatsRow(r.getAs[Long]("max_doc"), r.getAs[Long]("sum_total_term_freq"))
   }
+
+  /** Ascending grp partition values of the docs table, read from the
+    * directory listing alone (driver-side metadata, no Spark job). grp is
+    * the docid's high bits (`docid >> (groupShift + mergeShift)` — the
+    * same derivation the docno-attach join prunes on), so ascending grp
+    * values are disjoint ascending docid ranges: the invariant the
+    * searcher's k-bounded match-all complement scan terminates on.
+    */
+  def docGrps: Seq[Long] = BuiltIndex.listGrps(spark, s"$dir/$DocsDir")
 }
 
 object BuiltIndex {
   private val PropsFile = IndexLayout.PropsFile
+
+  /** grp partition values under one docs directory, sorted ascending. */
+  private[graft] def listGrps(spark: SparkSession, docsDir: String): Seq[Long] = {
+    val p = new Path(docsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("grp="))
+      .map(_.stripPrefix("grp=").toLong)
+      .toSeq.sorted
+  }
 
   def writeProps(spark: SparkSession, dir: String, cfg: IndexConfig): Unit = {
     val p = new Properties()

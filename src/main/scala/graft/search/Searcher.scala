@@ -86,8 +86,7 @@ final case class BlendedClause(qid: String, qidx: Int,
   * Query analysis reuses the index's persisted analyzer config, ruling out
   * the reference's possible index/query analyzer mismatch by construction.
   */
-final class Searcher(val index: BuiltIndex,
-                     maxComplementDocs: Long = Searcher.DefaultMaxComplementDocs) {
+final class Searcher(val index: BuiltIndex) {
   private val spark: SparkSession = index.spark
   private val analyzer = new Analyzer(index.cfg.analyzer)
   // term → Some((df, cf)) | None for terms absent from the index
@@ -363,10 +362,12 @@ final class Searcher(val index: BuiltIndex,
     * [[BoolQuery.TreeSpec]], which decides match + score recursively —
     * nested groups, per-node coord, MUST_NOT subtrees, and match-all
     * constants included. Queries whose tree matches a leafless document
-    * (pure negation, explicit `*`) get the complement docs appended from a
-    * doc-table anti-join at the empty-document constant score — that full
-    * corpus tail is what the match-all semantics genuinely mean. Tree mode
-    * requires `mode = "or"` and no `negTerms` (the tree carries its own
+    * (pure negation, explicit `*`) get the complement docs appended at the
+    * empty-document constant score via [[complementTail]] — a k-bounded
+    * early-terminating scan of the grp-partitioned doc table in ascending
+    * docid order (constant score + docid-asc tie-break mean only the k
+    * smallest surviving docids can ever rank). Tree mode requires
+    * `mode = "or"` and no `negTerms` (the tree carries its own
     * negations), and disables WAND pruning.
     */
   def searchClauses(clauses: Seq[WeightedClause], k: Int = 1000,
@@ -814,36 +815,14 @@ final class Searcher(val index: BuiltIndex,
     // Match-all complement (tree mode): a query whose tree matches a
     // document containing NO query leaf (pure negation, explicit `*`)
     // semantically matches the whole corpus outside its candidate stream —
-    // append those docs at the empty-document constant via one doc-table
-    // anti-join (columnar docid-only scan; the full-corpus tail is what
-    // the match-all wrap genuinely means, so the cost is inherent).
+    // append those docs at the empty-document constant. complementTail
+    // bounds the semantically-full-corpus tail to the k smallest surviving
+    // docids per qid (all complement rows tie, tie-break is docid asc), so
+    // a batch of pure-negation topics at 10^12 docs costs O(k) rows per
+    // topic, not N corpus scans.
     val scoresWithComplement: Dataset[(String, Long, Float)] =
       if (complementQids.isEmpty) scores
-      else {
-        // Scale guard: each complement qid schedules a full docid-column
-        // scan — semantically inherent to the match-all wrap, but a batch
-        // of careless pure-negation topics at 10^12 docs must fail loudly
-        // instead of quietly queueing N corpus scans. Raise the cap (or
-        // use a MUST_NOT clause / searchClauses negTerms, which anti-join
-        // only the negated postings) when the tail is genuinely wanted.
-        val nDocs = index.stats.max_doc
-        require(nDocs <= maxComplementDocs,
-          s"match-all complement over $nDocs docs for ${complementQids.size} " +
-            s"pure-negation/match-all topic(s) exceeds maxComplementDocs=" +
-            s"$maxComplementDocs; raise the Searcher cap to opt in, or " +
-            "express hard exclusion as MUST_NOT terms")
-        // candidates = every (qid, doc) that had ANY leaf partial — the
-        // evaluated stream pre-NaN-drop, so eval-rejected docs (e.g. a doc
-        // holding only the negated term) stay excluded from the complement
-        val cands = evaluated.map(t => (t._1, t._2)).toDF("qid", "docid")
-        val complement = index.docs.select(col("docid"))
-          .crossJoin(complementQids.toDF("qid", "cscore"))
-          .join(cands, Seq("qid", "docid"), "left_anti")
-          .select(col("qid"), col("docid"), col("cscore"))
-          .as[(String, Long, Float)]
-          .filter(t => excluded.get(t._1).forall(!_.contains(t._2)))
-        scores union complement
-      }
+      else scores union complementTail(complementQids, evaluated, excluded, k)
 
     // MUST_NOT terms (a true sibling MUST_NOT clause in one BooleanQuery —
     // the programmatic hard exclusion, unlike SimpleQueryParser's `-`
@@ -1028,6 +1007,81 @@ final class Searcher(val index: BuiltIndex,
     topics.map(t => t.qid -> counts.getOrElse(t.qid, 0L)).toMap
   }
 
+  /** Grp partitions scanned by the last [[complementTail]] call — an
+    * observability/spec probe (BoolQuerySpec asserts the early stop), not
+    * part of the search contract.
+    */
+  @volatile var lastComplementGrpsScanned: Int = 0
+
+  /** K-bounded match-all complement (pure negation, explicit `*`). Every
+    * corpus doc outside the query's candidate stream matches at the
+    * constant empty-document score, and the collector breaks score ties by
+    * docid asc — so of the (semantically full-corpus) complement, only the
+    * k smallest surviving docids per qid can ever reach the top-k. The
+    * docs table is grp-partitioned with grp = the docid's high bits, so
+    * scanning grp partitions in ascending value order visits disjoint
+    * ascending docid ranges: batches double until every complement qid
+    * holds k survivors, then the scan stops. Work is O(k) result rows per
+    * qid plus the prefix of partitions actually read (partition-pruned via
+    * the grp predicate) — replaces round 4's maxComplementDocs
+    * fail-loudly cap with the bounded scan the cap was guarding against
+    * needing. Driver state stays ≤ k docids per complement qid, the same
+    * magnitude the final collector returns.
+    *
+    * `evaluated` is the pre-NaN-drop candidate stream: eval-rejected docs
+    * (e.g. a doc holding only the negated term) must stay excluded from
+    * the complement, and its localCheckpoint upstream keeps the repeated
+    * anti-joins from recomputing the postings decode per batch.
+    */
+  private def complementTail(
+      complementQids: Seq[(String, Float)],
+      evaluated: Dataset[(String, Long, Float)],
+      excluded: Map[String, Set[Long]],
+      k: Int): Dataset[(String, Long, Float)] = {
+    import spark.implicits._
+    val grps = index.docGrps
+    val cands = evaluated.map(t => (t._1, t._2)).toDF("qid", "docid")
+    val acc = scala.collection.mutable.LinkedHashMap(
+      complementQids.map { case (q, s) => q -> (s, Vector.empty[Long]) }: _*)
+    // constant score per qid → TopKAgg's (score desc, docid asc) order is
+    // exactly the docid-asc min-k this tail needs, map-side bounded
+    val agg = new TopKAgg(k, implicitly[Encoder[Seq[(Long, Float)]]],
+      implicitly[Encoder[Seq[(Long, Float)]]])
+    val excl = excluded
+    var idx = 0
+    var batch = 1
+    while (idx < grps.length && acc.values.exists(_._2.length < k)) {
+      val need = acc.iterator.collect {
+        case (q, (s, got)) if got.length < k => (q, s)
+      }.toSeq
+      val gs = grps.slice(idx, idx + batch)
+      idx += gs.length
+      batch *= 2
+      val got = index.docs
+        .where(col("grp").isin(gs: _*))
+        .select(col("docid"))
+        .crossJoin(need.toDF("qid", "cscore"))
+        .join(cands, Seq("qid", "docid"), "left_anti")
+        .select(col("qid"), col("docid"), col("cscore"))
+        .as[(String, Long, Float)]
+        .filter(t => excl.get(t._1).forall(!_.contains(t._2)))
+        .groupByKey(_._1)
+        .agg(agg.toColumn)
+        .collect()
+      got.foreach { case (q, hits) =>
+        val (s, have) = acc(q)
+        // batches ascend in docid and each batch's hits arrive docid-asc,
+        // so appending keeps the global docid order; cap at k
+        acc(q) = (s, (have ++ hits.iterator.map(_._1)).take(k))
+      }
+    }
+    lastComplementGrpsScanned = idx
+    val rows = acc.iterator.flatMap { case (q, (s, ds)) =>
+      ds.iterator.map(d => (q, d, s))
+    }.toSeq
+    spark.createDataset(rows)
+  }
+
   /** Paged interactive search (≙ the SearchFiles demo's 5-page prefetch +
     * re-search when paging past it, `SearchFiles.java:140-233`): prefetch
     * 5 pages, or exactly as many as the requested page needs.
@@ -1049,17 +1103,6 @@ final class Searcher(val index: BuiltIndex,
   * buffers merge associatively (map-side combine), final order is
   * (score desc, docid asc).
   */
-object Searcher {
-  /** Ceiling on corpus size for the match-all complement tail (pure
-    * negations, explicit `*`): above this, a tree query that would append
-    * the whole corpus at the constant score throws instead of scheduling a
-    * full scan per topic. 10M docs ≈ a few seconds of columnar docid scan
-    * on one executor — cheap enough to allow silently; a 10^12-doc corpus
-    * is three orders past it and must be an explicit opt-in.
-    */
-  val DefaultMaxComplementDocs: Long = 10L * 1000 * 1000
-}
-
 final class TopKAgg(k: Int,
                     bufEnc: Encoder[Seq[(Long, Float)]],
                     outEnc: Encoder[Seq[(Long, Float)]])

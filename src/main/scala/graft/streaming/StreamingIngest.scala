@@ -156,6 +156,12 @@ final class UnionIndex(spark0: SparkSession, val dirs: Seq[String], cfg0: IndexC
     dirs.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
 
   override def docs: DataFrame = unioned(DocsDir)
+  // deltas mint docids in disjoint epochs, but distinct guards the case of
+  // two deltas sharing a grp high-bits value: the batched complement scan
+  // only needs each grp listed once (isin reads every branch's partition)
+  override def docGrps: Seq[Long] =
+    dirs.flatMap(d => BuiltIndex.listGrps(spark, s"$d/$DocsDir"))
+      .distinct.sorted
   override def postings: DataFrame = unioned(PostingsDir)
   override def vocab: DataFrame = unioned(VocabDir)
   override def termStats: DataFrame =

@@ -180,17 +180,31 @@ class BoolQuerySpec extends AnyFunSuite {
     assert(e.getMessage.contains("distinct qids"))
   }
 
-  test("searchQuery: match-all complement is capped by maxComplementDocs") {
-    // 4-doc index, cap at 2: a pure negation (full-corpus complement tail)
-    // must fail loudly instead of scheduling the scan …
-    val capped = new Searcher(searcher.index, maxComplementDocs = 2)
-    val e = intercept[IllegalArgumentException] {
-      capped.searchQuery(Seq(Topic("1", "-alpha")), 10).collect()
-    }
-    assert(e.getMessage.contains("maxComplementDocs"))
-    // … while complement-free queries are untouched by the cap
-    val ok = capped.searchQuery(Seq(Topic("1", "alpha + beta")), 10).collect()
-    assert(ok.map(_.docno).toSet == Set("s-1", "s-2"))
+  test("searchQuery: match-all complement scans grp partitions k-bounded") {
+    import spark.implicits._
+    // 16 docs over 8 grp partitions (deterministic ntile packing: docid
+    // ascending = docno ascending, 2 docs per grp)
+    val corpus = (1 to 16).map(i => f"c-$i%02d" -> f"term$i%02d filler")
+      .toDF("docno", "content")
+    val idx = IndexBuilder.build(corpus, TestSpark.tmpDir("boolq-comp"),
+      IndexConfig(analyzer = AnalyzerConfig(), rangePartitions = 8))
+    val s = new Searcher(idx)
+    assert(idx.docGrps.length == 8)
+    // k=3 pure negation: all complement rows tie at the constant score with
+    // docid-asc tie-break, so the doubling batch scan stops after 3 of the
+    // 8 partitions (1+2) — the rest of the corpus is never read
+    val got = s.searchQuery(Seq(Topic("1", "-term09")), 3)
+      .collect().sortBy(_.rank)
+    assert(got.map(_.docno).toSeq == Seq("c-01", "c-02", "c-03"))
+    assert(got.forall(_.score == 1.0f))
+    assert(s.lastComplementGrpsScanned == 3)
+    // k past the corpus: the scan exhausts every partition and yields the
+    // exact complement (the doc holding only the negated term stays out)
+    val all = s.searchQuery(Seq(Topic("1", "-term09")), 100)
+      .collect().sortBy(_.rank)
+    assert(all.map(_.docno).toSeq ==
+      (1 to 16).filterNot(_ == 9).map(i => f"c-$i%02d"))
+    assert(s.lastComplementGrpsScanned == 8)
   }
 
   test("searchQuery: left-associative chains and groups change the matched set") {
