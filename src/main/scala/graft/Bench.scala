@@ -76,27 +76,36 @@ object Bench {
     // them; "queries" reports the per-entry BEST of the two (steady-state
     // query cost, robust to the measured 8× VM noise — BENCH.md §method),
     // "queries_cold" keeps pass 1 so build attribution stays visible.
-    def pass(): Seq[(String, Double)] =
+    def pass(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        // a failed entry must not kill the leg, but it must be VISIBLE —
-        // a swallowed exception would otherwise publish its fail-fast
-        // elapsed time as a legitimate (and flattering) measurement
-        try { fn(spark, sfDir).count() } catch {
+        // a failed entry must not kill the leg, but it must be VISIBLE in
+        // the JSON the driver reads, not just on stderr — its fail-fast
+        // elapsed time is published as -1, never as a legitimate (and
+        // flattering) measurement
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            System.err.println(s"[bench] $name FAILED: $e")
+            false
         }
-        name -> secs(t0)
+        (name, secs(t0), ok)
       }
     val cold = pass()
     val warm = pass()
-    val best = cold.zip(warm).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val failed = (cold ++ warm).filterNot(_._3).map(_._1).distinct.sorted
+    val coldPub = cold.map { case (n, s, ok) => n -> (if (ok) s else -1.0) }
+    // an entry that failed in EITHER pass is suspect: its surviving pass
+    // may have skipped the failed work, so best is marked -1 too
+    val best = cold.zip(warm).map { case ((n, a, okA), (_, b, okB)) =>
+      n -> (if (okA && okB) math.min(a, b) else -1.0)
+    }
     def fmt(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = buildSec + lat.sum + cold.map(_._2).sum
+    val total = buildSec + lat.sum + cold.collect { case (_, s, true) => s }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},""" +
-      s""""queries_cold":${fmt(cold)},"sf":"$sfDir",""" +
+      s""""queries_cold":${fmt(coldPub)},"sf":"$sfDir",""" +
+      failed.map("\"" + _ + "\"").mkString("\"failed\":[", ",", "],") +
       s""""cpus":$cpus,"n_docs":$nDocs,"build_sec":$buildSec,""" +
       s""""docs_per_sec":$docsPerSec,"search_p50_sec":$p50,"search_p95_sec":$p95}"""
     // the metrics file survives even if a log line swallows stdout

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * landing in one band bucket — at 10^12 files the cap is what keeps the
   * candidate-pair count linear instead of quadratic).
   *
-  * Hashes are md5-derived so the DuckDB oracle can reproduce them exactly;
-  * min-of-hex-string == min-of-value because the hex width is fixed.
+  * Hashes are md5-derived so the DuckDB oracle can reproduce them exactly:
+  * each shingle is md5'd once and the digest's two 32-bit halves seed a
+  * Carter-Wegman family of k numeric hash functions (see
+  * [[minHashSignatures]]) whose Long values min per (doc, i).
   */
 object Dedup {
 
@@ -39,7 +41,9 @@ object Dedup {
       }.toDF("docno", "shingle")
   }
 
-  /** MinHash signatures: k md5-keyed hash functions, min per (doc, i). */
+  /** MinHash signatures: k Carter-Wegman hash functions seeded from one
+    * md5 per shingle, min value per (doc, i).
+    */
   def minHashSignatures(shingleDF: DataFrame, k: Int): DataFrame = {
     // ONE md5 per shingle, not k: the digest's two 32-bit halves seed a
     // Carter-Wegman family h_i = ((2i+1)·h1 + i·h2) mod (2^31 − 1) — the

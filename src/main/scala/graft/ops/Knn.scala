@@ -241,17 +241,22 @@ object Knn {
     val spark = vectors.sparkSession
     import spark.implicits._
     // nProbe nearest cells per query — queries are small by contract (they
-    // broadcast), so rank via the same heap aggregator with cid as the key
-    val centDf = centroids.toDF("cid", "cv")
+    // broadcast), so rank via the same heap aggregator with cid as the key.
+    // Norms are projected below the joins (once per query row and once per
+    // centroid, not once per (query × centroid) pair); cosineFromParts
+    // keeps the op order of cosine(), so the ranking is bit-identical.
+    val centDf = centroids.toDF("cid", "cv").withColumn("cn", norm(col("cv")))
+    val qWithNorm = queries.withColumn("qn", norm(col("qv")))
     val probes = rankTopK(
-      queries.crossJoin(broadcast(centDf))
+      qWithNorm.crossJoin(broadcast(centDf))
         .select(col("qid"), col("cid").as("vec_id"),
-          cosine(col("qv"), col("cv")).as("cos")),
+          cosineFromParts(dotCol(col("qv"), col("cv")),
+            col("qn"), col("cn")).as("cos")),
       nProbe)
       .select(col("qid"), col("vec_id").as("cid"))
-      .join(queries, "qid")
+      .join(qWithNorm, "qid")
     val scored = va.withColumn("vn", norm(col("embedding")))
-      .join(broadcast(probes.withColumn("qn", norm(col("qv")))), Seq("cid"))
+      .join(broadcast(probes), Seq("cid"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         cosineFromParts(dotCol(col("qv"), col("embedding")),

@@ -1040,6 +1040,12 @@ final class Searcher(val index: BuiltIndex) {
       k: Int): Dataset[(String, Long, Float)] = {
     import spark.implicits._
     val grps = index.docGrps
+    // fail loud, not empty: a docs table without grp= partitions (foreign
+    // or pre-partitioning layout) has no ascending-docid scan order, and
+    // silently returning zero complement rows would be a wrong answer
+    require(grps.nonEmpty || index.stats.max_doc == 0,
+      "match-all complement needs a grp-partitioned docs table " +
+        "(ascending-docid scan order); this index has no grp= partitions")
     val cands = evaluated.map(t => (t._1, t._2)).toDF("qid", "docid")
     val acc = scala.collection.mutable.LinkedHashMap(
       complementQids.map { case (q, s) => q -> (s, Vector.empty[Long]) }: _*)
