@@ -1063,8 +1063,12 @@ final class Searcher(val index: BuiltIndex) {
       val gs = grps.slice(idx, idx + batch)
       idx += gs.length
       batch *= 2
+      // gs is a contiguous slice of the complete sorted grp listing, so a
+      // closed range prunes exactly the same partitions as isin(gs) while
+      // keeping the predicate O(1) literals — a late doubling batch can
+      // span thousands of grps, and an In() that size bloats the plan
       val got = index.docs
-        .where(col("grp").isin(gs: _*))
+        .where(col("grp") >= gs.head && col("grp") <= gs.last)
         .select(col("docid"))
         .crossJoin(need.toDF("qid", "cscore"))
         .join(cands, Seq("qid", "docid"), "left_anti")

@@ -158,7 +158,8 @@ final class UnionIndex(spark0: SparkSession, val dirs: Seq[String], cfg0: IndexC
   override def docs: DataFrame = unioned(DocsDir)
   // deltas mint docids in disjoint epochs, but distinct guards the case of
   // two deltas sharing a grp high-bits value: the batched complement scan
-  // only needs each grp listed once (isin reads every branch's partition)
+  // only needs each grp listed once (its range predicate reads every
+  // branch's partitions inside the batch either way)
   override def docGrps: Seq[Long] =
     dirs.flatMap(d => BuiltIndex.listGrps(spark, s"$d/$DocsDir"))
       .distinct.sorted
