@@ -24,17 +24,25 @@ import org.apache.spark.sql.SparkSession
   * SPARK_LOCAL_DIRS=/dev/shm/graft-shuffle (standalone ignores
   * spark.local.dir — shuffle on the single virtual disk serializes I/O).
   *
-  * Run one leg: sbt "runMain graft.tools.ScalingCluster <workers> [sfDir] [mult]"
+  * Run one leg:
+  *   sbt "runMain graft.tools.ScalingCluster <workers> [sfDir] [mult] [coresPerWorker]"
+  *
+  * `coresPerWorker` (default 8) exists for the capacity-bounded pair:
+  * 1×4 vs 4×4 keeps even the 4N leg (16 threads) inside the deliverable
+  * capacity this VM holds during its "degraded" phases (~16-20 effective
+  * cores, BENCH.md r4), separating engine scaling from socket-bandwidth
+  * saturation that the 32-thread legs measure.
   */
 object ScalingCluster {
   def main(args: Array[String]): Unit = {
     val workers = args.headOption.map(_.toInt).getOrElse(1)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(2).map(_.toInt).getOrElse(8)
-    val cores = workers * 8
+    val coresPer = args.lift(3).map(_.toInt).getOrElse(8)
+    val cores = workers * coresPer
     val classesDir = "/root/repo/target/scala-2.13/classes"
     val spark = SparkSession.builder()
-      .master(s"local-cluster[$workers,8,16384]")
+      .master(s"local-cluster[$workers,$coresPer,16384]")
       .appName(s"graft-cluster-w$workers")
       .config("spark.executor.memory", "12g")
       .config("spark.executor.extraClassPath", classesDir)
