@@ -19,14 +19,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   sbt "runMain graft.tools.BatchSearch [settings.hjson] [key=value...]"
   */
 object Cli {
+  /** Session for the CLI mains. Under `spark-submit` the launcher's
+    * `--master` (injected as the `spark.master` system property) wins —
+    * the north rule's deployment mode is "spark-submit on a
+    * multi-executor cluster" (`scripts/spark_submit_smoke` proves the
+    * packaged jar end-to-end on `local-cluster`). Launched bare (sbt
+    * runMain), fall back to `local[$SPARK_GRAFT_CPUS]`.
+    */
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val externalMaster = sys.props.contains("spark.master")
+    val b = SparkSession.builder()
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+    val s = (if (externalMaster) b
+             else b.master(s"local[$cpus]")
+                   .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
+    // On a submitted cluster size the shuffle width to the cluster, not
+    // to the 200 default — unless the operator pinned it via --conf.
+    if (externalMaster &&
+        !s.sparkContext.getConf.contains("spark.sql.shuffle.partitions"))
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(s.sparkContext.defaultParallelism * 2, 4).toString)
     s.sparkContext.setLogLevel("WARN")
     s
   }
