@@ -23,6 +23,24 @@ class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig)
   def postings: DataFrame = spark.read.parquet(s"$dir/$PostingsDir")
   def termStats: DataFrame = spark.read.parquet(s"$dir/$TermStatsDir")
 
+  /** Postings view for paths that never read positions (scoring, WAND,
+    * counting, negation): the position columns are replaced by empty
+    * literals ABOVE the scan, so Catalyst prunes `pos_blob` /
+    * `block_pos_off` out of the parquet read entirely. On a
+    * positions-enabled index `pos_blob` is the largest column (~one
+    * varint per TOKEN vs ~one per POSTING for doc/tf/dl), so a pure BM25
+    * query would otherwise pay the whole positions column in scan bytes.
+    * Field order matches [[PostingRun]], so `.as[PostingRun]` binds
+    * unchanged; defined via [[postings]] so [[graft.streaming.UnionIndex]]'s
+    * override flows through.
+    */
+  def postingsScoring: DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    postings
+      .withColumn("pos_blob", typedLit(Array.empty[Byte]))
+      .withColumn("block_pos_off", typedLit(Array.empty[Int]))
+  }
+
   /** Sorted (term, len) vocabulary projection for prunable prefix/fuzzy
     * expansion; indexes written before the projection existed fall back to
     * a derived (unprunable) view so they stay openable.

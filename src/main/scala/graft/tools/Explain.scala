@@ -30,6 +30,11 @@ object Explain {
       .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
       .explain("formatted")
 
+    println("\n========== scoring postings view (pos_blob/block_pos_off pruned out of ReadSchema) ==========")
+    idx.postingsScoring
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .explain("formatted")
+
     println("\n========== term_stats lookup ==========")
     idx.termStats
       .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
