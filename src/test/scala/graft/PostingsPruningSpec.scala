@@ -1,0 +1,63 @@
+package graft
+
+import graft.analysis.AnalyzerConfig
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search.{Searcher, Topic}
+import org.apache.spark.sql.DataFrame
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the scan-width contract of [[graft.index.BuiltIndex.postingsScoring]]:
+  * non-phrase query paths must never read the position columns from
+  * parquet (on a positions-enabled index `pos_blob` is ~38% of postings
+  * bytes — measured in BENCH.md — and grows with document length), while
+  * the phrase path keeps the full schema.
+  */
+class PostingsPruningSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** ReadSchema lines of every scan in the plan — parsed from the
+    * formatted explain because AQE wraps the physical plan in
+    * AdaptiveSparkPlanExec, hiding FileSourceScanExec from collect().
+    */
+  private def scanFields(df: DataFrame): Seq[String] = {
+    val txt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    txt.linesIterator.filter(_.trim.startsWith("ReadSchema")).map(_.trim).toSeq
+  }
+
+  private lazy val idx = {
+    import spark.implicits._
+    val docs = (0 until 60).map(i => (f"pp$i%03d", s"alpha beta w$i gamma alpha"))
+    IndexBuilder.build(docs.toDF("docno", "content"),
+      TestSpark.tmpDir("posprune"),
+      IndexConfig(analyzer = AnalyzerConfig(), groupShift = 4, mergeShift = 1,
+        indexPositions = true))
+  }
+
+  test("postingsScoring prunes pos columns from the parquet scan; postings keeps them") {
+    val pruned = scanFields(idx.postingsScoring.select("term", "ndocs", "doc_blob"))
+    assert(pruned.nonEmpty)
+    pruned.foreach { f =>
+      assert(!f.contains("pos_blob") && !f.contains("block_pos_off"), f)
+    }
+    val full = scanFields(idx.postings.select("term", "pos_blob"))
+    assert(full.exists(_.contains("pos_blob")))
+  }
+
+  test("term search plan reads no position bytes; phrase search plan does") {
+    val s = new Searcher(idx)
+    val term = s.search(Seq(Topic("t1", "alpha gamma")), 5)
+    val termScans = scanFields(term.toDF())
+    assert(termScans.nonEmpty)
+    termScans.foreach(f => assert(!f.contains("pos_blob"), f))
+
+    val phrase = s.searchQuery(Seq(Topic("p1", "\"alpha beta\"")), 5)
+    val phraseScans = scanFields(phrase.toDF())
+    assert(phraseScans.exists(_.contains("pos_blob")),
+      s"phrase plan lost its positions read: $phraseScans")
+
+    // and the pruning is semantically invisible: both still return hits
+    assert(term.collect().nonEmpty && phrase.collect().nonEmpty)
+  }
+}
