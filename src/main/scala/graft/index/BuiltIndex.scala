@@ -41,6 +41,29 @@ class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig)
       .withColumn("block_pos_off", typedLit(Array.empty[Int]))
   }
 
+  /** Narrower still: also blanks the per-run extrema and the block
+    * metadata arrays for paths that sequentially decode whole runs
+    * (plain scoring, expansion, blended, negation, WAND seed, match
+    * counting) — they touch only term/ndocs and the doc/tf/dl blobs.
+    * The WAND main pass keeps [[postingsScoring]]: block metadata is
+    * exactly what it skips on. Worth a further ~15% of the
+    * post-[[postingsScoring]] scan bytes on the sf0.01 oracle index.
+    */
+  def postingsDecode: DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    postingsScoring
+      .withColumn("first_docid", typedLit(0L))
+      .withColumn("last_docid", typedLit(0L))
+      .withColumn("max_tf", typedLit(0))
+      .withColumn("sum_tf", typedLit(0L))
+      .withColumn("block_last_docid", typedLit(Array.empty[Long]))
+      .withColumn("block_max_tf", typedLit(Array.empty[Int]))
+      .withColumn("block_min_dl", typedLit(Array.empty[Int]))
+      .withColumn("block_doc_off", typedLit(Array.empty[Int]))
+      .withColumn("block_tf_off", typedLit(Array.empty[Int]))
+      .withColumn("block_dl_off", typedLit(Array.empty[Int]))
+  }
+
   /** Sorted (term, len) vocabulary projection for prunable prefix/fuzzy
     * expansion; indexes written before the projection existed fall back to
     * a derived (unprunable) view so they stay openable.

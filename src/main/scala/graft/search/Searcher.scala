@@ -524,8 +524,10 @@ final class Searcher(val index: BuiltIndex) {
         liveBlended.isEmpty && trees.isEmpty) // a tree may still match-all
       return spark.emptyDataset[RunLine]
 
-    // Postings lookup: bucket prunes parquet partitions, term pushes down.
-    val posts = index.postingsScoring
+    // Postings lookup: bucket prunes parquet partitions, term pushes
+    // down. Only the WAND main pass reads block metadata — the exhaustive
+    // decode drops those columns from the scan too (postingsDecode).
+    val posts = (if (prune) index.postingsScoring else index.postingsDecode)
       .where(col("bucket").isin(buckets: _*) && col("term").isin(plan.keys.toSeq: _*))
       .as[PostingRun]
 
@@ -691,7 +693,7 @@ final class Searcher(val index: BuiltIndex) {
           .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
         val eTerms = byTerm.keys.toSeq
         val eBuckets = eTerms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
-        val ePosts = index.postingsScoring
+        val ePosts = index.postingsDecode
           .where(col("bucket").isin(eBuckets: _*) && col("term").isin(eTerms: _*))
           .as[PostingRun]
         ePosts.flatMap { run =>
@@ -720,7 +722,7 @@ final class Searcher(val index: BuiltIndex) {
           }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
         val bTerms = byTerm.keys.toSeq
         val bBuckets = bTerms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
-        val bPosts = index.postingsScoring
+        val bPosts = index.postingsDecode
           .where(col("bucket").isin(bBuckets: _*) && col("term").isin(bTerms: _*))
           .as[PostingRun]
         val scorerB = scorer
@@ -836,7 +838,7 @@ final class Searcher(val index: BuiltIndex) {
           negTerms.groupBy(_._2).map { case (t, qs) => t -> qs.map(_._1).distinct.toArray }
         val negTermSeq = negByTerm.keys.toSeq
         val negBuckets = negTermSeq.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
-        val negPosts = index.postingsScoring
+        val negPosts = index.postingsDecode
           .where(col("bucket").isin(negBuckets: _*) && col("term").isin(negTermSeq: _*))
           .as[PostingRun]
         val negPairs = negPosts.flatMap { run =>
@@ -911,7 +913,7 @@ final class Searcher(val index: BuiltIndex) {
       t -> scorer.termWeight(df, cf, stats)
     }.toMap
     val buckets = byTerm.keys.map(IndexLayout.bucketOf(_, index.cfg.buckets)).toSeq.distinct
-    val posts = index.postingsScoring
+    val posts = index.postingsDecode
       .where(col("bucket").isin(buckets: _*) && col("term").isin(byTerm.keys.toSeq: _*))
       .as[PostingRun]
     val partials = posts.flatMap { run =>
@@ -989,7 +991,7 @@ final class Searcher(val index: BuiltIndex) {
     val termSeq = byTerm.keys.toSeq
     val buckets = termSeq.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
     val docShift = index.cfg.groupShift + index.cfg.mergeShift
-    val matched = index.postingsScoring
+    val matched = index.postingsDecode
       .where(col("bucket").isin(buckets: _*) && col("term").isin(termSeq: _*))
       .as[PostingRun]
       .flatMap { run =>

@@ -45,6 +45,20 @@ class PostingsPruningSpec extends AnyFunSuite {
     assert(full.exists(_.contains("pos_blob")))
   }
 
+  test("postingsDecode also drops run extrema and block metadata from the scan") {
+    val pruned = scanFields(idx.postingsDecode.select("term", "ndocs", "doc_blob"))
+    assert(pruned.nonEmpty)
+    val banned = Seq("pos_blob", "block_pos_off", "first_docid", "last_docid",
+      "max_tf", "sum_tf", "block_last_docid", "block_max_tf", "block_min_dl",
+      "block_doc_off", "block_tf_off", "block_dl_off")
+    pruned.foreach(f => banned.foreach(b => assert(!f.contains(b), s"$b in $f")))
+    // the exhaustive (non-WAND) search plan reads none of them either
+    val s = new Searcher(idx)
+    val plain = scanFields(s.search(Seq(Topic("t2", "alpha")), 5).toDF())
+    plain.filter(_.contains("doc_blob"))
+      .foreach(f => assert(!f.contains("block_last_docid"), f))
+  }
+
   test("term search plan reads no position bytes; phrase search plan does") {
     val s = new Searcher(idx)
     val term = s.search(Seq(Topic("t1", "alpha gamma")), 5)
