@@ -860,7 +860,7 @@ object SparkEntry {
   private def decodedTf(idx: graft.index.BuiltIndex): DataFrame = {
     val s = idx.spark
     import s.implicits._
-    idx.postingsScoring.as[PostingRun].flatMap { r =>
+    idx.postingsDecode.as[PostingRun].flatMap { r =>
       PostingCodec.decodeBlobs(r.ndocs, r.doc_blob, r.tf_blob, r.dl_blob)
         .map(p => (r.term, p.docid, p.tf.toLong))
     }.toDF("term", "docid", "tf")
