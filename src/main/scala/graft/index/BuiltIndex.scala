@@ -36,9 +36,9 @@ class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig)
     */
   def postingsScoring: DataFrame = {
     import org.apache.spark.sql.functions.typedLit
-    postings
-      .withColumn("pos_blob", typedLit(Array.empty[Byte]))
-      .withColumn("block_pos_off", typedLit(Array.empty[Int]))
+    postings.withColumns(Map(
+      "pos_blob" -> typedLit(Array.empty[Byte]),
+      "block_pos_off" -> typedLit(Array.empty[Int])))
   }
 
   /** Narrower still: also blanks the per-run extrema and the block
@@ -52,17 +52,17 @@ class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig)
     */
   def postingsDecode: DataFrame = {
     import org.apache.spark.sql.functions.typedLit
-    postingsScoring
-      .withColumn("first_docid", typedLit(0L))
-      .withColumn("last_docid", typedLit(0L))
-      .withColumn("max_tf", typedLit(0))
-      .withColumn("sum_tf", typedLit(0L))
-      .withColumn("block_last_docid", typedLit(Array.empty[Long]))
-      .withColumn("block_max_tf", typedLit(Array.empty[Int]))
-      .withColumn("block_min_dl", typedLit(Array.empty[Int]))
-      .withColumn("block_doc_off", typedLit(Array.empty[Int]))
-      .withColumn("block_tf_off", typedLit(Array.empty[Int]))
-      .withColumn("block_dl_off", typedLit(Array.empty[Int]))
+    postingsScoring.withColumns(Map(
+      "first_docid" -> typedLit(0L),
+      "last_docid" -> typedLit(0L),
+      "max_tf" -> typedLit(0),
+      "sum_tf" -> typedLit(0L),
+      "block_last_docid" -> typedLit(Array.empty[Long]),
+      "block_max_tf" -> typedLit(Array.empty[Int]),
+      "block_min_dl" -> typedLit(Array.empty[Int]),
+      "block_doc_off" -> typedLit(Array.empty[Int]),
+      "block_tf_off" -> typedLit(Array.empty[Int]),
+      "block_dl_off" -> typedLit(Array.empty[Int])))
   }
 
   /** Sorted (term, len) vocabulary projection for prunable prefix/fuzzy
