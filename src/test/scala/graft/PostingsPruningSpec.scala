@@ -59,6 +59,23 @@ class PostingsPruningSpec extends AnyFunSuite {
       .foreach(f => assert(!f.contains("block_last_docid"), f))
   }
 
+  test("pruning propagates below a UnionIndex's delta union") {
+    import spark.implicits._
+    val dirs = Seq("ppu_a", "ppu_b").map { n =>
+      val docs = (0 until 20).map(i => (s"$n$i", s"alpha beta u$n$i"))
+      IndexBuilder.build(docs.toDF("docno", "content"), TestSpark.tmpDir(n),
+        IndexConfig(analyzer = AnalyzerConfig(), groupShift = 4, mergeShift = 1,
+          indexPositions = true)).dir
+    }
+    val first = graft.index.BuiltIndex.open(spark, dirs.head)
+    val union = new graft.streaming.UnionIndex(spark, dirs, first.cfg)
+    val scans = scanFields(union.postingsDecode.select("term", "ndocs", "doc_blob"))
+    assert(scans.size >= 2, s"expected one scan per delta, got $scans")
+    scans.foreach { f =>
+      assert(!f.contains("pos_blob") && !f.contains("block_last_docid"), f)
+    }
+  }
+
   test("term search plan reads no position bytes; phrase search plan does") {
     val s = new Searcher(idx)
     val term = s.search(Seq(Topic("t1", "alpha gamma")), 5)
