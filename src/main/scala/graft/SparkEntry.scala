@@ -967,22 +967,60 @@ object SparkEntry {
     Topic("2", "table + fast | scan"))
 
   /** All-lowercase enrichment for the classic-tokenizer entry: one exemplar
-    * per alternation branch — NUM forms (incl. the multi-label digit host
-    * documenting the first-match split), email, acronym, host, company,
-    * apostrophe, '-'/'_' splits.
+    * per grammar rule plus the leftmost-longest differentiators — the
+    * multi-label digit host kept whole ("a.b2.c.d"), NUM out-matching HOST
+    * ("1.2-3"), strict digit parity splitting ("a.b1-0.cd", "1-a-2-4-b"),
+    * ACRONYM_DEP's trailing-dot trim ("wow.com."), email, acronym, host,
+    * company, apostrophe, '-'/'_' splits.
     */
   val ClassicEnrich: String =
     " 1,000 2-3-4 a.b2.c.d x-1 i.b.m. at&t o'brien a.b.c 3.14" +
-      " bob@mail.example.com x_9 12/25/2021 app2.v1,beta plain-split"
-  /** The engine's classic alternation specialized to ASCII lowercase for
-    * RE2 — the SAME grammar builder the tokenizer compiles
-    * (`analysis.ClassicLikeTokenizer.grammar`), so the oracle's pattern
-    * can never drift from the engine's; cj = None because RE2 lacks the
-    * Java \uXXXX class syntax (the corpus is verified pure ASCII).
+      " bob@mail.example.com x_9 12/25/2021 app2.v1,beta plain-split" +
+      " wow.com. 1.2-3 1-a-2-4-b a.b1-0.cd"
+
+  /** Recursive-CTE replay of the maximal-munch Classic scanner
+    * (`analysis.ClassicScan`) over a `(docno, content)` source CTE: the
+    * cursor skips non-alphanumeric chars, every rule's ANCHORED match
+    * length is computed with the shared per-rule patterns
+    * (`ClassicLikeTokenizer.rules` — the same builder the fuzz spec
+    * validates, so the oracle cannot drift), and the max wins; the
+    * deprecated-acronym rule wins only strictly (Lucene's tie-break) and
+    * then sheds its trailing dot; raw matches over 255 chars advance the
+    * cursor but emit NULL (ClassicTokenizer's over-long discard). ASCII
+    * classes because the corpus is verified pure ASCII lowercase. Emits
+    * `cw(docno, pos, term)` with `pos` the 1-based char cursor and NULL
+    * terms for the seed row and discards — callers filter and re-rank.
     */
-  private val ClassicSqlPattern: String =
-    graft.analysis.ClassicLikeTokenizer.grammar(
-      "[a-z]", "[0-9]", "[a-z0-9]", None)
+  private def classicWalkCte(src: String): String = {
+    val r = graft.analysis.ClassicLikeTokenizer.rules("[a-z]", "[0-9]", "[a-z0-9]")
+    def q(p: String) = ("^(?:" + p + ")").replace("'", "''")
+    s"""cw(docno, pos, term) AS (
+       |  SELECT docno, 1, CAST(NULL AS VARCHAR) FROM $src
+       |  UNION ALL
+       |  SELECT docno, pos + skip + best,
+       |         CASE WHEN best > 255 THEN NULL
+       |              WHEN depwin THEN substr(rem2, 1, best - 1)
+       |              ELSE substr(rem2, 1, best) END
+       |  FROM (
+       |    SELECT w.docno, w.pos,
+       |           substr(c.content, w.pos) AS rem,
+       |           length(regexp_extract(rem, '^[^a-z0-9]*')) AS skip,
+       |           substr(rem, skip + 1) AS rem2,
+       |           length(regexp_extract(rem2, '${q(r.alphanum)}')) AS l_an,
+       |           length(regexp_extract(rem2, '${q(r.apostrophe)}')) AS l_ap,
+       |           length(regexp_extract(rem2, '${q(r.acronym)}')) AS l_ac,
+       |           length(regexp_extract(rem2, '${q(r.company)}')) AS l_co,
+       |           length(regexp_extract(rem2, '${q(r.email)}')) AS l_em,
+       |           length(regexp_extract(rem2, '${q(r.host)}')) AS l_ho,
+       |           length(regexp_extract(rem2, '${q(r.numOdd)}')) AS l_no,
+       |           length(regexp_extract(rem2, '${q(r.numEven)}')) AS l_ne,
+       |           length(regexp_extract(rem2, '${q(r.acronymDep)}')) AS l_dp,
+       |           greatest(l_an, l_ap, l_ac, l_co, l_em, l_ho, l_no, l_ne, l_dp) AS best,
+       |           l_dp > greatest(l_an, l_ap, l_ac, l_co, l_em, l_ho, l_no, l_ne) AS depwin
+       |    FROM cw w JOIN $src c USING (docno)
+       |  ) WHERE rem2 <> ''
+       |)""".stripMargin
+  }
 
   /** Topics for the exact-phrase gate entry: a pure phrase query and a
     * phrase mixed with a loose OR term.
@@ -1517,16 +1555,14 @@ object SparkEntry {
     "q_wand_topk" -> Bm25TopkSql,
     "q_page_topk" -> PageTopkSql,
     // classic-tokenized Porter-stemmed df: the FQCN-loaded tokenizer
-    // replayed via the same RE2 alternation as q_classic_tok, then lower +
-    // stop, then the generated full-Porter SQL replay
+    // replayed via the same recursive-CTE maximal-munch scanner as
+    // q_classic_tok, then lower + stop, then the generated full-Porter
+    // SQL replay
     "q_fqcn_df" ->
-      s"""WITH $CorpusCte,
-         |ct0 AS (SELECT docno,
-         |               unnest(regexp_extract_all(content,
-         |                 '${ClassicSqlPattern.replace("'", "''")}')) AS term
-         |        FROM corpus),
-         |ct AS (SELECT docno, lower(term) AS term FROM ct0
-         |       WHERE lower(term) NOT IN ('a', 'the')),
+      s"""WITH RECURSIVE $CorpusCte,
+         |${classicWalkCte("corpus")},
+         |ct AS (SELECT docno, lower(term) AS term FROM cw
+         |       WHERE term IS NOT NULL AND lower(term) NOT IN ('a', 'the')),
          |pwords AS (SELECT DISTINCT term FROM ct),
          |${PorterSql.ctes}
          |SELECT p.stem AS term, count(DISTINCT t.docno)::BIGINT AS df
@@ -2025,22 +2061,20 @@ object SparkEntry {
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
     // ClassicTokenizer replay: the corpus text is plain lowercase words, so
-    // a fixed all-lowercase enrichment suffix exercises every alternation
-    // branch (email, acronym, NUM forms incl. the multi-label host shape,
-    // host, company, apostrophe, splits) on every doc; the oracle runs the
-    // SAME ordered alternation in RE2 (both engines use leftmost-first
-    // alternation, and the input is ASCII lowercase so the \\p classes
-    // specialize exactly)
+    // a fixed all-lowercase enrichment suffix exercises every grammar rule
+    // INCLUDING the leftmost-longest differentiators (whole digit-bearing
+    // host, NUM beating HOST, strict digit parity, ACRONYM_DEP trim) on
+    // every doc; the oracle replays the maximal-munch scanner itself as a
+    // recursive CTE (per-rule anchored lengths -> max), not an ordered
+    // alternation, so it is exact on divergent forms too
     "q_classic_tok" ->
-      s"""WITH $CorpusCte,
+      s"""WITH RECURSIVE $CorpusCte,
          |c2 AS (SELECT docno, content || '${ClassicEnrich.replace("'", "''")}' AS content
          |       FROM corpus),
-         |tl AS (SELECT docno,
-         |              regexp_extract_all(content, '${ClassicSqlPattern.replace("'", "''")}') AS ts
-         |       FROM c2),
-         |z AS (SELECT docno, unnest(ts) AS term,
-         |             unnest(range(0, len(ts))) AS pos
-         |      FROM tl)
+         |${classicWalkCte("c2")},
+         |z AS (SELECT docno, term,
+         |             row_number() OVER (PARTITION BY docno ORDER BY pos) - 1 AS pos
+         |      FROM cw WHERE term IS NOT NULL)
          |SELECT docno, pos::BIGINT AS pos, term
          |FROM z ORDER BY docno, pos""".stripMargin,
     // KStem replay via the generated CTE chain (KStemSql)

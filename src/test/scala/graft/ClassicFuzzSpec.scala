@@ -6,59 +6,67 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.util.regex.Pattern
 import scala.util.Random
 
-/** Fuzz-lock of ClassicLikeTokenizer against a brute-force scanner built
-  * straight from the published ClassicTokenizerImpl.jflex grammar rules:
-  * per rule, the longest matching PREFIX at each position is found by
-  * trying every end offset (O(n²), no reliance on Java regex alternation
-  * semantics). Two scan disciplines are compared:
+/** Fuzz-PROOF of ClassicLikeTokenizer against a brute-force scanner built
+  * straight from the published ClassicTokenizerImpl.jflex grammar: per
+  * rule, the longest matching PREFIX at each position is found by trying
+  * every end offset with `matches()` (O(n²), no reliance on Java regex
+  * alternation or greediness), the longest across ALL rules wins with
+  * ties broken by rule listing order, ACRONYM_DEP sheds its trailing dot
+  * (Lucene's post-match trim), and raw matches over the length cap are
+  * discarded — the JFlex scanner's exact discipline, including the
+  * LETTER-excludes-KOREAN class split (Hangul is ALPHANUM-only, so it
+  * never joins apostrophe/acronym/company forms).
   *
-  *  - `scanFirst`: first rule (grammar order) with any match wins, taking
-  *    its longest prefix — the engine's documented contract (leftmost-
-  *    first, required by the RE2 oracle replay).
-  *  - `scanLongest`: longest match over ALL rules wins (ties → earlier
-  *    rule) — the JFlex scanner's actual discipline.
+  * The battery asserts the engine ≡ this brute scanner everywhere: the
+  * three deviations previous rounds documented (leftmost-first
+  * alternation, no ACRONYM_DEP, factored-superset NUM) are gone.
   *
-  * The battery asserts the engine ≡ scanFirst everywhere, and ≡ scanLongest
-  * (true JFlex parity) on the digit/dot-free sub-alphabet where the two
-  * disciplines provably coincide. The remaining first-vs-longest
-  * divergence (NUM/HOST/ACRONYM overlaps) is locked on known examples —
-  * the deviation documented on the tokenizer.
+  * A second battery validates the DuckDB oracle's construction
+  * (SparkEntry.classicWalkCte): anchored GREEDY matching of each
+  * individual oracle rule pattern equals that rule's brute longest
+  * prefix, and max(numOdd, numEven) equals the brute longest over the
+  * grammar's six-alternative NUM union — together these make the
+  * oracle's per-rule-max recursive CTE a faithful longest-match scanner
+  * (RE2 and java.util.regex share leftmost-greedy semantics on these
+  * backreference-free patterns).
   */
 class ClassicFuzzSpec extends AnyFunSuite {
 
-  // grammar transcription (rule order = JFlex spec order adjusted to the
-  // engine's documented first-match alternation order)
+  // --- brute JFlex-semantics scanner, transcribed from the grammar -------
   private val cjR =
-    "\\u3100-\\u312f\\u3040-\\u309f\\u30a0-\\u30ff\\u31f0-\\u31ff" +
-      "\\u3300-\\u337f\\u3400-\\u4dbf\\u4e00-\\u9fff\\uf900-\\ufaff\\uff65-\\uff9f"
-  private val L = s"[\\p{L}&&[^$cjR]]"
+    "\\u3040-\\u312f\\u31f0-\\u31ff\\u3300-\\u337f\\u3400-\\u4dbf" +
+      "\\u4e00-\\u9fff\\uf900-\\ufaff\\uff65-\\uff9f"
+  private val koR = "\\uac00-\\ud7af\\u1100-\\u11ff"
+  private val L = s"[\\p{L}&&[^$cjR$koR]]"
+  private val K = s"[$koR]"
   private val D = "\\p{Nd}"
-  private val AN = s"(?:$L|$D)"
-  private val HASDIGIT = s"$AN*$D$AN*"
+  private val AN = s"(?:$L|$D|$K)"
+  private val HD = s"$AN*$D$AN*"
   private val P = "[_\\-/.,]"
-  // the engine's documented NUM contract: the factored closed form (a
-  // superset of the grammar union — deviation 3 on the tokenizer)
-  private val NumFactored =
-    s"(?:$AN+$P)?$HASDIGIT(?:(?:$P$AN+)?$P$HASDIGIT)*(?:$P$AN+)?"
-  // the grammar's SIX explicit NUM alternatives, for the superset lock
-  private val NumUnion: Pattern = Pattern.compile(Seq(
-    s"$AN+$P$HASDIGIT",
-    s"$HASDIGIT$P$AN+",
-    s"$AN+(?:$P$HASDIGIT$P$AN+)+",
-    s"$HASDIGIT(?:$P$AN+$P$HASDIGIT)+",
-    s"$AN+$P$HASDIGIT(?:$P$AN+$P$HASDIGIT)+",
-    s"$HASDIGIT$P$AN+(?:$P$HASDIGIT$P$AN+)+"
-  ).mkString("(?:", "|", ")"))
-  private val rules: Seq[Pattern] = Seq(
-    s"$AN+(?:[._\\-]$AN+)*@$AN+(?:[.\\-]$AN+)+", // EMAIL
-    s"$L\\.(?:$L\\.)+", // ACRONYM
-    NumFactored,
-    s"$AN+(?:\\.$AN+)+", // HOST
-    s"$L+[&@]$L+", // COMPANY
-    s"$L+(?:'$L+)+", // APOSTROPHE
+  // the grammar's SIX explicit NUM alternatives (alternation order is
+  // irrelevant to the brute scan, which tests full `matches()` per length)
+  private val NumUnion =
+    Seq(
+      s"$AN+$P$HD",
+      s"$HD$P$AN+",
+      s"$AN+(?:$P$HD$P$AN+)+",
+      s"$HD(?:$P$AN+$P$HD)+",
+      s"$AN+$P$HD(?:$P$AN+$P$HD)+",
+      s"$HD$P$AN+(?:$P$HD$P$AN+)+"
+    ).mkString("(?:", "|", ")")
+
+  private val DepIdx = 7 // ACRONYM_DEP's index in `rules` below
+  private val rules: IndexedSeq[Pattern] = IndexedSeq(
     s"$AN+", // ALPHANUM
-    s"[$cjR]" // CJ (one char per token)
+    s"$L+(?:'$L+)+", // APOSTROPHE
+    s"$L\\.(?:$L\\.)+", // ACRONYM
+    s"$L+[&@]$L+", // COMPANY
+    s"$AN+(?:[._\\-]$AN+)*@$AN+(?:[.\\-]$AN+)+", // EMAIL
+    s"$AN+(?:\\.$AN+)+", // HOST
+    NumUnion, // NUM
+    s"$AN+\\.(?:$AN+\\.)+" // ACRONYM_DEP (trailing dot, trimmed on win)
   ).map(Pattern.compile)
+  private val CjChar = Pattern.compile(s"[$cjR]")
 
   private def longestPrefix(p: Pattern, s: String, i: Int): Int = {
     var j = s.length
@@ -69,19 +77,33 @@ class ClassicFuzzSpec extends AnyFunSuite {
     -1
   }
 
-  private def scan(s: String, longest: Boolean): Seq[String] = {
+  /** Brute JFlex scan: longest across rules, ties to the earlier rule,
+    * ACRONYM_DEP trims its final dot, raw matches > maxLen discarded.
+    */
+  private def scanJflex(s: String, maxLen: Int = 255): Seq[String] = {
     val out = Seq.newBuilder[String]
     var i = 0
     while (i < s.length) {
-      var bestEnd = -1
-      var done = false
-      for (p <- rules if !done) {
-        val e = longestPrefix(p, s, i)
-        if (e > bestEnd) bestEnd = e
-        if (!longest && bestEnd > 0) done = true // first rule that matches
+      if (CjChar.matcher(s.substring(i, i + 1)).matches()) {
+        out += s.substring(i, i + 1)
+        i += 1
+      } else {
+        var bestEnd = -1
+        var bestRule = -1
+        for (r <- rules.indices) {
+          val e = longestPrefix(rules(r), s, i)
+          if (e > bestEnd) { bestEnd = e; bestRule = r } // ties: earlier rule
+        }
+        if (bestEnd < 0) i += 1
+        else {
+          val raw = bestEnd - i
+          val tok =
+            if (bestRule == DepIdx) s.substring(i, bestEnd - 1)
+            else s.substring(i, bestEnd)
+          if (raw <= maxLen) out += tok
+          i = bestEnd
+        }
       }
-      if (bestEnd < 0) i += 1
-      else { out += s.substring(i, bestEnd); i = bestEnd }
     }
     out.result()
   }
@@ -89,64 +111,108 @@ class ClassicFuzzSpec extends AnyFunSuite {
   private def engine(s: String): Seq[String] =
     new ClassicLikeTokenizer().tokenize(s).toSeq
 
-  private val FullAlphabet: IndexedSeq[Char] =
-    ("abcz".toSeq ++ "012".toSeq ++ ".,-_/'&@ ".toSeq ++
+  test("fuzz: engine ≡ brute JFlex longest-match scan (mixed scripts)") {
+    val alphabet = ("abcz".toSeq ++ "012".toSeq ++ ".,-_/'&@ ".toSeq ++
       "éñЯ한국어".toSeq ++ "漢字の本ヵ".toSeq).toIndexedSeq
-
-  test("fuzz: engine ≡ brute-force first-match grammar scan (mixed scripts)") {
     val rnd = new Random(11)
-    for (trial <- 0 until 1500) {
+    for (trial <- 0 until 2000) {
       val n = rnd.nextInt(40)
-      val s = (0 until n).map(_ => FullAlphabet(rnd.nextInt(FullAlphabet.size))).mkString
-      assert(engine(s) == scan(s, longest = false), s"trial $trial input=$s")
+      val s = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+      assert(engine(s) == scanJflex(s), s"trial $trial input=$s")
     }
   }
 
-  test("fuzz: true JFlex longest-match parity on the digit/dot-free alphabet") {
-    // without digits and dots, NUM/HOST/ACRONYM/EMAIL can't fire and
-    // first-match ≡ longest-match: the engine IS the JFlex scanner there
-    val alpha = ("abcz".toSeq ++ "'&@ ".toSeq ++ "éñЯ한국어漢字の".toSeq).toIndexedSeq
+  test("fuzz: engine ≡ brute on the divergence-rich punctuation sub-language") {
+    // digits + all five P joiners + '&@ — where NUM/HOST/ACRONYM/EMAIL
+    // overlaps live; this is the alphabet that killed leftmost-first
+    val alphabet = "ab012.,-_/'&@ ".toIndexedSeq
     val rnd = new Random(13)
-    for (trial <- 0 until 1500) {
-      val n = rnd.nextInt(40)
-      val s = (0 until n).map(_ => alpha(rnd.nextInt(alpha.size))).mkString
-      val e = engine(s)
-      assert(e == scan(s, longest = true), s"trial $trial input=$s")
-      assert(e == scan(s, longest = false), s"trial $trial input=$s")
+    for (trial <- 0 until 4000) {
+      val n = rnd.nextInt(28)
+      val s = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+      assert(engine(s) == scanJflex(s), s"trial $trial input=$s")
     }
   }
 
-  test("locked deviation: first-match splits what JFlex longest-match keeps") {
-    assert(engine("a.b2.c.d") == Seq("a.b2.c", "d"))
-    assert(scan("a.b2.c.d", longest = true) == Seq("a.b2.c.d"))
-    // and the oracle-locked enrichment fixture depends on exactly that
+  // --- oracle-construction validation -----------------------------------
+  private val oracleRules =
+    ClassicLikeTokenizer.rules("[a-z]", "[0-9]", "[a-z0-9]")
+  private val asciiNumUnion = {
+    val an = "[a-z0-9]"; val hd = s"$an*[0-9]$an*"; val p = "[_\\-/.,]"
+    Pattern.compile(Seq(
+      s"$an+$p$hd",
+      s"$hd$p$an+",
+      s"$an+(?:$p$hd$p$an+)+",
+      s"$hd(?:$p$an+$p$hd)+",
+      s"$an+$p$hd(?:$p$an+$p$hd)+",
+      s"$hd$p$an+(?:$p$hd$p$an+)+"
+    ).mkString("(?:", "|", ")"))
   }
 
-  test("locked deviation: factored NUM is a strict superset of the grammar union") {
-    // non-alternating digit parity [a, b1, 0, cd]: no phase assignment of
-    // the six alternatives covers all four segments, the factored form does
-    assert(engine("a.b1-0.cd") == Seq("a.b1-0.cd"))
-    assert(longestPrefix(NumUnion, "a.b1-0.cd", 0) == "a.b1-0".length)
-    // superset direction holds everywhere: the union never out-matches the
-    // factored form at any position of any input
+  private def greedyAt(p: Pattern, s: String, i: Int): Int = {
+    val m = p.matcher(s)
+    m.region(i, s.length)
+    if (m.lookingAt()) m.end() else -1
+  }
+
+  test("oracle rules: anchored greedy ≡ brute longest, and the two " +
+    "strict-phase NUM forms max to the six-way union") {
+    val pats = oracleRules.ordered.map(Pattern.compile)
+    val numOdd = Pattern.compile(oracleRules.numOdd)
+    val numEven = Pattern.compile(oracleRules.numEven)
+    val alphabet = "ab012.,-_/'&@ ".toIndexedSeq
     val rnd = new Random(17)
-    val alphabet = "ab01.,-_/ ".toIndexedSeq
-    for (_ <- 0 until 400) {
-      val s = (0 until rnd.nextInt(24))
-        .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
-      val factored = rules(2)
-      for (i <- 0 until s.length)
-        assert(longestPrefix(NumUnion, s, i) <= longestPrefix(factored, s, i)
-          || longestPrefix(factored, s, i) < 0,
-          s"input=$s i=$i")
+    for (trial <- 0 until 3000) {
+      val n = rnd.nextInt(24)
+      val s = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+      for (i <- 0 until s.length) {
+        for (p <- pats)
+          assert(greedyAt(p, s, i) == longestPrefix(p, s, i),
+            s"trial $trial rule=$p input=$s i=$i")
+        val unionBest = longestPrefix(asciiNumUnion, s, i)
+        val phaseBest = math.max(greedyAt(numOdd, s, i), greedyAt(numEven, s, i))
+        assert(phaseBest == unionBest, s"trial $trial input=$s i=$i")
+      }
     }
+  }
+
+  // --- locked exemplars of the formerly-deviant forms --------------------
+  test("leftmost-longest: digit-bearing multi-label hosts stay whole") {
+    assert(engine("a.b2.c.d") == Seq("a.b2.c.d")) // was "a.b2.c" + "d"
+    assert(engine("1.2-3") == Seq("1.2-3")) // NUM out-matches HOST's "1.2"
+  }
+
+  test("NUM is the exact six-alternative union (strict digit parity)") {
+    // [a, b1, 0, cd]: no parity class covers all segments; union longest
+    // is the 3-segment prefix — the factored superset kept all four
+    assert(engine("a.b1-0.cd") == Seq("a.b1-0", "cd"))
+    // [1, a, 2, 4, b]: even parity holds through "1-a-2-4" and dies at b
+    assert(engine("1-a-2-4-b") == Seq("1-a-2-4", "b"))
+    // alternating forms unchanged
+    assert(engine("1,000 2-3-4 12/25/2021 app2.v1,beta x_9") ==
+      Seq("1,000", "2-3-4", "12/25/2021", "app2.v1,beta", "x_9"))
+  }
+
+  test("ACRONYM_DEP: trailing-dot alnum runs consume the dot, emit without it") {
+    assert(engine("wow.com.") == Seq("wow.com"))
+    assert(engine("a1.b2. x") == Seq("a1.b2", "x"))
+    // the ACRONYM tie goes to ACRONYM: dots kept, including the last
+    assert(engine("a.b.c.") == Seq("a.b.c."))
+    assert(engine("i.b.m. ok") == Seq("i.b.m.", "ok"))
+  }
+
+  test("KOREAN is ALPHANUM-only: whole words, but no ALPHA forms") {
+    assert(engine("한국어") == Seq("한국어"))
+    assert(engine("a한b") == Seq("a한b")) // mixed ALPHANUM run stays whole
+    assert(engine("한'국") == Seq("한", "국")) // no Hangul apostrophe form
+    assert(engine("한.국.") == Seq("한.국")) // ACRONYM_DEP (AN-based) fires,
+    // ACRONYM (ALPHA-based) cannot
   }
 
   test("CJ codepoints tokenize one per char; other scripts stay whole") {
     assert(engine("漢字の本") == Seq("漢", "字", "の", "本"))
-    assert(engine("한국어 café naïve Яб") ==
-      Seq("한국어", "café", "naïve", "Яб")) // Hangul/Latin-1/Cyrillic words
-    assert(engine("abc漢def") == Seq("abc", "漢", "def")) // CJ breaks words
+    assert(engine("café naïve Яб") == Seq("café", "naïve", "Яб"))
+    assert(engine("abc漢def") == Seq("abc", "漢", "def"))
   }
 
   test("tokens over 255 chars are discarded, not split (ClassicTokenizer skip)") {
