@@ -99,6 +99,16 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // §2.7 WAND over tree queries: nested SHOULD-only groups are the flat
+    // OR in disguise (BoolQuery.prunableShape), so pruning stays enabled
+    // in tree mode and must stay rank-identical — the oracle is the flat
+    // BM25 ranking of the same term multisets (standard topics 1-2);
+    // WandSpec additionally asserts real skips on tree inputs
+    "q_wand_tree_topk" -> ((s, dir) => {
+      Engine.searcher(s, dir).searchQuery(wandTreeTopics, TopK, pruning = true)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // §2.5 paging (≙ SearchFiles 5-page prefetch): the second 5-hit page
     // of topic 1 — a rank slice of the BM25 ordering
     "q_page_topk" -> ((s, dir) => {
@@ -1022,6 +1032,15 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** Topics for the tree-mode WAND gate entry: nested SHOULD-only groups
+    * (prunable tree shapes) whose FLATTENED term multisets are exactly
+    * standard topics 1 and 2, so the oracle is the shared BM25 ranking
+    * restricted to those qids.
+    */
+  val wandTreeTopics: Seq[Topic] = Seq(
+    Topic("1", "hash | (join | merge)"),
+    Topic("2", "(fast | table) | scan"))
+
   /** Topics for the exact-phrase gate entry: a pure phrase query and a
     * phrase mixed with a loose OR term.
     */
@@ -1553,6 +1572,13 @@ object SparkEntry {
     "q_bm25_topk" -> Bm25TopkSql,
     // WAND is rank-identical to exhaustive BM25 by design — same oracle
     "q_wand_topk" -> Bm25TopkSql,
+    // tree-mode WAND: the SHOULD-only trees flatten to topics 1-2's term
+    // multisets, so the oracle is the same BM25 ranking sliced to them
+    "q_wand_tree_topk" -> withCtes(
+      s"""$Bm25RankedCtes
+         |SELECT qid, docno, rank FROM ranked
+         |WHERE rank < $TopK AND qid IN ('1', '2')
+         |ORDER BY qid, rank""".stripMargin),
     "q_page_topk" -> PageTopkSql,
     // classic-tokenized Porter-stemmed df: the FQCN-loaded tokenizer
     // replayed via the same recursive-CTE maximal-munch scanner as

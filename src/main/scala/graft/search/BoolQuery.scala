@@ -265,6 +265,21 @@ object BoolQuery {
       case leaf => leaf
     }
 
+  /** True when the tree is the flat OR in disguise: every node is a
+    * SHOULD-only BoolNode over plain term leaves (no MUST/MUST_NOT, no
+    * match-all constant). With a coord-free scorer, [[eval]] over such a
+    * tree is exactly the NaN-skipping sum of the matched leaf partials —
+    * the flat disjunctive score — so block-max WAND's seed threshold
+    * remains a valid lower bound and the Searcher keeps pruning enabled
+    * for these queries (Searcher.searchClauses gate).
+    */
+  def prunableShape(n: EvalNode): Boolean = n match {
+    case ELeaf(_) => true
+    case EConst(_) => false
+    case EBool(cs) =>
+      cs.nonEmpty && cs.forall { case (occ, c) => occ == 1 && prunableShape(c) }
+  }
+
   /** BooleanQuery-faithful recursive match + score: returns NaN for
     * "no match". A node matches when all MUST children match, no MUST_NOT
     * child matches, and — when there are no MUST children — at least one

@@ -204,7 +204,8 @@ final class Searcher(val index: BuiltIndex) {
     * [[searchClauses]]'s `negTerms`.
     */
   def searchQuery(topics: Seq[Topic], k: Int = 1000,
-                  scorerName: String = "bm25"): Dataset[RunLine] = {
+                  scorerName: String = "bm25",
+                  pruning: Boolean = false): Dataset[RunLine] = {
     import BoolQuery._
     // treeB is keyed by qid (last-wins): colliding qids would leave both
     // topics' clauses covered by one surviving TreeSpec (the uncovered-qid
@@ -266,9 +267,9 @@ final class Searcher(val index: BuiltIndex) {
       import spark.implicits._
       return spark.emptyDataset[RunLine]
     }
-    searchClauses(wc.result(), k, scorerName, phraseClauses = pc.result(),
-      expansionClauses = ec.result(), blendedClauses = bc.result(),
-      trees = trees)
+    searchClauses(wc.result(), k, scorerName, pruning = pruning,
+      phraseClauses = pc.result(), expansionClauses = ec.result(),
+      blendedClauses = bc.result(), trees = trees)
   }
 
   /** Analyzed, expanded highlight vocabulary of a query text: terms of
@@ -368,7 +369,8 @@ final class Searcher(val index: BuiltIndex) {
     * docid order (constant score + docid-asc tie-break mean only the k
     * smallest surviving docids can ever rank). Tree mode requires
     * `mode = "or"` and no `negTerms` (the tree carries its own
-    * negations), and disables WAND pruning.
+    * negations). WAND pruning stays on per-query for SHOULD-only term
+    * trees ([[BoolQuery.prunableShape]]) and auto-disables for the rest.
     */
   def searchClauses(clauses: Seq[WeightedClause], k: Int = 1000,
                     scorerName: String = "bm25",
@@ -399,16 +401,29 @@ final class Searcher(val index: BuiltIndex) {
         s"clauses reference qids without a TreeSpec: ${uncovered.mkString(", ")}")
     }
     val conjunctive = mode == "and"
-    // Pruning is sound only for pure disjunctive term scoring: exclusions
-    // (MUST_NOT terms or excluded docnos) remove docs AFTER the seed pass
-    // computed θ over the un-excluded stream, so the true kth score can
-    // fall below θ and blocks holding legitimate top-k docs would be
-    // silently skipped. Tree evaluation can reject or re-weight any subset
-    // (MUST groups, per-node coord), so the seed bound is invalid there too.
-    val prune = pruning && scorer.supportsPruning && !conjunctive &&
-      phraseClauses.isEmpty && expansionClauses.isEmpty &&
-      blendedClauses.isEmpty && negTerms.isEmpty && excludeDocnos.isEmpty &&
-      trees.isEmpty
+    // Pruning is sound per-QUERY only for pure disjunctive term scoring:
+    // exclusions (MUST_NOT terms or excluded docnos) remove docs AFTER the
+    // seed pass computed θ over the un-excluded stream, and phrase/
+    // expansion/blended partials are not covered by the term block bounds,
+    // so the true kth score of such a query could beat θ inside a skipped
+    // block. Those qids simply get no θ (every block stays alive for
+    // them); clean disjunctive qids in the same batch still prune. A TREE
+    // query prunes iff its tree is the flat OR in disguise — SHOULD-only
+    // over plain term leaves, no match-all constant
+    // (BoolQuery.prunableShape): with a coord-free scorer (implied by
+    // scorer.supportsPruning) its evaluation is exactly the NaN-skipping
+    // sum of leaf partials, so the seed lower bound stays valid. MUST /
+    // MUST_NOT / match-all / coord can reject or re-weight subsets, and
+    // those trees remain unprunable.
+    val unprunableQids: Set[String] =
+      (phraseClauses.map(_.qid) ++ expansionClauses.map(_.qid) ++
+        blendedClauses.map(_.qid) ++ negTerms.map(_._1) ++
+        excludeDocnos.keys ++
+        trees.collect { case (qid, ts) if !BoolQuery.prunableShape(ts.root) => qid }).toSet
+    val pruneQids: Set[String] =
+      if (!pruning || !scorer.supportsPruning || conjunctive) Set.empty
+      else clauses.map(_.qid).filterNot(unprunableQids).toSet
+    val prune = pruneQids.nonEmpty
 
     // Resolve excluded docnos → docids (tiny point lookup on the doc table,
     // ≙ the reference's docno TermQuery lookups §2.3).
@@ -539,10 +554,12 @@ final class Searcher(val index: BuiltIndex) {
     // Sound because scores are monotone ↑tf ↓dl and pruning is strict (<).
     val theta: Map[String, Float] =
       if (!prune) Map.empty
-      else seedThresholds(clauses, dfs, k, scorer, stats, qnByQid)
+      else seedThresholds(clauses.filter(c => pruneQids(c.qid)), dfs, k,
+        scorer, stats, qnByQid)
     val (boostSum, othersSum) =
       if (!prune || theta.isEmpty) (Map.empty[(String, String), Float], Map.empty[(String, String), Float])
-      else wandBounds(posts, plan, clauses, qnByQid, scorer, stats)
+      else wandBounds(posts, plan, clauses.filter(c => pruneQids(c.qid)),
+        qnByQid, scorer, stats)
 
     val decodedAcc = spark.sparkContext.longAccumulator("wand_blocks_decoded")
     val prunedAcc = spark.sparkContext.longAccumulator("wand_blocks_pruned")

@@ -63,6 +63,49 @@ class WandSpec extends AnyFunSuite {
     assert(prunedN > 0, s"expected pruned blocks, got decoded=$decoded pruned=$prunedN")
   }
 
+  test("tree-mode pruning: SHOULD-only trees rank-identical with real skips") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("wandt")
+    val idx = IndexBuilder.build(wandCorpus.toDF("docno", "content"), dir,
+      IndexConfig(analyzer = AnalyzerConfig(), groupShift = 4, mergeShift = 1,
+        rangePartitions = 2))
+    val s = new Searcher(idx)
+    // nested SHOULD-only groups: prunable shape (the flat OR in disguise)
+    val topics = Seq(
+      Topic("t1", "needle | (hot | w1)"),
+      Topic("t2", "(needle | hot)"))
+    for (k <- Seq(3, 10)) {
+      val exhaustive = s.searchQuery(topics, k).collect().toSeq
+      val pruned = s.searchQuery(topics, k, pruning = true).collect().toSeq
+      assert(pruned == exhaustive, s"k=$k")
+    }
+    // and blocks actually skip for the selective small-k tree query (t1's
+    // w1 leaf has df < k, so ITS seed pass yields no threshold — by
+    // design; t2's needle seed clears k and prunes hot blocks)
+    s.searchQuery(Seq(Topic("t2", "(needle | hot)")), 3,
+      pruning = true).count()
+    val (decoded, prunedN) = s.lastPruning
+    assert(prunedN > 0, s"expected pruned blocks, got decoded=$decoded pruned=$prunedN")
+  }
+
+  test("tree-mode pruning auto-disables per-query for non-SHOULD-only trees") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("wandm")
+    val idx = IndexBuilder.build(wandCorpus.toDF("docno", "content"), dir,
+      IndexConfig(analyzer = AnalyzerConfig(), groupShift = 4, mergeShift = 1,
+        rangePartitions = 2))
+    val s = new Searcher(idx)
+    // MUST tree, negation (match-all wrap), and a prunable sibling in one
+    // batch: the sibling prunes, the others must stay exact
+    val topics = Seq(
+      Topic("m1", "needle + hot"),
+      Topic("m2", "hot -needle"),
+      Topic("m3", "needle | (hot | w2)"))
+    val a = s.searchQuery(topics, 5).collect().toSeq
+    val b = s.searchQuery(topics, 5, pruning = true).collect().toSeq
+    assert(a == b)
+  }
+
   test("pruning is a no-op for scorers that do not support it (coord)") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("wandc")
