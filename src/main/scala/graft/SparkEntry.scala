@@ -376,6 +376,21 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // IVF TRAINING end-to-end (ops.Knn.ivfTrain): two spherical-k-means
+    // rounds over 8 seed centroids, bit-deterministic by construction
+    // (in-row IEEE folds + integer fixed-point cross-row sums), replayed
+    // EXACTLY by the unrolled oracle — no tolerance, no margin
+    // preconditions; output = the trained quantizer's components
+    "q_ivf_train" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = ops.Knn.ivfTrain(emb, 8, iters = 2)
+      import s.implicits._
+      cents.toDF("cid", "cv")
+        .select(col("cid"), posexplode(col("cv")))
+        .select(col("cid"), col("pos").cast("long").as("pos"),
+          col("col").as("comp"))
+        .orderBy("cid", "pos")
+    }),
     // Structured-Streaming ingest end-to-end: the corpus arrives as two
     // file-source micro-batches (AvailableNow), each becoming an immutable
     // delta index; BM25 over the UnionIndex is float-identical to a
@@ -1040,6 +1055,57 @@ object SparkEntry {
   val wandTreeTopics: Seq[Topic] = Seq(
     Topic("1", "hash | (join | merge)"),
     Topic("2", "(fast | table) | scan"))
+
+  /** Bit-exact DuckDB replay of [[graft.ops.Knn.ivfTrain]] (see its
+    * scaladoc): every double is produced by the same left-to-right IEEE
+    * operation chain the engine's folds execute — per-vector norms and
+    * dots as explicit chained sums, assignment argmax by `dot × 1/|c|`
+    * with the strict lowest-cid tie-break, unit components quantized to
+    * the 2^24 fixed-point grid (round-half-away-from-zero on both
+    * engines), integer cross-row sums, and the `((Σf / 2^24) / n)` mean
+    * cast to float — so no tolerance or assignment-margin precondition is
+    * needed anywhere. Training rounds are unrolled (the gate entry's
+    * `iters` is a constant). Empty cells keep the previous centroid via
+    * the LEFT JOIN + coalesce.
+    */
+  private def ivfTrainSql(nCents: Int, iters: Int, dims: Int): String = {
+    def dot(a: String, b: String): String =
+      (1 to dims).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+        .mkString("0.0 + ", " + ", "")
+    val rounds = (1 to iters).map { r =>
+      s"""inv$r AS (SELECT cid, cv,
+         |    CASE WHEN n2 = 0.0 THEN 0.0 ELSE 1.0 / sqrt(n2) END AS ic
+         |  FROM (SELECT cid, cv, ${dot("cv", "cv")} AS n2 FROM cents${r - 1})),
+         |asn$r AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY (${dot("e.embedding", "c.cv")}) * c.ic DESC,
+         |                      c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN inv$r c) WHERE rn = 1),
+         |sums$r AS (SELECT a.cid, u.pos, sum(u.f) AS s, count(*) AS n
+         |  FROM asn$r a JOIN uu u USING (vec_id) GROUP BY 1, 2),
+         |newc$r AS (SELECT cid,
+         |    list(CAST((CAST(s AS DOUBLE) / 16777216.0) / CAST(n AS DOUBLE) AS FLOAT)
+         |         ORDER BY pos) AS cv
+         |  FROM sums$r GROUP BY cid),
+         |cents$r AS (SELECT p.cid, coalesce(nc.cv, p.cv) AS cv
+         |  FROM cents${r - 1} p LEFT JOIN newc$r nc USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cents0 AS (SELECT vec_id AS cid, embedding AS cv
+       |  FROM embeddings WHERE vec_id < $nCents),
+       |nv AS (SELECT vec_id, embedding, sqrt(n2) AS nrm
+       |  FROM (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+       |        FROM embeddings)),
+       |uu AS (SELECT vec_id, pos,
+       |              round(CAST(embedding[pos] AS DOUBLE) / nrm * 16777216.0)::BIGINT AS f
+       |  FROM (SELECT vec_id, embedding, nrm, unnest(range(1, ${dims + 1})) AS pos
+       |        FROM nv WHERE nrm > 0.0)),
+       |$rounds,
+       |outp AS (SELECT cid, unnest(range(1, ${dims + 1})) AS p FROM cents$iters)
+       |SELECT o.cid, (o.p - 1)::BIGINT AS pos, c.cv[o.p] AS comp
+       |FROM outp o JOIN cents$iters c USING (cid)
+       |ORDER BY cid, pos""".stripMargin
+  }
 
   /** Topics for the exact-phrase gate entry: a pure phrase query and a
     * phrase mixed with a loose OR term.
@@ -1873,6 +1939,9 @@ object SparkEntry {
     // IVF replay: nearest-centroid assignment (cos desc, cid asc — the
     // engine's ascending-cid fold keeps the lowest cid on exact ties),
     // top-2 probed cells per query, exact cosine re-rank inside them.
+    // the unrolled bit-exact training replay — no preconditions needed
+    // (every double comes from the same IEEE op chain as the engine's)
+    "q_ivf_train" -> ivfTrainSql(nCents = 8, iters = 2, dims = 64),
     // FIXTURE PRECONDITIONS (Knn.ivfCellExpr ranks by dot(e,c)/|c| in
     // double while list_cosine_similarity divides by both norms and rounds
     // differently): (a) no zero-norm embeddings — the engine assigns them

@@ -192,6 +192,14 @@ object Knn {
       .as[(Long, Seq[Float])].collect().toSeq
   }
 
+  /** Fixed-point scale for [[ivfTrain]]'s cross-row component sums: unit
+    * components land on a 2^-24 grid (~6e-8 resolution — far below any
+    * coarse-quantizer cell geometry) so the per-cell sum is an exact
+    * integer sum, associative and therefore identical under ANY
+    * partitioning.
+    */
+  val TrainFixScale: Double = 16777216.0 // 2^24
+
   /** Spherical-k-means refinement of the seed quantizer (Dhillon/Modha,
     * Machine Learning 42, 2001): `iters` rounds of assign-to-nearest-by-
     * cosine + dim-wise mean of the DIRECTION-normalized members — the
@@ -199,27 +207,41 @@ object Knn {
     * (an unnormalized mean would not, with heterogeneous vector norms).
     * Train on a sample at scale — the quantizer only needs the density
     * shape, not every row. Empty cells and cells of only zero-norm vectors
-    * keep their previous centroid (standard practice). Means are
-    * floating-point sums whose order Spark does not fix, so trained
-    * centroids are deterministic only up to ulps — the gate entry therefore
-    * certifies the `iters = 0` seed path and OpsSpec locks the training
-    * invariants (cell count, assignment improvement).
+    * keep their previous centroid (standard practice).
+    *
+    * BIT-DETERMINISTIC by construction: every per-row quantity (norm, unit
+    * component) is a fixed left-to-right IEEE fold, and the only cross-row
+    * reduction is an integer SUM of unit components quantized to the
+    * [[TrainFixScale]] grid (round-half-away-from-zero) — so the trained
+    * quantizer is the same bits on one executor or a thousand, regardless
+    * of partitioning or reduce order. That is what lets q_ivf_train replay
+    * the full training loop in DuckDB exactly: the oracle unrolls the
+    * rounds with the same chained-IEEE expressions (assignment argmax by
+    * dot×1/|c|, strict tie-break to the lowest cid) and the same integer
+    * mean `((Σf / 2^24) / n)` cast to float. The 2^-24 quantization
+    * perturbs the update by ≤6e-8 per component — invisible next to the
+    * quantizer's cell geometry; OpsSpec locks the assignment-improvement
+    * and partitioning-invariance properties.
     */
   def ivfTrain(vectors: DataFrame, nCentroids: Int, iters: Int): Seq[(Long, Seq[Float])] = {
     val spark = vectors.sparkSession
     import spark.implicits._
     var cents = ivfSeedCentroids(vectors, nCentroids)
-    val norm = sqrt(aggregate(
+    val nrm = sqrt(aggregate(
       transform(col("embedding"), v => v.cast("double") * v.cast("double")),
       lit(0.0), (a, v) => a + v))
-    val unit = transform(col("embedding"), v => v.cast("double") / norm)
+    val unit = transform(col("embedding"), v => v.cast("double") / nrm)
     for (_ <- 0 until iters) {
       val means = vectors
-        .where(norm > 0.0)
+        .where(nrm > 0.0)
         .select(ivfCellExpr(col("embedding"), cents).as("cid"), posexplode(unit))
-        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .select(col("cid"), col("pos"),
+          round(col("col") * lit(TrainFixScale)).cast("long").as("f"))
+        .groupBy("cid", "pos")
+        .agg(sum("f").as("s"), count(lit(1)).as("n"))
         .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          ((col("s").cast("double") / lit(TrainFixScale)) / col("n").cast("double")).as("m")))),
           x => x.getField("m").cast("float")).as("cv"))
         .as[(Long, Seq[Float])].collect().toMap
       cents = cents.map { case (cid, cv) => cid -> means.getOrElse(cid, cv) }

@@ -160,6 +160,19 @@ class OpsSpec extends AnyFunSuite {
     assert(meanAssignCos(trained) >= meanAssignCos(seed) - 1e-9)
   }
 
+  test("ivf training is bit-deterministic under any partitioning") {
+    // the headline property behind the q_ivf_train exact oracle: in-row
+    // IEEE folds + integer fixed-point cross-row sums make the trained
+    // quantizer the same BITS regardless of partition count or reduce
+    // order (Knn.ivfTrain scaladoc)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Knn.ivfTrain(emb.repartition(7), 8, iters = 2)
+    val b = Knn.ivfTrain(emb.repartition(3), 8, iters = 2)
+    val c = Knn.ivfTrain(emb.coalesce(1), 8, iters = 2)
+    assert(a == b)
+    assert(a == c)
+  }
+
   test("dup clusters: chain components converge, singletons keep, cap is loud") {
     import spark.implicits._
     val corpus = Seq("a", "b", "c", "d", "e", "f").map(_ -> "x").toDF("docno", "content")
