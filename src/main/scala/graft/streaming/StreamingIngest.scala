@@ -89,17 +89,27 @@ object StreamingIngest {
     val upto = (prev.map(_._1).toSeq ++ newBatches.map(_._1)).max
     val out = s"${compactedRoot(rootDir)}/upto_$upto"
     val cfg = BuiltIndex.open(spark, dirs.head).cfg.copy(docidEpoch = 0)
-    Some(graft.index.SegmentMerger.compactIndexes(spark, dirs, out, cfg))
+    val built = graft.index.SegmentMerger.compactIndexes(spark, dirs, out, cfg)
+    // the searchable set changed: publish the post-compaction snapshot
+    // (recomputed from a fresh listing, so a batch that completed while the
+    // compaction ran is included next to it, never dropped)
+    SnapshotManifest.publish(spark, rootDir, searchableDirs(spark, rootDir))
+    Some(built)
   }
 
   /** Build one micro-batch's delta index (also usable directly for testing
     * or manual backfill). Epoch = batchId + 1 keeps epoch 0 = batch builds.
+    * Publishes the next snapshot manifest version once the delta is live
+    * ([[SnapshotManifest]] — the searchable set changed).
     */
   def ingestBatch(batch: DataFrame, batchId: Long, rootDir: String,
                   cfg: IndexConfig): BuiltIndex = {
     require(batchId + 1 < (1 << 11), "batch id exceeds the docid epoch space")
-    IndexBuilder.build(batch, s"${batchesDir(rootDir)}/batch_$batchId",
+    val built = IndexBuilder.build(batch, s"${batchesDir(rootDir)}/batch_$batchId",
       cfg.copy(docidEpoch = (batchId + 1).toInt))
+    SnapshotManifest.publish(batch.sparkSession, rootDir,
+      searchableDirs(batch.sparkSession, rootDir))
+    built
   }
 
   /** Start the stream: every arriving parquet file under `sourceDir`
@@ -131,11 +141,17 @@ object StreamingIngest {
       .start()
   }
 
-  /** Open the union of the searchable delta set under `rootDir` — the
-    * newest compaction plus the batch deltas it does not cover.
+  /** Open the union of the searchable delta set under `rootDir` — resolved
+    * ONCE from the latest snapshot manifest ([[SnapshotManifest]]), so the
+    * returned handle is PINNED: a concurrent compaction (which only adds
+    * dirs and manifest versions) cannot change or break it, and it stays
+    * valid until [[SnapshotManifest.gc]]'s grace period expires. Roots
+    * that predate manifests fall back to the directory-listing resolution
+    * (the newest compaction plus the batch deltas it does not cover).
     */
   def openUnion(spark: SparkSession, rootDir: String): UnionIndex = {
-    val dirs = searchableDirs(spark, rootDir)
+    val dirs = SnapshotManifest.latest(spark, rootDir).map(_.dirs)
+      .getOrElse(searchableDirs(spark, rootDir))
     require(dirs.nonEmpty, s"no completed batches under $rootDir")
     val first = BuiltIndex.open(spark, dirs.head)
     new UnionIndex(spark, dirs, first.cfg.copy(docidEpoch = 0))

@@ -111,6 +111,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(union5.stats.max_doc == 7)
   }
 
+  test("snapshot isolation: a pinned reader survives concurrent compaction " +
+    "and grace-period GC; expired dirs are reclaimed") {
+    import spark.implicits._
+    import graft.streaming.SnapshotManifest
+    val root = TestSpark.tmpDir("snap-root")
+    StreamingIngest.ingestBatch(batch1.toDF("docno", "content"), 0, root, cfg)
+    StreamingIngest.ingestBatch(batch2.toDF("docno", "content"), 1, root, cfg)
+    StreamingIngest.ingestBatch(batch3.toDF("docno", "content"), 2, root, cfg)
+
+    val topics = Seq(Topic("1", "process data streams"), Topic("2", "batch engine"))
+    def run(u: graft.streaming.UnionIndex) = new Searcher(u).search(topics, 10)
+      .collect().sortBy(r => (r.qid, r.rank))
+      .map(r => (r.qid, r.docno, r.rank, r.score)).toSeq
+
+    // pin a reader on the pre-compaction snapshot (v3: three deltas)
+    val pinned = StreamingIngest.openUnion(spark, root)
+    assert(pinned.dirs.size == 3)
+    val pre = run(pinned)
+
+    // compact CONCURRENTLY with the pinned reader's lifetime, then GC with
+    // a long grace: the pinned snapshot's dirs must survive
+    assert(StreamingIngest.compact(spark, root).nonEmpty)
+    assert(SnapshotManifest.gc(spark, root, graceMs = 60 * 60 * 1000L).isEmpty)
+    val during = run(pinned) // re-runs the SAME pinned plan, post-compaction
+    assert(during == pre, "pinned reader must keep its snapshot answer")
+
+    // a NEW reader resolves the post-compaction manifest and agrees
+    // float-identically (compaction preserves scores)
+    val fresh = StreamingIngest.openUnion(spark, root)
+    assert(fresh.dirs.size == 1)
+    assert(run(fresh) == pre)
+
+    // grace 0: superseded manifests expire, covered deltas are reclaimed —
+    // bounded storage for an unbounded stream
+    val deleted = SnapshotManifest.gc(spark, root, graceMs = 0L)
+    assert(deleted.size == 3, s"expected the 3 covered deltas gone: $deleted")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    deleted.foreach(d =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(d)), s"$d not deleted"))
+    // the latest manifest (and the compaction it references) still serve
+    // readers — both the manifest path and the listing fallback
+    val after = StreamingIngest.openUnion(spark, root)
+    assert(after.dirs.size == 1)
+    assert(run(after) == pre)
+    assert(StreamingIngest.searchableDirs(spark, root)
+      .map(_.stripPrefix("file:")) == after.dirs)
+
+    // a batch newer than the compaction watermark is NEVER reclaimed, even
+    // at grace 0 and before any manifest lists it
+    StreamingIngest.ingestBatch(
+      Seq("s-08" -> "straggler data").toDF("docno", "content"), 3, root, cfg)
+    assert(SnapshotManifest.gc(spark, root, graceMs = 0L).isEmpty)
+    assert(StreamingIngest.openUnion(spark, root).dirs.size == 2)
+  }
+
   test("compactEvery wires periodic compaction into the stream itself") {
     val src = TestSpark.tmpDir("autocompact-src")
     val root = TestSpark.tmpDir("autocompact-root")
