@@ -227,24 +227,81 @@ object Knn {
     val spark = vectors.sparkSession
     import spark.implicits._
     var cents = ivfSeedCentroids(vectors, nCentroids)
-    val nrm = sqrt(aggregate(
-      transform(col("embedding"), v => v.cast("double") * v.cast("double")),
-      lit(0.0), (a, v) => a + v))
-    val unit = transform(col("embedding"), v => v.cast("double") / nrm)
+    if (iters == 0) return cents
+    // ONE narrow typed pass per round: each partition accumulates integer
+    // component sums per cell and emits ≤ nCentroids rows; the driver
+    // merge is a bounded integer fold (associative — partitioning cannot
+    // change the bits). This replaces a per-round plan with giant literal
+    // folds + posexplode + two groupBys, whose Catalyst planning/codegen
+    // cost dwarfed the arithmetic at any gate scale. Every double below
+    // follows the exact IEEE chains documented above (and replayed by the
+    // oracle): left-to-right norm/dot folds, u = v/|v|, HALF_UP
+    // (away-from-zero) rounding of u × 2^24 via exact BigDecimal — the
+    // same semantics as Spark's `round` and DuckDB's `round`.
+    val emb = vectors.select(col("embedding")).as[Seq[Float]]
     for (_ <- 0 until iters) {
-      val means = vectors
-        .where(nrm > 0.0)
-        .select(ivfCellExpr(col("embedding"), cents).as("cid"), posexplode(unit))
-        .select(col("cid"), col("pos"),
-          round(col("col") * lit(TrainFixScale)).cast("long").as("f"))
-        .groupBy("cid", "pos")
-        .agg(sum("f").as("s"), count(lit(1)).as("n"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"),
-          ((col("s").cast("double") / lit(TrainFixScale)) / col("n").cast("double")).as("m")))),
-          x => x.getField("m").cast("float")).as("cv"))
-        .as[(Long, Seq[Float])].collect().toMap
-      cents = cents.map { case (cid, cv) => cid -> means.getOrElse(cid, cv) }
+      val centArr = cents.toArray // ascending cid (seed order)
+      val inv = centArr.map { case (_, cv) =>
+        val n2 = cv.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+        if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
+      }
+      val partials: Array[(Int, Array[Long], Long)] = emb.mapPartitions { it =>
+        val nC = centArr.length
+        val sums = Array.ofDim[Array[Long]](nC)
+        val counts = new Array[Long](nC)
+        it.foreach { vec =>
+          val v = vec.toArray
+          var n2 = 0.0
+          var i = 0
+          while (i < v.length) { val d = v(i).toDouble; n2 += d * d; i += 1 }
+          if (n2 > 0.0) {
+            val nrm = math.sqrt(n2)
+            // argmax by dot × 1/|c|, strict >, ascending cid (ivfCellExpr)
+            var best = -1
+            var bestScore = Double.NegativeInfinity
+            var c = 0
+            while (c < nC) {
+              val cv = centArr(c)._2
+              var dot = 0.0
+              var j = 0
+              while (j < v.length) { dot += v(j).toDouble * cv(j).toDouble; j += 1 }
+              val score = dot * inv(c)
+              if (score > bestScore) { bestScore = score; best = c }
+              c += 1
+            }
+            if (sums(best) == null) sums(best) = new Array[Long](v.length)
+            val s = sums(best)
+            counts(best) += 1
+            var k = 0
+            while (k < v.length) {
+              val x = (v(k).toDouble / nrm) * TrainFixScale
+              s(k) += new java.math.BigDecimal(x)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+              k += 1
+            }
+          }
+        }
+        (0 until nC).iterator.collect {
+          case c if counts(c) > 0 => (c, sums(c), counts(c))
+        }
+      }.collect()
+      val merged = scala.collection.mutable.HashMap.empty[Int, (Array[Long], Long)]
+      partials.foreach { case (c, s, n) =>
+        merged.get(c) match {
+          case Some((acc, cnt)) =>
+            var k = 0
+            while (k < acc.length) { acc(k) += s(k); k += 1 }
+            merged.update(c, (acc, cnt + n))
+          case None => merged.update(c, (s.clone(), n))
+        }
+      }
+      cents = centArr.toSeq.zipWithIndex.map { case ((cid, cv), c) =>
+        merged.get(c) match {
+          case Some((s, n)) =>
+            cid -> s.toSeq.map(f => ((f.toDouble / TrainFixScale) / n.toDouble).toFloat)
+          case None => cid -> cv // empty cell keeps its previous centroid
+        }
+      }
     }
     cents
   }
