@@ -837,6 +837,30 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // TWO chained feedback rounds (expand → filter → re-expand) through the
+    // same pre/post-processor seams the reference's chained declarations
+    // permit (BatchSearch.java:204-249): round 1 is the explicit-feedback
+    // search; its top-3 docs feed back as pseudo-relevant, the M1 model
+    // rebuilds over 5 relevants + 2 non-relevants, and round 2 searches
+    // with all 7 feedback docs anti-filtered. The oracle replays BOTH
+    // rounds, reproducing the model's per-term accumulation as an explicit
+    // left-associative chain in document order (feedback fold order is
+    // part of the double arithmetic, so an unordered SQL SUM would drift)
+    "q_feedback2_topk" -> ((s, dir) => {
+      import s.implicits._
+      val searcher = Engine.searcher(s, dir)
+      val corp = corpus.Corpus.fromDocuments(s, dir)
+      val round1 = graft.search.Feedback.searchWithFeedback(searcher, corp,
+        "1", feedbackDocs, FeedbackTopTerms, TopK)
+      val pseudo = round1.filter(_.rank < Feedback2Pseudo).collect()
+        .sortBy(_.rank).map(_.docno).toSeq
+      val docs2 = feedbackDocs ++ pseudo.map(d =>
+        graft.search.Feedback.FeedbackDoc(relevant = true, Some(d), None))
+      graft.search.Feedback.searchWithFeedback(searcher, corp, "1", docs2,
+        FeedbackTopTerms, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // sloppy phrase retrieval `"…"~N` (SimpleQueryParser NEAR): anchor-slot
     // occurrences whose other slots all fall within ±slop of their expected
     // positions, each weighted by the reference's 1/(matchLength+1) slop
@@ -960,6 +984,11 @@ object SparkEntry {
     graft.search.Feedback.FeedbackDoc(relevant = false, Some("doc-00000002"), None),
     graft.search.Feedback.FeedbackDoc(relevant = false, Some("doc-00000003"), None))
   val FeedbackTopTerms = 8
+
+  /** Round-2 pseudo-relevant depth for the chained-feedback gate entry:
+    * the top 3 docs of the round-1 expanded search feed back as relevant.
+    */
+  val Feedback2Pseudo = 3
 
   /** Topics for the sloppy-phrase gate entry: a pure `~N` phrase and one
     * mixed with a loose OR term (the reversed "join hash" order needs the
@@ -2537,6 +2566,84 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // chained two-round feedback: round 1 = the q_feedback_topk replay;
+    // its top-3 docs join the relevant set; the round-2 model reproduces
+    // the engine's per-term accumulation as an explicit left-associative
+    // chain in document order (fold order is part of the double
+    // arithmetic: relevants doc-00000000, doc-00000001, then the three
+    // pseudo docs in rank order; non-relevants doc-00000002, doc-00000003)
+    "q_feedback2_topk" -> withCtes(
+      s""",
+         |$FeedbackCte,
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |scored1 AS (
+         |  SELECT f.docno,
+         |         sum(w.weight * ((1.2 + 1.0) * f.tf)
+         |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
+         |  FROM (SELECT term, weight FROM fsel WHERE rn <= $FeedbackTopTerms) w
+         |  JOIN tf f ON f.term = w.term
+         |  JOIN dl d ON d.docno = f.docno
+         |  JOIN df v ON v.term = w.term
+         |  CROSS JOIN st
+         |  WHERE f.docno NOT IN ('doc-00000000', 'doc-00000001',
+         |                        'doc-00000002', 'doc-00000003')
+         |  GROUP BY f.docno
+         |),
+         |ranked1 AS (SELECT docno,
+         |                   row_number() OVER (ORDER BY score DESC, docno ASC) - 1 AS rank
+         |            FROM scored1),
+         |xv AS (SELECT f.docno, f.term,
+         |              CAST(f.tf AS DOUBLE) / CAST(d.dl AS DOUBLE) AS x
+         |       FROM tf f JOIN dl d USING (docno)),
+         |rel5 AS (SELECT 'doc-00000000' AS docno UNION ALL
+         |         SELECT 'doc-00000001' UNION ALL
+         |         SELECT docno FROM ranked1 WHERE rank < $Feedback2Pseudo),
+         |cterm AS (SELECT DISTINCT term FROM xv
+         |          WHERE docno IN (SELECT docno FROM rel5)),
+         |w2 AS (SELECT t.term,
+         |    (3 * (((((coalesce(r0.x, 0) + coalesce(r1.x, 0)) + coalesce(p0.x, 0))
+         |            + coalesce(p1.x, 0)) + coalesce(p2.x, 0)) + 0.001))
+         |    / (6 * ((coalesce(n0.x, 0) + coalesce(n1.x, 0)) + 0.001)) AS weight
+         |  FROM cterm t
+         |  LEFT JOIN xv r0 ON r0.term = t.term AND r0.docno = 'doc-00000000'
+         |  LEFT JOIN xv r1 ON r1.term = t.term AND r1.docno = 'doc-00000001'
+         |  LEFT JOIN xv p0 ON p0.term = t.term
+         |    AND p0.docno = (SELECT docno FROM ranked1 WHERE rank = 0)
+         |  LEFT JOIN xv p1 ON p1.term = t.term
+         |    AND p1.docno = (SELECT docno FROM ranked1 WHERE rank = 1)
+         |  LEFT JOIN xv p2 ON p2.term = t.term
+         |    AND p2.docno = (SELECT docno FROM ranked1 WHERE rank = 2)
+         |  LEFT JOIN xv n0 ON n0.term = t.term AND n0.docno = 'doc-00000002'
+         |  LEFT JOIN xv n1 ON n1.term = t.term AND n1.docno = 'doc-00000003'),
+         |fsel2 AS (SELECT term, weight,
+         |                 row_number() OVER (ORDER BY weight DESC, term DESC) AS rn
+         |          FROM w2),
+         |scored2 AS (
+         |  SELECT f.docno,
+         |         sum(w.weight * ((1.2 + 1.0) * f.tf)
+         |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
+         |  FROM (SELECT term, weight FROM fsel2 WHERE rn <= $FeedbackTopTerms) w
+         |  JOIN tf f ON f.term = w.term
+         |  JOIN dl d ON d.docno = f.docno
+         |  JOIN df v ON v.term = w.term
+         |  CROSS JOIN st
+         |  WHERE f.docno NOT IN ('doc-00000000', 'doc-00000001',
+         |                        'doc-00000002', 'doc-00000003')
+         |    AND f.docno NOT IN (SELECT docno FROM ranked1
+         |                        WHERE rank < $Feedback2Pseudo)
+         |  GROUP BY f.docno
+         |),
+         |ranked2 AS (SELECT '1' AS qid, docno,
+         |                   row_number() OVER (ORDER BY score DESC, docno ASC) - 1 AS rank
+         |            FROM scored2)
+         |SELECT qid, docno, rank FROM ranked2 WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
     // sloppy-phrase replay: anchor = first phrase slot; ml = the other
     // slot's NEAREST-position distance from its expected raw position (raw

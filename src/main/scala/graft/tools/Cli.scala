@@ -38,10 +38,30 @@ object Cli {
       .getOrCreate()
     // On a submitted cluster size the shuffle width to the cluster, not
     // to the 200 default — unless the operator pinned it via --conf.
+    // defaultParallelism read right after getOrCreate can see only the
+    // driver (executors not yet registered → 2, which would cap shuffle
+    // width for the whole session; AQE coalesces down, never up), so
+    // prefer the REQUESTED resources and otherwise wait briefly for
+    // executor registration before sampling.
     if (externalMaster &&
-        !s.sparkContext.getConf.contains("spark.sql.shuffle.partitions"))
+        !s.sparkContext.getConf.contains("spark.sql.shuffle.partitions")) {
+      val conf = s.sparkContext.getConf
+      val requested = for {
+        inst <- conf.getOption("spark.executor.instances").flatMap(_.toIntOption)
+        cores <- conf.getOption("spark.executor.cores").flatMap(_.toIntOption)
+      } yield inst * cores
+      val width = requested.getOrElse {
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        var dp = s.sparkContext.defaultParallelism
+        while (dp <= 2 && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          dp = s.sparkContext.defaultParallelism
+        }
+        dp
+      }
       s.conf.set("spark.sql.shuffle.partitions",
-        math.max(s.sparkContext.defaultParallelism * 2, 4).toString)
+        math.max(width * 2, 4).toString)
+    }
     s.sparkContext.setLogLevel("WARN")
     s
   }
