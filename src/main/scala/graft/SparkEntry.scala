@@ -556,6 +556,23 @@ object SparkEntry {
           col("fp").cast("long").as("fp"))
         .orderBy("docno", "pos")
     }),
+    // training-pipeline op: benchmark DECONTAMINATION — n-gram overlap
+    // flags against a deterministic eval set synthesized from the corpus
+    // itself (every 50th doc's first-12-token prefix simulates a leaked
+    // benchmark item); a doc is contaminated at ≥5 distinct shared
+    // analyzed 3-grams with any single item; corpus-side = one shingle
+    // pass, benchmark side broadcasts
+    "q_decontam" -> ((s, dir) => {
+      val corp = corpus.Corpus.fromDocuments(s, dir)
+      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+      val bench = corp
+        .where(pmod(substring(col("docno"), 5, 8).cast("int"), lit(50)) === 7)
+        .select(col("docno").as("bench_id"),
+          array_join(slice(filter(split(col("content"), "\\s+"),
+            t => t =!= ""), 1, 12), " ").as("text"))
+      ops.Decontaminate.contaminationFlags(corp, bench, an, n = 3, minShared = 5)
+        .orderBy("docno")
+    }),
     // training-pipeline op: embedding-cosine near-dup pairs via sign-LSH
     // blocking + exact cosine verify
     "q_emb_neardup" -> ((s, dir) => {
@@ -1765,6 +1782,41 @@ object SparkEntry {
          |$ShingleCte,
          |$MinHashCte
          |SELECT docno_a, docno_b FROM cand ORDER BY docno_a, docno_b""".stripMargin,
+    // decontamination replay: the benchmark set is every 50th doc's
+    // first-12-raw-token prefix; both sides shingle through the shared
+    // analyzed-3-gram construction (ShingleCte ≡ Dedup.shingles);
+    // argmax = shared desc, bench_id asc; no-overlap docs report 0/''
+    "q_decontam" ->
+      s"""WITH $CorpusCte,
+         |$ShingleCte,
+         |bsel AS (SELECT docno AS bench_id,
+         |                array_to_string(list_slice(list_filter(
+         |                  string_split_regex(content, '\\s+'), t -> t <> ''),
+         |                  1, 12), ' ') AS btext
+         |         FROM corpus
+         |         WHERE (CAST(substr(docno, 5) AS INT) % 50) = 7),
+         |bshdoc AS (SELECT bench_id,
+         |                  list_filter(string_split_regex(lower(btext), '\\s+'),
+         |                              t -> t <> '' AND t NOT IN ('a', 'the')) AS toks
+         |           FROM bsel),
+         |bsh AS (SELECT DISTINCT bench_id, shingle FROM (
+         |          SELECT bench_id,
+         |                 unnest(list_transform(range(1, len(toks) - 1),
+         |                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+         |          FROM bshdoc WHERE len(toks) >= 3)),
+         |m AS (SELECT s.docno, b.bench_id, count(*) AS shared
+         |      FROM sh s JOIN bsh b USING (shingle) GROUP BY 1, 2),
+         |best AS (SELECT docno, shared, bench_id FROM (
+         |           SELECT docno, shared, bench_id,
+         |                  row_number() OVER (PARTITION BY docno
+         |                    ORDER BY shared DESC, bench_id ASC) AS rn
+         |           FROM m) WHERE rn = 1)
+         |SELECT c.docno,
+         |       coalesce(b.shared, 0) >= 5 AS contaminated,
+         |       coalesce(b.shared, 0)::BIGINT AS n_shared,
+         |       coalesce(b.bench_id, '') AS bench_id
+         |FROM corpus c LEFT JOIN best b USING (docno)
+         |ORDER BY docno""".stripMargin,
     "q_neardup" ->
       s"""WITH $CorpusCte,
          |$ShingleCte,

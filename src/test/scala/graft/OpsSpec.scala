@@ -1,7 +1,7 @@
 package graft
 
 import graft.analysis.{Analyzer, AnalyzerConfig}
-import graft.ops.{Dedup, Knn, TextQuality}
+import graft.ops.{Decontaminate, Dedup, Knn, TextQuality}
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -158,6 +158,35 @@ class OpsSpec extends AnyFunSuite {
         .head().getDouble(0)
     }
     assert(meanAssignCos(trained) >= meanAssignCos(seed) - 1e-9)
+  }
+
+  test("decontamination: planted benchmark leaks flagged, clean docs kept, " +
+    "argmax ties go to the lowest bench id") {
+    import spark.implicits._
+    val an = new Analyzer(AnalyzerConfig())
+    val corpus = Seq(
+      // verbatim leak of item b1 (9 shared 3-grams)
+      "d1" -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda",
+      // partial overlap: exactly 3 shared 3-grams with b1
+      "d2" -> "alpha beta gamma delta epsilon unrelated words follow here now",
+      // clean
+      "d3" -> "completely different content with no overlap at all whatsoever",
+      // equal overlap with b1 and b2 -> tie goes to b1
+      "d4" -> "alpha beta gamma delta one two mu nu xi omicron three four"
+    ).toDF("docno", "content")
+    val bench = Seq(
+      "b1" -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda",
+      "b2" -> "mu nu xi omicron pi rho sigma tau"
+    ).toDF("bench_id", "text")
+    val got = Decontaminate.contaminationFlags(corpus, bench, an, n = 3, minShared = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getString(3))).toMap
+    assert(got("d1") == ((true, 9L, "b1")))
+    assert(got("d2") == ((true, 3L, "b1")))
+    assert(got("d3") == ((false, 0L, "")))
+    // d4 shares 2 shingles with EACH item: the 2-2 tie reports b1 (lowest
+    // id), and the threshold is per-ITEM, not total — 2+2 stays clean at 3
+    assert(got("d4") == ((false, 2L, "b1")))
   }
 
   test("ivf training is bit-deterministic under any partitioning") {
