@@ -67,17 +67,21 @@ final class Analyzer(val cfg: AnalyzerConfig) extends Serializable {
 
   /** Analyzed (term, position) pairs, where position is the token's index
     * in the post-tokenize stream COUNTING stopped tokens — Lucene's
-    * positionIncrement semantics (StopFilter leaves gaps), so phrase
-    * matching across a stopped word behaves like the reference's analyzer
+    * positionIncrement semantics (StopFilter leaves gaps) — and honoring
+    * the tokenizer's own increments (ClassicTokenizer's discarded
+    * over-long tokens leave gaps too), so phrase matching across a
+    * stopped or discarded word behaves like the reference's analyzer
     * chain would.
     */
   def analyzeWithPositions(text: String): Array[(String, Int)] = {
     if (text == null || text.isEmpty) return Array.empty
     val out = Array.newBuilder[(String, Int)]
-    val it = tokenizer.tokenize(text)
+    val it = tokenizer.tokenizeWithIncrements(text)
     var pos = 0
     while (it.hasNext) {
-      val low = lowercase(it.next())
+      val (raw, inc) = it.next()
+      pos += inc - 1 // tokenizer-level skips (discarded over-long matches)
+      val low = lowercase(raw)
       if (!stopping || !stop.contains(low)) {
         out += ((if (stemming) stemmer.stem(low) else low, pos))
       }

@@ -8,6 +8,15 @@ package graft.analysis
 trait Tokenizer extends Serializable {
   def name: String
   def tokenize(text: String): Iterator[String]
+
+  /** (token, positionIncrement) pairs — Lucene TokenStream semantics: the
+    * increment is 1 plus the number of source positions discarded since
+    * the previous emitted token (`ClassicTokenizer.incrementToken`'s
+    * `skippedPositions + 1`). Default covers tokenizers that never discard
+    * a token, where every increment is 1.
+    */
+  def tokenizeWithIncrements(text: String): Iterator[(String, Int)] =
+    tokenize(text).map((_, 1))
 }
 
 /** Whitespace tokenization: maximal runs of non-whitespace characters
@@ -61,9 +70,12 @@ final class WhitespaceTokenizer(maxTokenLen: Int = 255) extends Tokenizer {
   * words stay whole but never participate in ALPHA-only forms
   * (apostrophe/acronym/company), matching the grammar's macros.
   *
-  * One residual, minor deviation: a discarded over-long token leaves no
-  * position gap (the Iterator[String] seam carries no positionIncrement
-  * signal; Lucene tracks skippedPositions).
+  * Discarded over-long tokens leave a position GAP: the next emitted
+  * token's positionIncrement is 1 + the number of discards since the
+  * previous emission, exactly `ClassicTokenizer.incrementToken`'s
+  * `skippedPositions + 1`. (Skips trailing the LAST emitted token are
+  * observable in Lucene only through `end()`'s final increment — a
+  * multi-valued-field gap this single-valued data model has no seam for.)
   *
   * Zero-deviation parity is fuzz-proved in ClassicFuzzSpec against a
   * brute-force longest-prefix scanner built straight from the published
@@ -72,37 +84,43 @@ final class WhitespaceTokenizer(maxTokenLen: Int = 255) extends Tokenizer {
 final class ClassicLikeTokenizer(maxTokenLen: Int) extends Tokenizer {
   def this() = this(255) // no-arg ctor: the FQCN reflective seam needs it
   val name = "classic"
-  def tokenize(text: String): Iterator[String] = new Iterator[String] {
-    private var i = 0
-    private val n = text.length
-    private var tok: String = null
-    private def advance(): Unit = {
-      tok = null
-      while (tok == null && i < n) {
-        val cp = text.codePointAt(i)
-        if (ClassicScan.isCJ(cp)) {
-          val w = Character.charCount(cp)
-          tok = text.substring(i, i + w)
-          i += w
-        } else if (ClassicScan.isAlnum(cp)) {
-          val lm = ClassicScan.longestMatch(text, i)
-          val end = (lm >>> 3).toInt
-          val rule = (lm & 7).toInt
-          val rawLen = end - i
-          val t =
-            if (rule == ClassicScan.RAcronymDep) text.substring(i, end - 1)
-            else text.substring(i, end)
-          i = end
-          // the length gate is on the RAW match (yylength), before the
-          // ACRONYM_DEP dot-trim, like ClassicTokenizer.incrementToken
-          if (rawLen <= maxTokenLen) tok = t
-        } else i += Character.charCount(cp)
+  def tokenize(text: String): Iterator[String] =
+    tokenizeWithIncrements(text).map(_._1)
+  override def tokenizeWithIncrements(text: String): Iterator[(String, Int)] =
+    new Iterator[(String, Int)] {
+      private var i = 0
+      private val n = text.length
+      private var tok: String = null
+      private var inc = 1
+      private def advance(): Unit = {
+        tok = null
+        inc = 1
+        while (tok == null && i < n) {
+          val cp = text.codePointAt(i)
+          if (ClassicScan.isCJ(cp)) {
+            val w = Character.charCount(cp)
+            tok = text.substring(i, i + w)
+            i += w
+          } else if (ClassicScan.isAlnum(cp)) {
+            val lm = ClassicScan.longestMatch(text, i)
+            val end = (lm >>> 3).toInt
+            val rule = (lm & 7).toInt
+            val rawLen = end - i
+            val t =
+              if (rule == ClassicScan.RAcronymDep) text.substring(i, end - 1)
+              else text.substring(i, end)
+            i = end
+            // the length gate is on the RAW match (yylength), before the
+            // ACRONYM_DEP dot-trim, like ClassicTokenizer.incrementToken
+            if (rawLen <= maxTokenLen) tok = t
+            else inc += 1 // skippedPositions++
+          } else i += Character.charCount(cp)
+        }
       }
+      advance()
+      def hasNext: Boolean = tok != null
+      def next(): (String, Int) = { val t = (tok, inc); advance(); t }
     }
-    advance()
-    def hasNext: Boolean = tok != null
-    def next(): String = { val t = tok; advance(); t }
-  }
 }
 
 /** The maximal-munch scanner behind [[ClassicLikeTokenizer]]: the eight

@@ -29,6 +29,18 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(t.tokenize(long).toList == List("x" * 255, "x" * 255, "x" * 90))
   }
 
+  test("classic discards leave position gaps that compose with stop gaps") {
+    val long = "Y" * 300
+    val a = analyzer(stop = Set("the"), tok = "classic")
+    // positions: cat=0, [the stopped @1], [Y*300 discarded @2], mat=3
+    assert(a.analyzeWithPositions(s"cat the $long mat").toList ==
+      List(("cat", 0), ("mat", 3)))
+    // dl counts emitted terms only — neither stopped nor discarded tokens
+    val (tfs, dl) = a.termFreqsWithPositions(s"cat the $long mat")
+    assert(dl == 2 && tfs.map(t => (t._1, t._3.toList)).toList ==
+      List(("cat", List(0)), ("mat", List(3))))
+  }
+
   test("lowercase is applied before stopping (stop list is case-insensitive on input)") {
     val a = analyzer(stop = Set("the", "a"))
     assert(a.analyze("The THE a A tHe dog").toList == List("dog"))

@@ -78,14 +78,17 @@ class ClassicFuzzSpec extends AnyFunSuite {
   }
 
   /** Brute JFlex scan: longest across rules, ties to the earlier rule,
-    * ACRONYM_DEP trims its final dot, raw matches > maxLen discarded.
+    * ACRONYM_DEP trims its final dot, raw matches > maxLen discarded with
+    * a skippedPositions gap carried into the next emission's increment
+    * (ClassicTokenizer.incrementToken's `skippedPositions + 1`).
     */
-  private def scanJflex(s: String, maxLen: Int = 255): Seq[String] = {
-    val out = Seq.newBuilder[String]
+  private def scanJflexInc(s: String, maxLen: Int = 255): Seq[(String, Int)] = {
+    val out = Seq.newBuilder[(String, Int)]
+    var skipped = 0
     var i = 0
     while (i < s.length) {
       if (CjChar.matcher(s.substring(i, i + 1)).matches()) {
-        out += s.substring(i, i + 1)
+        out += ((s.substring(i, i + 1), skipped + 1)); skipped = 0
         i += 1
       } else {
         var bestEnd = -1
@@ -100,16 +103,21 @@ class ClassicFuzzSpec extends AnyFunSuite {
           val tok =
             if (bestRule == DepIdx) s.substring(i, bestEnd - 1)
             else s.substring(i, bestEnd)
-          if (raw <= maxLen) out += tok
+          if (raw <= maxLen) { out += ((tok, skipped + 1)); skipped = 0 }
+          else skipped += 1
           i = bestEnd
         }
       }
     }
     out.result()
   }
+  private def scanJflex(s: String, maxLen: Int = 255): Seq[String] =
+    scanJflexInc(s, maxLen).map(_._1)
 
   private def engine(s: String): Seq[String] =
     new ClassicLikeTokenizer().tokenize(s).toSeq
+  private def engineInc(s: String): Seq[(String, Int)] =
+    new ClassicLikeTokenizer().tokenizeWithIncrements(s).toSeq
 
   test("fuzz: engine ≡ brute JFlex longest-match scan (mixed scripts)") {
     val alphabet = ("abcz".toSeq ++ "012".toSeq ++ ".,-_/'&@ ".toSeq ++
@@ -131,6 +139,19 @@ class ClassicFuzzSpec extends AnyFunSuite {
       val n = rnd.nextInt(28)
       val s = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
       assert(engine(s) == scanJflex(s), s"trial $trial input=$s")
+    }
+  }
+
+  test("fuzz: position increments ≡ brute skippedPositions under a tiny cap") {
+    // maxTokenLen=3 makes over-long discards COMMON, so the gap path is
+    // exercised densely, not just at the 255 boundary
+    val alphabet = "ab012.,-_/'&@ ".toIndexedSeq
+    val rnd = new Random(19)
+    for (trial <- 0 until 3000) {
+      val n = rnd.nextInt(28)
+      val s = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+      assert(new ClassicLikeTokenizer(3).tokenizeWithIncrements(s).toSeq ==
+        scanJflexInc(s, 3), s"trial $trial input=$s")
     }
   }
 
@@ -219,5 +240,8 @@ class ClassicFuzzSpec extends AnyFunSuite {
     val long256 = "a" * 256
     val ok255 = "b" * 255
     assert(engine(s"$long256 $ok255 tail") == Seq(ok255, "tail"))
+    // each discard leaves a position gap: increment = skippedPositions + 1
+    assert(engineInc(s"$long256 $long256 $ok255 tail $long256 z") ==
+      Seq((ok255, 3), ("tail", 1), ("z", 2)))
   }
 }
