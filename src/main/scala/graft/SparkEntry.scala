@@ -109,6 +109,17 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // Field-collapsed top-k (code-search "one hit per repo"): per query,
+    // each repo keeps its best doc by the collector ordering, then the
+    // collapsed winners rank; oracle = the shared BM25 scored stream with
+    // a per-(qid, repo) row_number window
+    "q_collapse_topk" -> ((s, dir) => {
+      val sr = Engine.searcher(s, dir)
+      val keys = sr.collapseKeyTable(corpus.Corpus.fromDocuments(s, dir), "repo")
+      sr.searchCollapsed(topics, keys, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // §2.5 paging (≙ SearchFiles 5-page prefetch): the second 5-hit page
     // of topic 1 — a rank slice of the BM25 ordering
     "q_page_topk" -> ((s, dir) => {
@@ -1690,6 +1701,27 @@ object SparkEntry {
       s"""$Bm25RankedCtes
          |SELECT qid, docno, rank FROM ranked
          |WHERE rank < $TopK AND qid IN ('1', '2')
+         |ORDER BY qid, rank""".stripMargin),
+    // collapse: the engine reduces per (qid, ckey) by max(score, -docid)
+    // before its collector; docid order ≡ docno order (the deterministic
+    // ntile packing), so the oracle's (score DESC, docno ASC) window over
+    // the same scored stream replays both the winner choice and the rank
+    "q_collapse_topk" -> withCtes(
+      s"""$Bm25RankedCtes,
+         |cwin AS (
+         |  SELECT qid, docno, score FROM (
+         |    SELECT s.qid, s.docno, s.score,
+         |           row_number() OVER (PARTITION BY s.qid, c.repo
+         |                              ORDER BY s.score DESC, s.docno ASC) AS rn
+         |    FROM scored s JOIN corpus c USING (docno)) WHERE rn = 1
+         |),
+         |cranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid
+         |                             ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM cwin
+         |)
+         |SELECT qid, docno, rank FROM cranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
     "q_page_topk" -> PageTopkSql,
     // classic-tokenized Porter-stemmed df: the FQCN-loaded tokenizer

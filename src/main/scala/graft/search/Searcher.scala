@@ -3,7 +3,7 @@ package graft.search
 import graft.analysis.Analyzer
 import graft.codec.PostingCodec
 import graft.index.{BuiltIndex, IndexLayout, PostingRun}
-import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -116,6 +116,38 @@ final class Searcher(val index: BuiltIndex) {
     }
     searchClauses(clauses, k, scorerName, pruning = pruning)
   }
+
+  /** Field-collapsed top-k (≙ Lucene's grouping module /
+    * CollapsingTopDocsCollector over a SortedDocValues field — the code-
+    * search "one hit per repository" shape): per query, each collapse key
+    * keeps only its best document by the collector ordering, and the top-k
+    * ranks the collapsed winners. `keys` is a (docid, ckey) doc-values
+    * table — build it once per corpus with [[collapseKeyTable]] and reuse
+    * across queries. Pruning is structurally off: block-max WAND's seed θ
+    * bounds the global kth score, but a key's winner may rank anywhere.
+    */
+  def searchCollapsed(topics: Seq[Topic], keys: DataFrame, k: Int = 1000,
+                      scorerName: String = "bm25"): Dataset[RunLine] = {
+    requireDistinctQids(topics)
+    val clauses = topics.flatMap { t =>
+      analyzer.analyze(t.text).zipWithIndex.map { case (term, i) =>
+        WeightedClause(t.qid, i, term, 1.0f)
+      }
+    }
+    searchClauses(clauses, k, scorerName, collapseKeys = Some(keys))
+  }
+
+  /** The (docid, ckey) doc-values table for [[searchCollapsed]]: index docs
+    * joined once with the corpus attribute column — the Spark analog of
+    * indexing a SortedDocValues field. One docno-keyed join per corpus,
+    * amortized across every collapsed query (persist or checkpoint the
+    * result for repeated use; at 10^12 docs write it grp-partitioned next
+    * to the index so the per-query candidate join is co-located).
+    */
+  def collapseKeyTable(corpus: DataFrame, keyCol: String): DataFrame =
+    index.docs.select(col("docid"), col("docno"))
+      .join(corpus.select(col("docno"), col(keyCol).as("ckey")), Seq("docno"))
+      .select(col("docid"), col("ckey"))
 
   /** Conjunctive variant: only docs containing every analyzed query term. */
   def searchAnd(topics: Seq[Topic], k: Int = 1000,
@@ -381,7 +413,8 @@ final class Searcher(val index: BuiltIndex) {
                     phraseClauses: Seq[PhraseClause] = Nil,
                     expansionClauses: Seq[ExpansionClause] = Nil,
                     blendedClauses: Seq[BlendedClause] = Nil,
-                    trees: Map[String, BoolQuery.TreeSpec] = Map.empty)
+                    trees: Map[String, BoolQuery.TreeSpec] = Map.empty,
+                    collapseKeys: Option[DataFrame] = None)
       : Dataset[RunLine] = {
     import spark.implicits._
     val scorer = Scorer.byName(scorerName)
@@ -392,6 +425,9 @@ final class Searcher(val index: BuiltIndex) {
       "phrase clauses need a positions-enabled index (IndexConfig.indexPositions)")
     require(trees.isEmpty || (mode == "or" && negTerms.isEmpty),
       "tree evaluation carries its own boolean structure: use mode=or and no negTerms")
+    require(collapseKeys.isEmpty || !pruning,
+      "field collapse cannot prune: WAND's seed θ bounds the global kth " +
+        "score, but a collapse key's winner may rank anywhere")
     if (trees.nonEmpty) {
       // fail at the driver, not as an executor-side lookup miss at job time
       val uncovered = (clauses.map(_.qid) ++ phraseClauses.map(_.qid) ++
@@ -868,12 +904,31 @@ final class Searcher(val index: BuiltIndex) {
           .as[(String, Long, Float)]
       }
 
+    // Field collapse (≙ Lucene's grouping/CollapsingTopDocsCollector over a
+    // SortedDocValues field): per (qid, key) keep the best document by the
+    // collector ordering (score desc, docid asc) BEFORE top-k, so a key
+    // whose winner ranks outside the global top-k still surfaces. The
+    // reduce is a codegen'd max over struct(score, -docid, docid) —
+    // lexicographic struct max = highest score then smallest docid — with
+    // map-side partial aggregation, so the (qid, key) shuffle moves one
+    // row per key per partition, not the candidate stream.
+    val scoresCollapsed: Dataset[(String, Long, Float)] = collapseKeys match {
+      case None => scoresKept
+      case Some(keys) =>
+        scoresKept.toDF("qid", "docid", "score")
+          .join(keys.select($"docid", $"ckey"), Seq("docid"))
+          .groupBy($"qid", $"ckey")
+          .agg(max(struct($"score", (-$"docid").as("negid"), $"docid")).as("w"))
+          .select($"qid", $"w.docid".as("docid"), $"w.score".as("score"))
+          .as[(String, Long, Float)]
+    }
+
     // Bounded top-k per query (score desc, docid asc tie-break — the Lucene
     // collector contract, SURVEY.md §2.5).
     val agg = new TopKAgg(k, implicitly[Encoder[Seq[(Long, Float)]]],
       implicitly[Encoder[Seq[(Long, Float)]]])
     val top: Dataset[(String, Seq[(Long, Float)])] =
-      scoresKept.groupByKey(_._1).agg(agg.toColumn)
+      scoresCollapsed.groupByKey(_._1).agg(agg.toColumn)
 
     val ranked = top.flatMap { case (qid, hits) =>
       hits.iterator.zipWithIndex.map { case ((docid, score), i) =>

@@ -1,0 +1,69 @@
+package graft
+
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search.{Searcher, Topic}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Field-collapsed top-k (Searcher.searchCollapsed): per query each
+  * collapse key keeps only its best document by the collector ordering
+  * (score desc, docid asc), and the top-k ranks the collapsed winners —
+  * including winners that sit OUTSIDE the global top-k, which is what
+  * distinguishes a true pre-collector collapse from post-filtering the
+  * plain ranking.
+  */
+class CollapseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // repo A monopolizes the global top ranks on "hot"; repo B's only match
+  // is weaker than every A doc, so it never enters a global top-2
+  private val docs = Seq(
+    ("a-1", "ra", "hot hot hot hot"),
+    ("a-2", "ra", "hot hot hot"),
+    ("a-3", "ra", "hot hot"),
+    ("b-1", "rb", "hot cold filler words here"),
+    ("b-2", "rb", "cold only"),
+    ("c-1", "rc", "warm warm"),
+    ("c-2", "rc", "warm warm"))
+
+  private lazy val fixture = {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("collapse")
+    val corpus = docs.map(d => (d._1, d._3)).toDF("docno", "content")
+    val idx = IndexBuilder.build(corpus, dir, IndexConfig())
+    val s = new Searcher(idx)
+    val keys = s.collapseKeyTable(
+      docs.map(d => (d._1, d._2)).toDF("docno", "repo"), "repo")
+    (s, keys)
+  }
+
+  test("collapse surfaces each key's winner even outside the global top-k") {
+    val (s, keys) = fixture
+    val topic = Seq(Topic("1", "hot"))
+    val plain = s.search(topic, 2).collect().sortBy(_.rank).map(_.docno).toSeq
+    assert(plain == Seq("a-1", "a-2")) // repo A owns the global top-2
+    val collapsed =
+      s.searchCollapsed(topic, keys, 2).collect().sortBy(_.rank).map(_.docno).toSeq
+    assert(collapsed == Seq("a-1", "b-1")) // one winner per repo
+  }
+
+  test("within-key winner is max score; exact ties break by docid ascending") {
+    val (s, keys) = fixture
+    // "cold": both rb docs match with tf=1 but different dl — the
+    // shorter (higher-scoring) b-2 wins the key
+    val cold = s.searchCollapsed(Seq(Topic("1", "cold")), keys, 5).collect()
+    assert(cold.map(_.docno).toSeq == Seq("b-2"))
+    // "warm": c-1 and c-2 have identical content, hence bit-equal scores —
+    // the tie goes to the smaller docid (docnos pack in sorted order)
+    val warm = s.searchCollapsed(Seq(Topic("1", "warm")), keys, 5).collect()
+    assert(warm.map(_.docno).toSeq == Seq("c-1"))
+  }
+
+  test("pruning is structurally rejected under collapse") {
+    val (s, keys) = fixture
+    import graft.search.WeightedClause
+    intercept[IllegalArgumentException] {
+      s.searchClauses(Seq(WeightedClause("1", 0, "hot", 1.0f)), 2,
+        pruning = true, collapseKeys = Some(keys))
+    }
+  }
+}
