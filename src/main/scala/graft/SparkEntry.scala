@@ -215,6 +215,24 @@ object SparkEntry {
         .toDF("docno", "pos", "term")
         .orderBy("docno", "pos")
     }),
+    // Code-identifier tokenizer over the corpus + an enrichment suffix
+    // that fires every word-delimiter boundary rule; output =
+    // (docno, pos, term) with lowercase applied downstream like the
+    // analyzer chain, replayed by the oracle's regex-chain split
+    "q_code_tok" -> ((s, dir) => {
+      import s.implicits._
+      val an = new graft.analysis.Analyzer(
+        graft.analysis.AnalyzerConfig(tokenizer = "code"))
+      corpus.Corpus.fromDocuments(s, dir)
+        .select(col("docno").cast("string"),
+          concat(col("content"), lit(CodeEnrich)).as("content"))
+        .as[(String, String)]
+        .flatMap { case (d, t) =>
+          an.analyze(t).zipWithIndex.map { case (tok, i) => (d, i.toLong, tok) }
+        }
+        .toDF("docno", "pos", "term")
+        .orderBy("docno", "pos")
+    }),
     // document frequency over the KSTEM-stemmed index: the oracle replays
     // this repo's documented KStem variant in generated SQL (graft.KStemSql
     // — direct conflations + head-word lexicon as VALUES relations, the
@@ -1059,6 +1077,15 @@ object SparkEntry {
     " 1,000 2-3-4 a.b2.c.d x-1 i.b.m. at&t o'brien a.b.c 3.14" +
       " bob@mail.example.com x_9 12/25/2021 app2.v1,beta plain-split" +
       " wow.com. 1.2-3 1-a-2-4-b a.b1-0.cd"
+
+  /** Fires every CodeTokenizer boundary rule: lower→Upper, UPPER-run
+    * before Upper+lower, letter↔digit both ways, underscore/punctuation
+    * separators, and their compositions.
+    */
+  val CodeEnrich: String =
+    " getHTTPResponse2xml_fooBar XMLHttpRequest __init__ snake_case_id" +
+      " Baz99qux parseJSON2CSV v2Max a1b2 IOError USB3port some.path/Name" +
+      " ALLCAPS loweronly Capitalized x"
 
   /** Recursive-CTE replay of the maximal-munch Classic scanner
     * (`analysis.ClassicScan`) over a `(docno, content)` source CTE: the
@@ -2285,6 +2312,27 @@ object SparkEntry {
          |      FROM cw WHERE term IS NOT NULL)
          |SELECT docno, pos::BIGINT AS pos, term
          |FROM z ORDER BY docno, pos""".stripMargin,
+    // CodeTokenizer replay: four global boundary-insertion regex passes
+    // (the rules are pairwise non-overlapping — fuzz-proved equivalent to
+    // the engine's 3-char-window scanner in CodeTokSpec), then a
+    // separator-class split and the downstream lowercase
+    "q_code_tok" -> withCtes(
+      s""",
+         |cs AS (SELECT docno,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    content || '${CodeEnrich.replace("'", "''")}',
+         |    '([a-z])([A-Z])', '\\1 \\2', 'g'),
+         |    '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g'),
+         |    '([A-Za-z])([0-9])', '\\1 \\2', 'g'),
+         |    '([0-9])([A-Za-z])', '\\1 \\2', 'g') AS s
+         |  FROM corpus),
+         |raw AS (SELECT docno,
+         |  list_filter(string_split_regex(s, '[^A-Za-z0-9]+'), x -> x <> '') AS l
+         |  FROM cs),
+         |z AS (SELECT docno, unnest(range(len(l)))::BIGINT AS pos,
+         |             lower(unnest(l)) AS term
+         |      FROM raw)
+         |SELECT docno, pos, term FROM z ORDER BY docno, pos""".stripMargin),
     // KStem replay via the generated CTE chain (KStemSql)
     "q_kstem_df" -> withCtes(
       s""",

@@ -384,6 +384,7 @@ object Tokenizer {
   def byName(name: String): Tokenizer = name.toLowerCase match {
     case "whitespace" | "whitespacetokenizer" => new WhitespaceTokenizer()
     case "classic" | "classictokenizer"       => new ClassicLikeTokenizer()
+    case "code" | "codetokenizer"             => new CodeTokenizer()
     case _ => Reflective.instance[Tokenizer](name, "tokenizer")
   }
 }
