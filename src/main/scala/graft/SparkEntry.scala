@@ -120,6 +120,16 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // Attribute-filtered search (FILTER clause over a doc-values field —
+    // "lang:de"): candidates outside the filter are removed pre-collector
+    // so ranks close up; the oracle restricts the shared scored stream
+    "q_filter_topk" -> ((s, dir) => {
+      val sr = Engine.searcher(s, dir)
+      val attrs = sr.collapseKeyTable(corpus.Corpus.fromDocuments(s, dir), "lang")
+      sr.searchFiltered(topics, attrs.where(col("ckey") === "de"), TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // §2.5 paging (≙ SearchFiles 5-page prefetch): the second 5-hit page
     // of topic 1 — a rank slice of the BM25 ordering
     "q_page_topk" -> ((s, dir) => {
@@ -1749,6 +1759,21 @@ object SparkEntry {
          |  FROM cwin
          |)
          |SELECT qid, docno, rank FROM cranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // filter: the scored stream restricted to lang='de' docs, re-ranked
+    "q_filter_topk" -> withCtes(
+      s"""$Bm25RankedCtes,
+         |fwin AS (
+         |  SELECT s.qid, s.docno, s.score
+         |  FROM scored s JOIN corpus c USING (docno) WHERE c.lang = 'de'
+         |),
+         |franked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid
+         |                             ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM fwin
+         |)
+         |SELECT qid, docno, rank FROM franked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
     "q_page_topk" -> PageTopkSql,
     // classic-tokenized Porter-stemmed df: the FQCN-loaded tokenizer

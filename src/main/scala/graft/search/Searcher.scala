@@ -137,6 +137,23 @@ final class Searcher(val index: BuiltIndex) {
     searchClauses(clauses, k, scorerName, collapseKeys = Some(keys))
   }
 
+  /** Attribute-filtered search (≙ a BooleanQuery FILTER clause over a
+    * doc-values field — "lang:java"): candidates outside `filterDocids`
+    * (a (docid) table, e.g. a predicate over [[collapseKeyTable]]) are
+    * removed before the collector, so ranks close up; scoring is
+    * untouched. Composes with collapse via [[searchClauses]].
+    */
+  def searchFiltered(topics: Seq[Topic], filter: DataFrame, k: Int = 1000,
+                     scorerName: String = "bm25"): Dataset[RunLine] = {
+    requireDistinctQids(topics)
+    val clauses = topics.flatMap { t =>
+      analyzer.analyze(t.text).zipWithIndex.map { case (term, i) =>
+        WeightedClause(t.qid, i, term, 1.0f)
+      }
+    }
+    searchClauses(clauses, k, scorerName, filterDocids = Some(filter))
+  }
+
   /** The (docid, ckey) doc-values table for [[searchCollapsed]]: index docs
     * joined once with the corpus attribute column — the Spark analog of
     * indexing a SortedDocValues field. One docno-keyed join per corpus,
@@ -414,7 +431,8 @@ final class Searcher(val index: BuiltIndex) {
                     expansionClauses: Seq[ExpansionClause] = Nil,
                     blendedClauses: Seq[BlendedClause] = Nil,
                     trees: Map[String, BoolQuery.TreeSpec] = Map.empty,
-                    collapseKeys: Option[DataFrame] = None)
+                    collapseKeys: Option[DataFrame] = None,
+                    filterDocids: Option[DataFrame] = None)
       : Dataset[RunLine] = {
     import spark.implicits._
     val scorer = Scorer.byName(scorerName)
@@ -428,6 +446,10 @@ final class Searcher(val index: BuiltIndex) {
     require(collapseKeys.isEmpty || !pruning,
       "field collapse cannot prune: WAND's seed θ bounds the global kth " +
         "score, but a collapse key's winner may rank anywhere")
+    require(filterDocids.isEmpty || !pruning,
+      "attribute filters cannot prune: the seed pass computes θ over the " +
+        "UNfiltered stream, so the filtered kth score may sit in a " +
+        "block the overshooting θ skipped")
     if (trees.nonEmpty) {
       // fail at the driver, not as an executor-side lookup miss at job time
       val uncovered = (clauses.map(_.qid) ++ phraseClauses.map(_.qid) ++
@@ -904,6 +926,19 @@ final class Searcher(val index: BuiltIndex) {
           .as[(String, Long, Float)]
       }
 
+    // Attribute filter (≙ a BooleanQuery FILTER clause over a doc-values
+    // field — code search's "lang:java" facet): a semi-join removes
+    // non-matching candidates BEFORE collapse and the collector, so ranks
+    // close up. Scoring is untouched (FILTER clauses don't score).
+    val scoresFiltered: Dataset[(String, Long, Float)] = filterDocids match {
+      case None => scoresKept
+      case Some(f) =>
+        scoresKept.toDF("qid", "docid", "score")
+          .join(f.select($"docid"), Seq("docid"), "left_semi")
+          .select($"qid", $"docid", $"score") // join moved the key first
+          .as[(String, Long, Float)]
+    }
+
     // Field collapse (≙ Lucene's grouping/CollapsingTopDocsCollector over a
     // SortedDocValues field): per (qid, key) keep the best document by the
     // collector ordering (score desc, docid asc) BEFORE top-k, so a key
@@ -913,9 +948,9 @@ final class Searcher(val index: BuiltIndex) {
     // map-side partial aggregation, so the (qid, key) shuffle moves one
     // row per key per partition, not the candidate stream.
     val scoresCollapsed: Dataset[(String, Long, Float)] = collapseKeys match {
-      case None => scoresKept
+      case None => scoresFiltered
       case Some(keys) =>
-        scoresKept.toDF("qid", "docid", "score")
+        scoresFiltered.toDF("qid", "docid", "score")
           .join(keys.select($"docid", $"ckey"), Seq("docid"))
           .groupBy($"qid", $"ckey")
           .agg(max(struct($"score", (-$"docid").as("negid"), $"docid")).as("w"))

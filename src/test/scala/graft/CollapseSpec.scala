@@ -58,6 +58,30 @@ class CollapseSpec extends AnyFunSuite {
     assert(warm.map(_.docno).toSeq == Seq("c-1"))
   }
 
+  test("attribute filter removes candidates pre-collector; ranks close up") {
+    val (s, keys) = fixture
+    val rb = keys.where(org.apache.spark.sql.functions.col("ckey") === "rb")
+      .select("docid")
+    val hits = s.searchFiltered(Seq(Topic("1", "hot")), rb, 5).collect()
+      .sortBy(_.rank)
+    // only rb docs remain; b-1 is rank 0 (ranks closed up, not rank 3)
+    assert(hits.map(h => (h.docno, h.rank)).toSeq == Seq(("b-1", 0)))
+  }
+
+  test("filter composes with collapse (filter first, then one per key)") {
+    val (s, keys) = fixture
+    import graft.search.WeightedClause
+    val notA = keys.where(org.apache.spark.sql.functions.col("ckey") =!= "ra")
+      .select("docid")
+    val hits = s.searchClauses(
+      Seq(WeightedClause("1", 0, "hot", 1.0f), WeightedClause("1", 1, "cold", 1.0f)),
+      5, filterDocids = Some(notA), collapseKeys = Some(keys))
+      .collect().sortBy(_.rank)
+    // ra filtered out entirely; rb collapses to its best remaining doc
+    assert(hits.map(_.docno).forall(d => d.startsWith("b")))
+    assert(hits.length == 1)
+  }
+
   test("pruning is structurally rejected under collapse") {
     val (s, keys) = fixture
     import graft.search.WeightedClause
