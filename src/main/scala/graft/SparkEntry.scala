@@ -357,6 +357,23 @@ object SparkEntry {
           corpus.Corpus.fromDocuments(s, dir), Set("a", "the"))
         .orderBy("docno")
     }),
+    // PII scrubbing: emails/IPv4/long digit runs redacted with audit
+    // counts; the enrichment suffix exercises the 7-digit threshold, the
+    // boundary conditions (a1234567b stays) and the replace order
+    "q_scrub" -> ((s, dir) => {
+      ops.Scrub.redact(
+        corpus.Corpus.fromDocuments(s, dir)
+          .withColumn("content", concat(col("content"), lit(ScrubEnrich))))
+        .orderBy("docno")
+    }),
+    // repetition/boilerplate signals (the MassiveText filter family):
+    // distinct-token, top-bigram and max-identical-run counts
+    "q_repetition" -> ((s, dir) => {
+      ops.Repetition.repetitionSignals(
+        corpus.Corpus.fromDocuments(s, dir)
+          .withColumn("content", concat(col("content"), lit(RepEnrich))))
+        .orderBy("docno")
+    }),
     // simhash fingerprints + hamming near-dup pairs (oracle replays the
     // md5-bit construction via DuckDB get_bit + bit_count)
     "q_simhash_pairs" -> ((s, dir) => {
@@ -1087,6 +1104,19 @@ object SparkEntry {
     " 1,000 2-3-4 a.b2.c.d x-1 i.b.m. at&t o'brien a.b.c 3.14" +
       " bob@mail.example.com x_9 12/25/2021 app2.v1,beta plain-split" +
       " wow.com. 1.2-3 1-a-2-4-b a.b1-0.cd"
+
+  /** PII forms for q_scrub: an email with the full local-part charset, a
+    * syntactic IPv4, a 7+ digit run (redacted), a 6-digit run (kept, below
+    * threshold), digits inside a word (kept, no boundary).
+    */
+  val ScrubEnrich: String =
+    " contact bob.smith+x@mail-host.example.org or 10.0.255.7 and" +
+      " 999.1.2.3 phone 12345678901 short 123456 inner a1234567b end"
+
+  /** Repetition forms for q_repetition: an identical-token run of 4 and a
+    * repeated bigram.
+    */
+  val RepEnrich: String = " go go go stop stop la la la la"
 
   /** Fires every CodeTokenizer boundary rule: lower→Upper, UPPER-run
     * before Upper+lower, letter↔digit both ways, underscore/punctuation
@@ -1990,6 +2020,54 @@ object SparkEntry {
          |       len(regexp_extract_all(lower(content), '[a-z]+'))::BIGINT AS n_wordish_tokens,
          |       coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS sum_token_chars
          |FROM t ORDER BY docno""".stripMargin,
+    // PII scrub replay: the same three-stage global regexp_replace chain,
+    // each audit count taken on that stage's PRE-replacement text
+    "q_scrub" ->
+      s"""WITH $CorpusCte,
+         |e AS (SELECT docno,
+         |             content || '${ScrubEnrich.replace("'", "''")}' AS t0
+         |      FROM corpus),
+         |r1 AS (SELECT docno, t0,
+         |              regexp_replace(t0, '${ops.Scrub.EmailPattern}', '<EMAIL>', 'g') AS t1
+         |       FROM e),
+         |r2 AS (SELECT docno, t0, t1,
+         |              regexp_replace(t1, '${ops.Scrub.Ipv4Pattern}', '<IP>', 'g') AS t2
+         |       FROM r1)
+         |SELECT docno,
+         |       regexp_replace(t2, '${ops.Scrub.LongDigitsPattern}', '<NUM>', 'g') AS scrubbed,
+         |       len(regexp_extract_all(t0, '${ops.Scrub.EmailPattern}'))::BIGINT AS n_emails,
+         |       len(regexp_extract_all(t1, '${ops.Scrub.Ipv4Pattern}'))::BIGINT AS n_ips,
+         |       len(regexp_extract_all(t2, '${ops.Scrub.LongDigitsPattern}'))::BIGINT AS n_longnums
+         |FROM r2 ORDER BY docno""".stripMargin,
+    // repetition replay: bigram counts via a position self-join, identical
+    // runs via the gaps-and-islands double-row_number trick
+    "q_repetition" ->
+      s"""WITH $CorpusCte,
+         |e AS (SELECT docno,
+         |             content || '${RepEnrich.replace("'", "''")}' AS c
+         |      FROM corpus),
+         |rawt AS (SELECT docno,
+         |  list_filter(string_split_regex(lower(c), '\\s+'), x -> x <> '') AS l
+         |  FROM e),
+         |toks AS (SELECT docno, unnest(l) AS tok, unnest(range(len(l))) AS i FROM rawt),
+         |base AS (SELECT docno, count(*) AS n_tokens,
+         |                count(DISTINCT tok) AS n_distinct
+         |         FROM toks GROUP BY docno),
+         |bg AS (SELECT a.docno, a.tok || ' ' || b.tok AS bgm, count(*) AS c
+         |       FROM toks a JOIN toks b ON b.docno = a.docno AND b.i = a.i + 1
+         |       GROUP BY 1, 2),
+         |topbg AS (SELECT docno, max(c) AS top_bigram FROM bg GROUP BY docno),
+         |isl AS (SELECT docno, tok,
+         |               i - row_number() OVER (PARTITION BY docno, tok ORDER BY i) AS g
+         |        FROM toks),
+         |runs AS (SELECT docno, count(*) AS rl FROM isl GROUP BY docno, tok, g),
+         |mr AS (SELECT docno, max(rl) AS max_run FROM runs GROUP BY docno)
+         |SELECT b.docno, b.n_tokens::BIGINT AS n_tokens,
+         |       b.n_distinct::BIGINT AS n_distinct,
+         |       coalesce(t.top_bigram, 0)::BIGINT AS top_bigram,
+         |       coalesce(m.max_run, 0)::BIGINT AS max_run
+         |FROM base b LEFT JOIN topbg t USING (docno) LEFT JOIN mr m USING (docno)
+         |ORDER BY docno""".stripMargin,
     "q_text_stats" -> withCtes(
       """SELECT c.docno,
         |       coalesce(t.n_tokens, 0)::BIGINT AS n_tokens,

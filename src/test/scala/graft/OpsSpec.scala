@@ -1,7 +1,7 @@
 package graft
 
 import graft.analysis.{Analyzer, AnalyzerConfig}
-import graft.ops.{Decontaminate, Dedup, Knn, TextQuality}
+import graft.ops.{Decontaminate, Dedup, Knn, Repetition, Scrub, TextQuality}
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -63,6 +63,37 @@ class OpsSpec extends AnyFunSuite {
     // only the final shingle differs → inter 9, union 11
     val (i12, u12) = ver(("d2", "d1"))
     assert(i12 == 9 && u12 == 11)
+  }
+
+  test("scrub: emails/IPs/7+-digit runs redact; boundaries and threshold hold") {
+    import spark.implicits._
+    val df = Seq(
+      ("d1", "mail a.b+c@x-y.org here"),
+      ("d2", "ip 10.0.255.7 and 999.1.2.3 ok"),
+      ("d3", "num 12345678901 short 123456 inner a1234567b"),
+      ("d4", "clean text only")).toDF("docno", "content")
+    val out = Scrub.redact(df).collect().map(r =>
+      r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("d1") == (("mail <EMAIL> here", 1L, 0L, 0L)))
+    assert(out("d2") == (("ip <IP> and <IP> ok", 0L, 2L, 0L)))
+    // 6 digits below threshold; a1234567b has no word boundary
+    assert(out("d3") == (("num <NUM> short 123456 inner a1234567b", 0L, 0L, 1L)))
+    assert(out("d4") == (("clean text only", 0L, 0L, 0L)))
+  }
+
+  test("repetition signals: distinct, top bigram, max identical run") {
+    import spark.implicits._
+    val df = Seq(
+      ("d1", "go go go stop la la La la"), // lowercase folds La
+      ("d2", "one two one two one"),
+      ("d3", "single"),
+      ("d4", "")).toDF("docno", "content")
+    val out = Repetition.repetitionSignals(df).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("d1") == ((8L, 3L, 3L, 4L))) // "la la" x3; run la,La,la,la = 4
+    assert(out("d2") == ((5L, 2L, 2L, 1L))) // "one two" x2, no runs
+    assert(out("d3") == ((1L, 1L, 0L, 1L)))
+    assert(out("d4") == ((0L, 0L, 0L, 0L)))
   }
 
   test("exact dedup groups by sha") {
