@@ -872,6 +872,14 @@ object SparkEntry {
           SampleSalt, SampleBuckets, SampleKeep)
         .orderBy("docno")
     }),
+    // training-pipeline op: stratified per-group sampling — the n smallest
+    // md5(salt:docno) per lang, via a bounded-heap aggregator (map-side
+    // partials; no stratum is ever sorted whole)
+    "q_strat_sample" -> ((s, dir) => {
+      ops.Curation.stratifiedSample(corpus.Corpus.fromDocuments(s, dir),
+          "lang", SampleSalt, 5)
+        .orderBy("strat", "rank")
+    }),
     // training-pipeline op: seeded reproducible corpus permutation via the
     // distributed prefix sum (range partition + per-partition offsets),
     // never a single-partition Window
@@ -1839,6 +1847,17 @@ object SparkEntry {
          |WHERE ('0x' || substr(md5('$SampleSalt:' || docno), 1, 8))::BIGINT
          |      % $SampleBuckets < $SampleKeep
          |ORDER BY docno""".stripMargin,
+    "q_strat_sample" ->
+      s"""WITH $CorpusCte,
+         |k AS (SELECT lang AS strat, docno,
+         |             md5('$SampleSalt:' || docno) AS skey
+         |      FROM corpus),
+         |r AS (SELECT strat, docno,
+         |             row_number() OVER (PARTITION BY strat
+         |                                ORDER BY skey, docno) AS rank
+         |      FROM k)
+         |SELECT strat, docno, rank::BIGINT AS rank FROM r WHERE rank <= 5
+         |ORDER BY strat, rank""".stripMargin,
     "q_shuffle" ->
       s"""WITH $CorpusCte
          |SELECT docno,

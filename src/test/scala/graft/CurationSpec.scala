@@ -13,6 +13,29 @@ class CurationSpec extends AnyFunSuite {
       .toDF("docno", "content")
   }
 
+  test("stratifiedSample: n smallest per stratum, brute-force identical " +
+    "under any partitioning") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (f"doc-$i%04d", s"g${i % 3}"))
+      .toDF("docno", "lang")
+    val got = Curation.stratifiedSample(df.repartition(7), "lang", "s1", 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    // brute force: per group, sort by (md5('s1:'||docno), docno), take 4
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"s1:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (0 until 200).map(i => (f"doc-$i%04d", s"g${i % 3}"))
+      .groupBy(_._2).toSeq.flatMap { case (g, ds) =>
+        ds.map(d => (h(d._1), d._1)).sorted.take(4).zipWithIndex
+          .map { case ((_, docno), i) => (g, docno, (i + 1).toLong) }
+      }.sortBy(t => (t._1, t._3))
+    assert(got == want)
+    // strata smaller than n return whole stratum, still ranked
+    val tiny = Seq(("a", "g0"), ("b", "g0"), ("c", "g1")).toDF("docno", "lang")
+    val t = Curation.stratifiedSample(tiny, "lang", "s1", 4).collect()
+    assert(t.length == 3 && t.map(_.getLong(2)).forall(_ >= 1))
+  }
+
   test("hashSample: deterministic, ~keep/buckets rate, bucket formula") {
     val c = corpusDF(400)
     val a = Curation.hashSample(c, "s1", 20, 2).collect()
