@@ -60,6 +60,18 @@ object Engine {
   def porterIndex(spark: SparkSession, sfDir: String): BuiltIndex =
     indexFor(spark, sfDir, IndexConfig(analyzer = PorterAnalyzer), "porter")
 
+  /** Identifier-split analysis for the code-search gate entry. docids pin
+    * to the oracle fan-out so checkpointed indexes are byte-identical
+    * between Verify and Bench sessions.
+    */
+  val CodeAnalyzer: AnalyzerConfig =
+    AnalyzerConfig(tokenizer = "code", stopWords = Set("a", "the"), stemmer = "none")
+
+  def codeIndex(spark: SparkSession, sfDir: String): BuiltIndex =
+    indexFor(spark, sfDir,
+      IndexConfig(analyzer = CodeAnalyzer,
+        rangePartitions = OracleRangePartitions), "code")
+
   val MinStemAnalyzer: AnalyzerConfig =
     AnalyzerConfig(tokenizer = "whitespace", stopWords = Set("a", "the"),
       stemmer = "minimal")

@@ -130,6 +130,28 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // Code-search end-to-end flagship: an index built with the identifier
+    // tokenizer, searched with lang FILTER + repo COLLAPSE composed — the
+    // north rule's (repo, path, commit, lang, content) query shape in one
+    // pipeline; the oracle rebuilds tf/dl/df/bm25 over the code-token
+    // stream and replays filter + collapse + rank in SQL
+    "q_codesearch_topk" -> ((s, dir) => {
+      val sr = new graft.search.Searcher(Engine.codeIndex(s, dir))
+      val corp = corpus.Corpus.fromDocuments(s, dir)
+      val keys = sr.collapseKeyTable(corp, "repo")
+      val flt = sr.collapseKeyTable(corp, "lang")
+        .where(col("ckey") === "en").select("docid")
+      val an = new graft.analysis.Analyzer(Engine.CodeAnalyzer)
+      val clauses = topics.flatMap { t =>
+        an.analyze(t.text).zipWithIndex.map { case (term, i) =>
+          graft.search.WeightedClause(t.qid, i, term, 1.0f)
+        }
+      }
+      sr.searchClauses(clauses, TopK, filterDocids = Some(flt),
+          collapseKeys = Some(keys))
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // §2.5 paging (≙ SearchFiles 5-page prefetch): the second 5-hit page
     // of topic 1 — a rank slice of the BM25 ordering
     "q_page_topk" -> ((s, dir) => {
@@ -1813,6 +1835,61 @@ object SparkEntry {
          |)
          |SELECT qid, docno, rank FROM franked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // code search: BM25 rebuilt over the identifier-token stream, then
+    // lang filter and repo collapse, then rank — the same windows as the
+    // standalone collapse/filter oracles
+    "q_codesearch_topk" ->
+      s"""WITH $CorpusCte,
+         |cs AS (SELECT docno, repo, lang,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    content,
+         |    '([a-z])([A-Z])', '\\1 \\2', 'g'),
+         |    '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g'),
+         |    '([A-Za-z])([0-9])', '\\1 \\2', 'g'),
+         |    '([0-9])([A-Za-z])', '\\1 \\2', 'g') AS s
+         |  FROM corpus),
+         |rawc AS (SELECT docno,
+         |  list_filter(string_split_regex(s, '[^A-Za-z0-9]+'), x -> x <> '') AS l
+         |  FROM cs),
+         |ctok AS (SELECT docno, term FROM
+         |           (SELECT docno, lower(unnest(l)) AS term FROM rawc)
+         |         WHERE term NOT IN ('a', 'the')),
+         |$TopicsCte,
+         |tf AS (SELECT docno, term, count(*) AS tf FROM ctok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM ctok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM ctok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM ctok) AS sumttf),
+         |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
+         |scored AS (
+         |  SELECT q.qid, f.docno,
+         |         sum(q.w * ((1.2 + 1.0) * f.tf)
+         |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
+         |  FROM qterm q
+         |  JOIN tf f ON f.term = q.term
+         |  JOIN dl d ON d.docno = f.docno
+         |  JOIN df v ON v.term = q.term
+         |  CROSS JOIN st
+         |  GROUP BY q.qid, f.docno
+         |),
+         |fs AS (SELECT s.qid, s.docno, s.score, c.repo
+         |       FROM scored s JOIN corpus c USING (docno) WHERE c.lang = 'en'),
+         |cwin AS (
+         |  SELECT qid, docno, score FROM (
+         |    SELECT qid, docno, score,
+         |           row_number() OVER (PARTITION BY qid, repo
+         |                              ORDER BY score DESC, docno ASC) AS rn
+         |    FROM fs) WHERE rn = 1
+         |),
+         |cranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid
+         |                             ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM cwin
+         |)
+         |SELECT qid, docno, rank FROM cranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin,
     "q_page_topk" -> PageTopkSql,
     // classic-tokenized Porter-stemmed df: the FQCN-loaded tokenizer
     // replayed via the same recursive-CTE maximal-munch scanner as
