@@ -982,8 +982,43 @@ object SparkEntry {
       Engine.searcher(s, dir).searchQuery(fuzzyTopics, TopK)
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
+    }),
+    // retrieval-effectiveness metrics — the trec_eval step downstream of
+    // the run-file sink (the reference writes its run lines FOR trec_eval,
+    // BatchSearch.java:305-307): per-topic num_ret/num_rel/num_rel_ret,
+    // P@5/P@10, recall, RR, AP and NDCG@10 of the BM25 run judged against
+    // deterministic md5-derived qrels; every cross-row double is an
+    // ascending-rank fold the oracle replays as a literal addition chain
+    "q_treceval" -> ((s, dir) => {
+      val run = Engine.searcher(s, dir).search(topics, TopK).toDF()
+      ops.TrecEval.evaluate(run.select("qid", "docno", "rank"),
+          trecQrels(s, dir), TopK)
+        .orderBy("qid")
     })
   )
+
+  /** Deterministic synthetic qrels for the evaluation gate entry: judgment
+    * presence and grade are a pure md5 function of (qid, docno) — judged
+    * iff h%13 < 6, grade 2/1/0 for h%13 ∈ {0}/{1,2,3}/{4,5} (rel-0 rows
+    * are judged-nonrelevant, exercising the judgment-pool-vs-relevant
+    * distinction). In production qrels are an input table of human
+    * judgments; this fixture exists so the DuckDB oracle can re-derive
+    * the identical judgments from the raw parquet.
+    */
+  private def trecQrels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qids = topics.map(_.qid).toDF("qid")
+    corpus.Corpus.fromDocuments(s, dir).select("docno")
+      .crossJoin(broadcast(qids))
+      .withColumn("h",
+        conv(substring(md5(concat(col("qid"), lit(":"), col("docno"))), 1, 8),
+          16, 10).cast("long"))
+      .where(col("h") % 13 < 6)
+      .select(col("qid"), col("docno"),
+        when(col("h") % 13 === 0, 2)
+          .when(col("h") % 13 < 4, 1)
+          .otherwise(0).as("rel"))
+  }
 
   /** TREC render of the corpus grouped into per-file texts (docno/10
     * buckets, docno-sorted within a file) — the ONE home of the render
@@ -1585,6 +1620,93 @@ object SparkEntry {
        |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
        |ORDER BY qid, rank""".stripMargin)
 
+  /** The trec_eval-metrics oracle: re-derives the md5 qrels, replays the
+    * BM25 run through `ranked`, and computes every double metric with the
+    * SAME left-to-right IEEE chains as [[graft.ops.TrecEval]]'s
+    * ascending-rank folds — AP/DCG as unrolled per-rank addition chains
+    * (missing ranks contribute +0.0, a bitwise identity), ideal DCG as a
+    * chain over the per-grade judgment counts, and the NDCG discounts as
+    * the identical `Double.toString` literals. Single divisions
+    * (P@k, recall, RR, AP, NDCG finals) are correctly rounded on both
+    * engines, so the whole row hash-matches with no tolerance.
+    */
+  private lazy val TrecEvalSql: String = {
+    // '…'::DOUBLE, not a bare literal: DuckDB types bare decimal literals
+    // as DECIMAL, and its decimal→double conversion can land 1 ULP off
+    // the correctly-rounded string parse Java's Double.toString round-trip
+    // guarantees (observed on the ndcg column at gate scale)
+    val disc = graft.ops.TrecEval.discounts(10)
+      .map(d => s"'${java.lang.Double.toString(d)}'::DOUBLE")
+    def chain(ts: Seq[String]): String =
+      ts.foldLeft("0.0")((a, t) => s"($a + $t)")
+    val discCase = (1 to 10)
+      .map(p => s"WHEN $p THEN ${disc(p - 1)}")
+      .mkString("CASE p ", " ", " ELSE 0.0 END")
+    val apChain = chain((1 to TopK).map(p =>
+      s"coalesce(max(CASE WHEN p = $p THEN apc END), 0.0)"))
+    val dcgChain = chain((1 to 10).map(p =>
+      s"coalesce(max(CASE WHEN p = $p THEN dcgc END), 0.0)"))
+    val idcgChain = chain((1 to 10).map(i =>
+      s"(CASE WHEN $i <= n4 THEN 15.0 WHEN $i <= n4 + n3 THEN 7.0" +
+        s" WHEN $i <= n4 + n3 + n2 THEN 3.0" +
+        s" WHEN $i <= n4 + n3 + n2 + n1 THEN 1.0 ELSE 0.0 END) * ${disc(i - 1)}"))
+    withCtes(
+      s"""$Bm25RankedCtes,
+         |qh AS (SELECT t.qid, c.docno,
+         |              ('0x' || substr(md5(t.qid || ':' || c.docno), 1, 8))::BIGINT AS h
+         |       FROM (SELECT DISTINCT qid FROM topics) t CROSS JOIN corpus c),
+         |qrels AS (SELECT qid, docno,
+         |                 CASE WHEN h % 13 = 0 THEN 2
+         |                      WHEN h % 13 < 4 THEN 1 ELSE 0 END AS rel
+         |          FROM qh WHERE h % 13 < 6),
+         |runk AS (SELECT qid, docno, rank FROM ranked WHERE rank < $TopK),
+         |jr AS (SELECT r.qid, r.rank + 1 AS p, coalesce(q.rel, 0) AS rel
+         |       FROM runk r LEFT JOIN qrels q
+         |         ON q.qid = r.qid AND q.docno = r.docno),
+         |pre AS (SELECT qid, p, rel,
+         |        sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY qid ORDER BY p) AS relcnt
+         |        FROM jr),
+         |contrib AS (SELECT qid, p, rel, relcnt,
+         |        CASE WHEN rel > 0 THEN CAST(relcnt AS DOUBLE) / CAST(p AS DOUBLE)
+         |             ELSE 0.0 END AS apc,
+         |        CASE WHEN p <= 10 THEN
+         |          CAST((1 << least(rel, 4)) - 1 AS DOUBLE) * ($discCase)
+         |        ELSE 0.0 END AS dcgc
+         |        FROM pre),
+         |qst AS (SELECT qid,
+         |        sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS num_rel,
+         |        sum(CASE WHEN rel = 4 THEN 1 ELSE 0 END) AS n4,
+         |        sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS n3,
+         |        sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS n2,
+         |        sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS n1
+         |        FROM qrels GROUP BY qid),
+         |agg AS (SELECT qid, count(*) AS num_ret, max(relcnt) AS nrr,
+         |        sum(CASE WHEN rel > 0 AND p <= 5 THEN 1 ELSE 0 END) AS r5,
+         |        sum(CASE WHEN rel > 0 AND p <= 10 THEN 1 ELSE 0 END) AS r10,
+         |        min(CASE WHEN rel > 0 THEN p END) AS minp,
+         |        $apChain AS apsum,
+         |        $dcgChain AS dcg
+         |        FROM contrib GROUP BY qid),
+         |icg AS (SELECT qid, $idcgChain AS idcg FROM qst)
+         |SELECT a.qid,
+         |       a.num_ret::BIGINT AS num_ret,
+         |       coalesce(q.num_rel, 0)::BIGINT AS num_rel,
+         |       a.nrr::BIGINT AS num_rel_ret,
+         |       CAST(a.r5 AS DOUBLE) / 5.0 AS p_5,
+         |       CAST(a.r10 AS DOUBLE) / 10.0 AS p_10,
+         |       CASE WHEN coalesce(q.num_rel, 0) > 0
+         |            THEN CAST(a.nrr AS DOUBLE) / CAST(q.num_rel AS DOUBLE)
+         |            ELSE 0.0 END AS recall,
+         |       CASE WHEN a.minp IS NOT NULL THEN 1.0 / CAST(a.minp AS DOUBLE)
+         |            ELSE 0.0 END AS rr,
+         |       CASE WHEN coalesce(q.num_rel, 0) > 0
+         |            THEN a.apsum / CAST(q.num_rel AS DOUBLE) ELSE 0.0 END AS ap,
+         |       CASE WHEN i.idcg > 0.0 THEN a.dcg / i.idcg ELSE 0.0 END AS ndcg
+         |FROM agg a LEFT JOIN qst q USING (qid) LEFT JOIN icg i USING (qid)
+         |ORDER BY qid""".stripMargin)
+  }
+
   /** The BM25 top-k oracle — shared verbatim by q_bm25_topk, q_wand_topk
     * (pruning is rank-identical), q_fqcn_scorer_topk (FQCN load of the
     * same scorer), and q_stream_topk (BM25 over the streamed UnionIndex is
@@ -1790,6 +1912,7 @@ object SparkEntry {
          |GROUP BY 1, 2
          |ORDER BY term, grp""".stripMargin,
     "q_bm25_topk" -> Bm25TopkSql,
+    "q_treceval" -> TrecEvalSql,
     // WAND is rank-identical to exhaustive BM25 by design — same oracle
     "q_wand_topk" -> Bm25TopkSql,
     // tree-mode WAND: the SHOULD-only trees flatten to topics 1-2's term

@@ -34,6 +34,35 @@ import org.apache.spark.sql.SparkSession
   * saturation that the 32-thread legs measure.
   */
 object ScalingCluster {
+  /** Cross-leg task-metric totals. Wall-clock alone cannot separate "the
+    * engine scales poorly" from "the VM delivers fewer cycles to the 4N
+    * leg" (BENCH.md documents up to 3.5× deliverable-CPU swings). Summing
+    * executor task metrics disambiguates: if total task CPU seconds for a
+    * phase is ~equal on the 1× and 4× legs, the engine did the same work
+    * with no added contention/serial overhead, and any wall-clock
+    * efficiency shortfall is cycle delivery + scheduling — the box, not
+    * the plan. GC time and shuffle bytes catch the two ways a wider leg
+    * could genuinely do MORE work (memory pressure, extra exchange).
+    */
+  private final class TaskTotals extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val cpuNs, runMs, gcMs, shufReadB, shufWriteB, tasks = new AtomicLong
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        runMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        tasks.incrementAndGet()
+        ()
+      }
+    }
+    def snap(): Array[Long] =
+      Array(cpuNs.get, runMs.get, gcMs.get, shufReadB.get, shufWriteB.get, tasks.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val workers = args.headOption.map(_.toInt).getOrElse(1)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
@@ -64,6 +93,21 @@ object ScalingCluster {
     require(executors() == workers,
       s"leg invalid: got ${executors()} executors, wanted $workers")
 
+    val totals = new TaskTotals
+    spark.sparkContext.addSparkListener(totals)
+    var mark = totals.snap()
+    def cpuLine(phase: String): Unit = {
+      // listener-bus delivery is async; give the queue a moment to drain
+      // before snapshotting (attribution tool, not a timing-critical path)
+      Thread.sleep(1000)
+      val now = totals.snap()
+      val d = now.zip(mark).map { case (a, b) => a - b }
+      mark = now
+      println(f"SCALING-CPU workers=$workers phase=$phase " +
+        f"cpu=${d(0) / 1e9}%.1fs run=${d(1) / 1e3}%.1fs gc=${d(2) / 1e3}%.1fs " +
+        f"shuf_read_mb=${d(3) / 1e6}%.1f shuf_write_mb=${d(4) / 1e6}%.1f tasks=${d(5)}")
+    }
+
     // grp granularity must track corpus size: at bench scale one range
     // partition holds ~1 grp at the 2^18 default, collapsing hot terms to
     // a handful of (term, mgrp) reducer keys — the very skew the key is
@@ -81,12 +125,14 @@ object ScalingCluster {
       .repartition(cores * 4)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val n = corpus.count()
+    cpuLine("prep")
     val t0 = System.nanoTime()
     val idx = IndexBuilder.build(corpus, dir,
       IndexConfig(analyzer = Engine.OracleAnalyzer, fingerprint = "none",
         groupShift = gShift, mergeShift = mShift),
       verifySha = false)
     val buildSec = (System.nanoTime() - t0) / 1e9
+    cpuLine("build")
     corpus.unpersist()
     val searcher = new Searcher(idx)
     val topics = Corpus.LineitemTopics.map { case (q, t) => Topic(q, t) }
@@ -94,6 +140,7 @@ object ScalingCluster {
     val tq0 = System.nanoTime()
     searcher.search(topics, 1000).count()
     val batchSec = (System.nanoTime() - tq0) / 1e9
+    cpuLine("query")
     val tput = n / buildSec
     // r4: the round-3 wide operators join the scaling leg — LSH banding,
     // bucket-capped candidate pairs, exact Jaccard verify, and the
@@ -121,6 +168,7 @@ object ScalingCluster {
     val nKeep = graft.ops.Dedup.dupClusters(ddCorpus, pairs)
       .where(col("keep")).count()
     val dedupSec = (System.nanoTime() - td0) / 1e9
+    cpuLine("dedup")
     sh.unpersist()
     // the leg is only valid if the CC result is right: exactly one kept
     // representative per 4-replica clique
