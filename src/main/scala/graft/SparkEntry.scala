@@ -983,6 +983,22 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // regex term query (Lucene RegexpQuery analog, the code-search staple):
+    // vocabulary terms fully matching the pattern enter as a CONSTANT_SCORE
+    // expansion — topic 1 OR's the regex with a scored term through the
+    // prefix-pruned vocab scan; topic 2 is a pure no-literal-prefix regex
+    // (the leading-wildcard fallback), ranking entirely by the docid
+    // tie-break
+    "q_regex_topk" -> ((s, dir) => {
+      val sr = Engine.searcher(s, dir)
+      val ec = Seq(
+        graft.search.ExpansionClause("1", 0, sr.expandRegex(RegexTopic1), 1.0f),
+        graft.search.ExpansionClause("2", 0, sr.expandRegex(RegexTopic2), 1.0f))
+      val wcs = Seq(graft.search.WeightedClause("1", 1, "merge", 1.0f))
+      sr.searchClauses(wcs, TopK, expansionClauses = ec)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // retrieval-effectiveness metrics — the trec_eval step downstream of
     // the run-file sink (the reference writes its run lines FOR trec_eval,
     // BatchSearch.java:305-307): per-topic num_ret/num_rel/num_rel_ret,
@@ -1309,6 +1325,14 @@ object SparkEntry {
   val prefixTopics: Seq[Topic] = Seq(
     Topic("1", "s* merge"),
     Topic("2", "value + qu*"))
+
+  /** Regex gate patterns (Java∩RE2 dialect, full-term anchored): topic 1
+    * has the literal prefix "b" for the pruned scan (matches big, batch);
+    * topic 2 starts with a group — no literal prefix, the full-projection
+    * fallback (matches order).
+    */
+  val RegexTopic1 = "b.(g|tch)"
+  val RegexTopic2 = "(or|bor)der"
 
   // ---- DuckDB oracle -------------------------------------------------------
 
@@ -2480,6 +2504,44 @@ object SparkEntry {
          |  SELECT '2' AS qid, docno,
          |         (row_number() OVER (ORDER BY score DESC, docno ASC) - 1) AS rank
          |  FROM p2)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // regex replay: expansion docs = any term regexp_full_match'ing the
+    // pattern (DuckDB RE2 full-match ≡ the engine's anchored Java rlike on
+    // the shared dialect), constant 1.0 per clause per doc; topic 1 sums
+    // it with the merge BM25 partial, topic 2 is constant-score only so
+    // ranks are pure docno tie-breaks
+    "q_regex_topk" -> withCtes(
+      s""",
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |rx1_docs AS (SELECT DISTINCT docno FROM tok
+         |             WHERE regexp_full_match(term, '$RegexTopic1')),
+         |rx2_docs AS (SELECT DISTINCT docno FROM tok
+         |             WHERE regexp_full_match(term, '$RegexTopic2')),
+         |bm25 AS (
+         |  SELECT f.term, f.docno,
+         |         ((1.2 + 1.0) * f.tf)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |         * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0)) AS score
+         |  FROM tf f JOIN dl d USING (docno) JOIN df v ON v.term = f.term
+         |  CROSS JOIN st WHERE f.term = 'merge'),
+         |p1 AS (
+         |  SELECT docno, sum(score) AS score FROM (
+         |    SELECT docno, 1.0 AS score FROM rx1_docs
+         |    UNION ALL
+         |    SELECT docno, score FROM bm25) GROUP BY docno),
+         |ranked AS (
+         |  SELECT '1' AS qid, docno,
+         |         (row_number() OVER (ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM p1
+         |  UNION ALL
+         |  SELECT '2' AS qid, docno,
+         |         (row_number() OVER (ORDER BY docno ASC) - 1) AS rank
+         |  FROM rx2_docs)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
     // MUST_NOT: BM25 over the positive terms, minus docs containing any

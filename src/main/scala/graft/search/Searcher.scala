@@ -395,6 +395,42 @@ final class Searcher(val index: BuiltIndex) {
         .as[(String, Int)].take(maxExpansions).toSeq
     })
 
+  private val regexCache =
+    new scala.collection.concurrent.TrieMap[(String, Int), Seq[String]]()
+
+  /** Vocabulary terms fully matching `pattern` — the Lucene `RegexpQuery`
+    * analog for identifier-shaped code search (the regex is anchored to
+    * the whole term, like Lucene's automaton compilation). Feed the result
+    * to an [[ExpansionClause]] for the CONSTANT_SCORE rewrite the other
+    * multi-term queries use. The scan prefix-prunes by the pattern's
+    * leading literal run when one exists (same pushed `StringStartsWith` +
+    * `len` partition bound as [[prefixScan]]); a pattern with no literal
+    * prefix legally scans the vocabulary projection — the Lucene
+    * leading-wildcard caveat — with the cap as the loud guard. Patterns
+    * must stay in the Java∩RE2 dialect (no backreferences or lookaround)
+    * so SQL oracles can replay the match.
+    */
+  def expandRegex(pattern: String, cap: Int = 4096): Seq[String] =
+    regexCache.getOrElseUpdate((pattern, cap), {
+      import spark.implicits._
+      val out = regexScan(pattern).select("term").distinct()
+        .as[String].take(cap + 1).toSeq
+      require(out.size <= cap, s"regex '$pattern' expands past $cap terms")
+      out
+    })
+
+  /** The pruned vocabulary scan behind [[expandRegex]] (exposed for plan
+    * assertions, like [[prefixScan]]).
+    */
+  def regexScan(pattern: String): org.apache.spark.sql.DataFrame = {
+    val pref = Searcher.regexLiteralPrefix(pattern)
+    val base =
+      if (pref.isEmpty) index.vocab
+      else index.vocab
+        .where(col("len") >= pref.length && col("term").startsWith(pref))
+    base.where(col("term").rlike(s"^(?:$pattern)$$"))
+  }
+
   /** `mode = "or"` (default): disjunctive bag-of-words, the reference topic
     * behavior. `mode = "and"`: conjunctive — only docs matching EVERY
     * clause survive (posting-list intersection; available in the
@@ -1240,4 +1276,22 @@ final class TopKAgg(k: Int,
   def finish(buf: Seq[(Long, Float)]): Seq[(Long, Float)] = compact(buf)
   def bufferEncoder: Encoder[Seq[(Long, Float)]] = bufEnc
   def outputEncoder: Encoder[Seq[(Long, Float)]] = outEnc
+}
+
+object Searcher {
+  /** Longest leading run of literal regex characters, used to prefix-prune
+    * the [[Searcher.regexScan]] vocabulary scan. Stops at the first
+    * metacharacter, and surrenders the final literal if a quantifier
+    * follows it (in `ab*c` the `b` is optional, so only `a` is a sound
+    * prefix bound). An escape (`\`) ends the literal run — conservatively,
+    * since `\Q`/`\d`/`\.` all need real parsing to bound.
+    */
+  private[search] def regexLiteralPrefix(pattern: String): String = {
+    val meta = ".[]{}()*+?\\|^$"
+    var i = 0
+    while (i < pattern.length && meta.indexOf(pattern.charAt(i)) < 0) i += 1
+    if (i > 0 && i < pattern.length && "*+?{".indexOf(pattern.charAt(i)) >= 0)
+      i -= 1
+    pattern.substring(0, i)
+  }
 }

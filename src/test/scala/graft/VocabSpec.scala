@@ -47,6 +47,29 @@ class VocabSpec extends AnyFunSuite {
       Set("alpha", "alpine", "albatross"))
   }
 
+  test("regex expansion: anchored full match, pruned scan, quantifier-safe " +
+    "literal prefix, loud cap") {
+    // full-term anchoring: 'eta' must not match inside beta/zeta
+    assert(searcher.expandRegex("eta") == Seq("eta"))
+    assert(searcher.expandRegex("al(pha|batross)").toSet ==
+      Set("alpha", "albatross"))
+    // group-leading pattern: no literal prefix, falls back to the projection
+    assert(searcher.expandRegex("(be|ze)ta").toSet == Set("beta", "zeta"))
+    // literal-prefixed pattern pushes the same StringStartsWith as prefix
+    val plan = searcher.regexScan("alp.*").queryExecution.executedPlan.toString()
+    assert(plan.contains("StringStartsWith(term,alp)"),
+      s"regex literal prefix not pushed to the scan:\n$plan")
+    // a quantifier surrenders its literal: be?t+a must still reach bta,
+    // so the prefix bound backs off to 'b'
+    import spark.implicits._
+    val c2 = Seq("r-1" -> "beta bta betta").toDF("docno", "content")
+    val sr2 = new Searcher(IndexBuilder.build(c2, TestSpark.tmpDir("vocab_rx"),
+      IndexConfig(analyzer = AnalyzerConfig())))
+    assert(sr2.expandRegex("be?t+a").toSet == Set("beta", "bta", "betta"))
+    // degenerate patterns fail loudly instead of OOMing the driver
+    intercept[IllegalArgumentException](searcher.expandRegex(".*", cap = 2))
+  }
+
   test("fuzzy expansion partition-prunes to the length band") {
     // eta (drop b) and zeta (sub) are 1 edit away; ties order term asc
     assert(searcher.expandFuzzy("beta", 1) ==
