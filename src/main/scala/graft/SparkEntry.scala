@@ -983,6 +983,17 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // per-query facet counts over a doc-values attribute (≙ Lucene facets
+    // — the "matches per language" sidebar): distinct matching docs per
+    // (qid, lang) for the standard topic batch; pure integer counts over
+    // the docid-only postings view
+    "q_facets" -> ((s, dir) => {
+      val sr = Engine.searcher(s, dir)
+      val keys = sr.collapseKeyTable(corpus.Corpus.fromDocuments(s, dir), "lang")
+      sr.facetCounts(topics, keys)
+        .select(col("qid"), col("ckey"), col("n_docs").cast("long").as("n_docs"))
+        .orderBy("qid", "ckey")
+    }),
     // regex term query (Lucene RegexpQuery analog, the code-search staple):
     // vocabulary terms fully matching the pattern enter as a CONSTANT_SCORE
     // expansion — topic 1 OR's the regex with a scored term through the
@@ -2506,6 +2517,17 @@ object SparkEntry {
          |  FROM p2)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // facet replay: matching docs = any doc sharing a term with the topic,
+    // counted per (qid, lang) — integer-exact
+    "q_facets" -> withCtes(
+      s""",
+         |$TopicsCte,
+         |m AS (SELECT DISTINCT tp.qid, t.docno
+         |      FROM tok t
+         |      JOIN (SELECT DISTINCT qid, term FROM topics) tp ON tp.term = t.term)
+         |SELECT m.qid, c.lang AS ckey, count(*)::BIGINT AS n_docs
+         |FROM m JOIN corpus c USING (docno)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // regex replay: expansion docs = any term regexp_full_match'ing the
     // pattern (DuckDB RE2 full-match ≡ the engine's anchored Java rlike on
     // the shared dialect), constant 1.0 per clause per doc; topic 1 sums

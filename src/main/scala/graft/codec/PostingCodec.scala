@@ -132,6 +132,26 @@ object PostingCodec {
   def decode(run: EncodedRun): Iterator[DecodedPosting] =
     decodeBlobs(run.ndocs, run.docBlob, run.tfBlob, run.dlBlob, run.posBlob)
 
+  /** Docid-only streaming decode: walks just the delta-varbyte doc blob
+    * (block boundaries need no special casing — each block's first delta
+    * is relative to the previous block's last docid, so the sequential
+    * cumulative sum is exact). The match-counting paths (facets,
+    * attribute-filter membership) use this so tf/dl bytes never decode.
+    */
+  def decodeDocids(ndocs: Int, docBlob: Array[Byte]): Iterator[Long] =
+    new Iterator[Long] {
+      private val dr = new VarByte.Reader(docBlob, 0)
+      private var i = 0
+      private var docid = 0L
+      def hasNext: Boolean = i < ndocs
+      def next(): Long = {
+        val d = dr.nextLong()
+        docid = if (i == 0) d else docid + d
+        i += 1
+        docid
+      }
+    }
+
   /** Decode a single block without touching earlier blocks' bytes: seek to
     * the stored byte offsets; the first delta of block i is relative to
     * block i-1's last docid (absolute for block 0). This is what makes

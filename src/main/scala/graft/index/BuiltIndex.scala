@@ -65,6 +65,18 @@ class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig)
       "block_dl_off" -> typedLit(Array.empty[Int])))
   }
 
+  /** Narrowest postings view: docid runs only — match-counting paths
+    * (facet counts, attribute-filter membership) blank the tf/dl blobs on
+    * top of [[postingsDecode]], so the parquet scan reads term/ndocs and
+    * `doc_blob` alone.
+    */
+  def postingsMatch: DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    postingsDecode.withColumns(Map(
+      "tf_blob" -> typedLit(Array.empty[Byte]),
+      "dl_blob" -> typedLit(Array.empty[Byte])))
+  }
+
   /** Sorted (term, len) vocabulary projection for prunable prefix/fuzzy
     * expansion; indexes written before the projection existed fall back to
     * a derived (unprunable) view so they stay openable.

@@ -166,6 +166,43 @@ final class Searcher(val index: BuiltIndex) {
       .join(corpus.select(col("docno"), col(keyCol).as("ckey")), Seq("docno"))
       .select(col("docid"), col("ckey"))
 
+  /** Per-query facet counts over a doc-values attribute (≙ Lucene's facets
+    * module over SortedSetDocValues — the search-UI "matches per language
+    * / per repository" sidebar): for each topic, the number of DISTINCT
+    * matching documents (disjunctive bag-of-words match, like [[search]])
+    * per attribute value in `keys` (a (docid, ckey) table from
+    * [[collapseKeyTable]]). Match-only by design: the scan reads just the
+    * docid runs of the topics' terms ([[BuiltIndex.postingsMatch]] —
+    * tf/dl/positions/block metadata never leave parquet), and the job is
+    * two integer, map-side-combinable shuffles: distinct (qid, docid),
+    * then the (qid, ckey) count. Documents without a key row are omitted,
+    * like Lucene facets over docs missing the doc value.
+    */
+  def facetCounts(topics: Seq[Topic], keys: DataFrame): DataFrame = {
+    requireDistinctQids(topics)
+    import spark.implicits._
+    val termQids: Map[String, Seq[String]] = topics
+      .flatMap(t => analyzer.analyze(t.text).distinct.map(_ -> t.qid))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    if (termQids.isEmpty)
+      return Seq.empty[(String, String, Long)].toDF("qid", "ckey", "n_docs")
+    val buckets =
+      termQids.keySet.map(IndexLayout.bucketOf(_, index.cfg.buckets)).toSeq
+    val bc = spark.sparkContext.broadcast(termQids)
+    val matched = index.postingsMatch
+      .where(col("bucket").isin(buckets: _*) &&
+        col("term").isin(termQids.keys.toSeq: _*))
+      .as[PostingRun]
+      .flatMap { run =>
+        val qids = bc.value(run.term)
+        PostingCodec.decodeDocids(run.ndocs, run.doc_blob)
+          .flatMap(d => qids.map(q => (q, d)))
+      }
+      .toDF("qid", "docid").distinct()
+    matched.join(keys, Seq("docid"))
+      .groupBy("qid", "ckey").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Conjunctive variant: only docs containing every analyzed query term. */
   def searchAnd(topics: Seq[Topic], k: Int = 1000,
                 scorerName: String = "bm25"): Dataset[RunLine] = {
