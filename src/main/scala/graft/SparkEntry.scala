@@ -983,6 +983,15 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // more-like-this (Lucene MLT analog): the source doc's top tf×idf
+    // terms run as an unboosted OR with the source excluded; the oracle
+    // re-derives the term selection and replays the BM25 ranking
+    "q_mlt_topk" -> ((s, dir) => {
+      graft.search.MoreLikeThis.search(Engine.searcher(s, dir),
+          corpus.Corpus.fromDocuments(s, dir), "1", MltDocno, MltTerms, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // per-query facet counts over a doc-values attribute (≙ Lucene facets
     // — the "matches per language" sidebar): distinct matching docs per
     // (qid, lang) for the standard topic batch; pure integer counts over
@@ -1344,6 +1353,12 @@ object SparkEntry {
     */
   val RegexTopic1 = "b.(g|tch)"
   val RegexTopic2 = "(or|bor)der"
+
+  /** More-like-this gate parameters: the source document and how many of
+    * its top tf×idf terms become the similarity query.
+    */
+  val MltDocno = "doc-00000007"
+  val MltTerms = 4
 
   // ---- DuckDB oracle -------------------------------------------------------
 
@@ -2515,6 +2530,46 @@ object SparkEntry {
          |  SELECT '2' AS qid, docno,
          |         (row_number() OVER (ORDER BY score DESC, docno ASC) - 1) AS rank
          |  FROM p2)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // more-like-this replay: source-doc terms scored tf × (1 + ln(N/(df+1)))
+    // — the same double chain as MoreLikeThis.interestingTerms — top
+    // MltTerms by (score desc, term asc) become w=1 BM25 clauses; the
+    // source doc drops out BEFORE ranks are assigned
+    "q_mlt_topk" -> withCtes(
+      s""",
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |srct AS (SELECT term, count(*) AS tf FROM tok
+         |         WHERE docno = '$MltDocno' GROUP BY term),
+         |cand AS (SELECT s.term,
+         |                s.tf * (1.0 + ln(CAST(st.n AS DOUBLE) / (v.df + 1))) AS score
+         |         FROM srct s JOIN df v USING (term) CROSS JOIN st),
+         |sel AS (SELECT term FROM (
+         |          SELECT term, row_number() OVER (ORDER BY score DESC, term ASC) AS rn
+         |          FROM cand) WHERE rn <= $MltTerms),
+         |qterm AS (SELECT '1' AS qid, term, 1 AS w FROM sel),
+         |scored AS (
+         |  SELECT q.qid, f.docno,
+         |         sum(q.w * ((1.2 + 1.0) * f.tf)
+         |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
+         |  FROM qterm q
+         |  JOIN tf f ON f.term = q.term
+         |  JOIN dl d ON d.docno = f.docno
+         |  JOIN df v ON v.term = q.term
+         |  CROSS JOIN st
+         |  WHERE f.docno <> '$MltDocno'
+         |  GROUP BY q.qid, f.docno
+         |),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scored
+         |)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
     // facet replay: matching docs = any doc sharing a term with the topic,
