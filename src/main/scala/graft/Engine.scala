@@ -31,16 +31,49 @@ object Engine {
 
   private val cache = TrieMap[String, BuiltIndex]()
 
+  private def safeSf(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+
   /** Index of the documents-derived corpus at `sfDir` under `cfg`. */
   def indexFor(spark: SparkSession, sfDir: String, cfg: IndexConfig,
                tag: String): BuiltIndex = {
     val key = s"$sfDir|$tag|${cfg.id}"
     cache.getOrElseUpdate(key, {
-      val safeSf = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val dir = s"$workDir/idx_${safeSf}_$tag"
+      val dir = s"$workDir/idx_${safeSf(sfDir)}_$tag"
       IndexBuilder.build(Corpus.fromDocuments(spark, sfDir), dir, cfg, verifySha = true)
     })
   }
+
+  /** Docnos the delete/purge gate entries tombstone: last docno digit 7
+    * (⟺ `doc_id % 10 = 7` — docnos are zero-padded doc_ids, so the DuckDB
+    * oracle replays the same set on the documents table directly).
+    */
+  def deleteSet(spark: SparkSession, sfDir: String) =
+    Corpus.fromDocuments(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("docno").endsWith("7"))
+      .select("docno")
+
+  /** The oracle index with the [[deleteSet]] tombstoned via an EXTERNAL
+    * equality-delete overlay — the shared on-disk snapshot (and every
+    * other entry reading it) stays delete-free. Idempotent across
+    * sessions: the overlay batch is content-addressed.
+    */
+  def deletedOracleIndex(spark: SparkSession, sfDir: String): BuiltIndex = {
+    val idx = oracleIndex(spark, sfDir)
+    val overlay = s"$workDir/deletes_${safeSf(sfDir)}_oracle"
+    graft.index.Deletes.writeDeletes(idx, deleteSet(spark, sfDir), overlay)
+    idx.withDeletes(overlay)
+  }
+
+  /** The [[deletedOracleIndex]] physically purged — stats/df/cf recomputed
+    * over survivors (the post-merge Lucene state). Resumes from a
+    * completed purge on disk.
+    */
+  def purgedIndex(spark: SparkSession, sfDir: String): BuiltIndex =
+    cache.getOrElseUpdate(s"$sfDir|purged", {
+      graft.index.Deletes.purge(deletedOracleIndex(spark, sfDir),
+        s"$workDir/idx_${safeSf(sfDir)}_purged")
+    })
 
   /** Positions on: the oracle index also serves the phrase-query gate entry
     * (pos blobs are only decoded by phrase clauses; every other entry reads

@@ -109,6 +109,40 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // Logical deletes (equality-delete overlay, ≙ Lucene's .del bitsets /
+    // Iceberg-v2 delete files): tombstoned docs vanish from results while
+    // df/dl/collection stats keep their pre-delete values, so surviving
+    // docs score UNCHANGED and ranks close up. WAND pruning stays ON —
+    // the seed θ is computed live-only (a deleted doc must not inflate
+    // the lower bound) while block maxima remain sound as supersets —
+    // so a green row certifies tombstone-aware pruning rank-identity.
+    "q_delete_topk" -> ((s, dir) => {
+      new graft.search.Searcher(Engine.deletedOracleIndex(s, dir))
+        .search(topics, TopK, pruning = true)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // Physical purge (≙ the Lucene merge that reclaims deletes): postings
+    // and docs rewritten without tombstoned docs — runs with no tombstone
+    // in their docid range copy their encoded blobs verbatim — and
+    // df/cf/stats/vocab recomputed over survivors. The oracle recomputes
+    // the whole BM25 pipeline over the purged corpus.
+    "q_purge_topk" -> ((s, dir) => {
+      new graft.search.Searcher(Engine.purgedIndex(s, dir))
+        .search(topics, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    "q_purge_df" -> ((s, dir) => {
+      Engine.purgedIndex(s, dir).termStats
+        .select(col("term"), col("df").cast("long").as("df"))
+        .orderBy("term")
+    }),
+    "q_purge_stats" -> ((s, dir) => {
+      val st = Engine.purgedIndex(s, dir).stats
+      import s.implicits._
+      Seq((st.max_doc, st.sum_total_term_freq)).toDF("max_doc", "sum_total_term_freq")
+    }),
     // Field-collapsed top-k (code-search "one hit per repo"): per query,
     // each repo keeps its best doc by the collector ordering, then the
     // collapsed winners rank; oracle = the shared BM25 scored stream with
@@ -1392,6 +1426,19 @@ object SparkEntry {
   private def withCtesRec(body: String): String =
     s"WITH RECURSIVE $CorpusCte,\n$TokCte\n$body"
 
+  /** The SQL form of [[Engine.deleteSet]]: docnos ending in 7 ⟺ doc_id
+    * ending in 7 (docnos zero-pad the doc_id).
+    */
+  private val DeletedDocPred = "doc_id % 10 = 7"
+
+  /** [[withCtes]] over the PURGED corpus (the [[Engine.deleteSet]] docs
+    * physically gone): every derived stat — tf/dl/df/N/sumttf — recomputes
+    * over survivors, the post-merge Lucene state q_purge_* certifies.
+    */
+  private def withCtesPurged(body: String): String =
+    s"WITH ${CorpusCte.replace("FROM documents",
+        s"FROM documents WHERE NOT ($DeletedDocPred)")},\n$TokCte\n$body"
+
   /** Recursive-CTE replay of the faithful 2-term sloppy-phrase walk
     * ([[graft.search.SloppyPhrase]]; the 2-cursor reduction is
     * cross-checked against the general priority-queue implementation by
@@ -1620,7 +1667,12 @@ object SparkEntry {
   /** The shared BM25 ranking CTEs (through `ranked(qid, docno, rank)`);
     * the top-k, WAND, and paging oracles select different slices of it.
     */
-  private lazy val Bm25RankedCtes: String =
+  /** `candidateWhere` drops docs from the CANDIDATE set only — tf/dl/df/
+    * stats stay full-corpus, which is exactly the logical-delete contract
+    * (q_delete_topk): Lucene skips tombstoned docs at decode time but
+    * scores with pre-delete statistics until a merge purges them.
+    */
+  private def bm25RankedCtes(candidateWhere: String = ""): String =
     s""",
        |$TopicsCte,
        |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
@@ -1639,6 +1691,7 @@ object SparkEntry {
        |  JOIN dl d ON d.docno = f.docno
        |  JOIN df v ON v.term = q.term
        |  CROSS JOIN st
+       |  $candidateWhere
        |  GROUP BY q.qid, f.docno
        |),
        |ranked AS (
@@ -1646,6 +1699,8 @@ object SparkEntry {
        |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
        |  FROM scored
        |)""".stripMargin
+
+  private lazy val Bm25RankedCtes: String = bm25RankedCtes()
 
   /** The template-scorer oracle (score ≡ Σ clause weights per matched doc,
     * i.e. an integer-exact collector/tie-break probe) — shared by
@@ -1962,6 +2017,23 @@ object SparkEntry {
          |GROUP BY 1, 2
          |ORDER BY term, grp""".stripMargin,
     "q_bm25_topk" -> Bm25TopkSql,
+    // logical deletes: full-corpus stats, deleted docs dropped from the
+    // candidate set only (the Lucene pre-merge contract)
+    "q_delete_topk" -> withCtes(
+      s"""${bm25RankedCtes(candidateWhere = "WHERE f.docno NOT LIKE '%7'")}
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // physical purge: the whole pipeline recomputed over survivors
+    "q_purge_topk" -> withCtesPurged(
+      s"""$Bm25RankedCtes
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    "q_purge_df" -> withCtesPurged(
+      """SELECT term, count(DISTINCT docno)::BIGINT AS df
+        |FROM tok GROUP BY term ORDER BY term""".stripMargin),
+    "q_purge_stats" -> withCtesPurged(
+      """SELECT (SELECT count(*) FROM corpus)::BIGINT AS max_doc,
+        |       (SELECT count(*) FROM tok)::BIGINT AS sum_total_term_freq""".stripMargin),
     "q_treceval" -> TrecEvalSql,
     // WAND is rank-identical to exhaustive BM25 by design — same oracle
     "q_wand_topk" -> Bm25TopkSql,

@@ -95,6 +95,31 @@ class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig)
     StatsRow(r.getAs[Long]("max_doc"), r.getAs[Long]("sum_total_term_freq"))
   }
 
+  /** Equality-delete dirs applied to this index at query time: the
+    * index's own `deletes/` subdir when present (in-place deletes, ≙
+    * Lucene `.del` generations) plus any overlays attached via
+    * [[withDeletes]] (deletes over a shared immutable snapshot, ≙
+    * Iceberg-v2 delete files referenced by a newer snapshot).
+    */
+  def deleteDirs: Seq[String] = {
+    val own = new Path(s"$dir/$DeletesDir")
+    val fs = own.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(own)) Seq(own.toString) else Nil
+  }
+
+  /** Sorted tombstoned docids from [[deleteDirs]]; empty = no deletes.
+    * Loaded once per handle — an index snapshot is immutable, and a new
+    * delete batch is a new snapshot ([[withDeletes]] returns a fresh
+    * handle).
+    */
+  lazy val tombstones: Array[Long] = Deletes.load(spark, deleteDirs)
+
+  /** This index with an external equality-delete overlay attached — the
+    * underlying snapshot (and any sibling handles) stay delete-free.
+    */
+  def withDeletes(overlayDir: String): BuiltIndex =
+    new DeleteOverlayIndex(this, Seq(overlayDir))
+
   /** Ascending grp partition values of the docs table, read from the
     * directory listing alone (driver-side metadata, no Spark job). grp is
     * the docid's high bits (`docid >> (groupShift + mergeShift)` — the

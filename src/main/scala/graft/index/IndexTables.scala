@@ -108,6 +108,8 @@ object IndexLayout {
     * startsWith/levenshtein predicate).
     */
   val VocabDir = "vocab"
+  /** Equality-delete batches ([[Deletes]]) living inside the index dir. */
+  val DeletesDir = "deletes"
 
   /** Deterministic bucket for a term — must match between build and query.
     * Plain JVM string hash, made non-negative.

@@ -93,6 +93,19 @@ final class Searcher(val index: BuiltIndex) {
   private val statsCache =
     new scala.collection.concurrent.TrieMap[String, Option[(Long, Long)]]()
 
+  /** Sorted tombstone docids (equality-delete overlay, [[graft.index
+    * .Deletes]]), broadcast once per searcher; None on a delete-free index
+    * so the common path pays nothing. Lucene semantics: tombstoned docs
+    * are skipped at posting-decode time while df/dl/collection stats keep
+    * their pre-delete values until a purge rewrites the index.
+    */
+  private lazy val tombstonesBc
+      : Option[org.apache.spark.broadcast.Broadcast[Array[Long]]] = {
+    val t = index.tombstones
+    if (t.isEmpty) None
+    else Some(spark.sparkContext.broadcast(t))
+  }
+
   /** Top-k retrieval for a batch of topics. Default k mirrors the
     * reference's `returnedResultCount` (`LTRSettings.java:14`).
     */
@@ -189,6 +202,7 @@ final class Searcher(val index: BuiltIndex) {
     val buckets =
       termQids.keySet.map(IndexLayout.bucketOf(_, index.cfg.buckets)).toSeq
     val bc = spark.sparkContext.broadcast(termQids)
+    val tombL = tombstonesBc
     val matched = index.postingsMatch
       .where(col("bucket").isin(buckets: _*) &&
         col("term").isin(termQids.keys.toSeq: _*))
@@ -196,6 +210,7 @@ final class Searcher(val index: BuiltIndex) {
       .flatMap { run =>
         val qids = bc.value(run.term)
         PostingCodec.decodeDocids(run.ndocs, run.doc_blob)
+          .filter(d => Searcher.liveDoc(tombL, d))
           .flatMap(d => qids.map(q => (q, d)))
       }
       .toDF("qid", "docid").distinct()
@@ -914,8 +929,10 @@ final class Searcher(val index: BuiltIndex) {
       trees.map { case (qid, ts) =>
         qid -> BoolQuery.foldQueryNorm(ts.root, qnByQid.getOrElse(qid, 1.0f))
       }
+    val tombL = tombstonesBc
     val filtered = allPartials
-      .filter(t => excluded.get(t._1).forall(!_.contains(t._2)))
+      .filter(t => Searcher.liveDoc(tombL, t._2) &&
+        excluded.get(t._1).forall(!_.contains(t._2)))
     // Tree mode keeps the NaN (no-match) rows in `evaluated`: the match-all
     // complement below needs the full candidate set. When a complement WILL
     // be taken (computed up front from the trees' empty-document scores),
@@ -1096,10 +1113,14 @@ final class Searcher(val index: BuiltIndex) {
     val posts = index.postingsDecode
       .where(col("bucket").isin(buckets: _*) && col("term").isin(byTerm.keys.toSeq: _*))
       .as[PostingRun]
+    // tombstoned docs must not seed θ: a deleted doc's score could push the
+    // lower bound past the true live kth score and over-prune live blocks
+    val tombL = tombstonesBc
     val partials = posts.flatMap { run =>
       val w = weights(run.term)
       val qs = byTerm(run.term)
       PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
+        .filter(p => Searcher.liveDoc(tombL, p.docid))
         .flatMap { p =>
           val s = scorer.score(p.tf, p.dl, w, stats)
           qs.iterator.map { case (qid, boost) => (qid, p.docid, s * boost) }
@@ -1171,12 +1192,14 @@ final class Searcher(val index: BuiltIndex) {
     val termSeq = byTerm.keys.toSeq
     val buckets = termSeq.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
     val docShift = index.cfg.groupShift + index.cfg.mergeShift
+    val tombL = tombstonesBc
     val matched = index.postingsDecode
       .where(col("bucket").isin(buckets: _*) && col("term").isin(termSeq: _*))
       .as[PostingRun]
       .flatMap { run =>
         val qids = byTerm(run.term)
         PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
+          .filter(p => Searcher.liveDoc(tombL, p.docid))
           .flatMap(p => qids.iterator.map(q => (q, p.docid)))
       }.toDF("qid", "docid").distinct()
     val counts = matched
@@ -1236,6 +1259,7 @@ final class Searcher(val index: BuiltIndex) {
     val agg = new TopKAgg(k, implicitly[Encoder[Seq[(Long, Float)]]],
       implicitly[Encoder[Seq[(Long, Float)]]])
     val excl = excluded
+    val tombL = tombstonesBc // deleted docs don't match-all either
     var idx = 0
     var batch = 1
     while (idx < grps.length && acc.values.exists(_._2.length < k)) {
@@ -1256,7 +1280,8 @@ final class Searcher(val index: BuiltIndex) {
         .join(cands, Seq("qid", "docid"), "left_anti")
         .select(col("qid"), col("docid"), col("cscore"))
         .as[(String, Long, Float)]
-        .filter(t => excl.get(t._1).forall(!_.contains(t._2)))
+        .filter(t => Searcher.liveDoc(tombL, t._2) &&
+          excl.get(t._1).forall(!_.contains(t._2)))
         .groupByKey(_._1)
         .agg(agg.toColumn)
         .collect()
@@ -1316,6 +1341,15 @@ final class TopKAgg(k: Int,
 }
 
 object Searcher {
+  /** True iff `docid` survives the broadcast tombstone overlay (None =
+    * delete-free index). Static so executor closures capture only the
+    * Option[Broadcast], never the Searcher.
+    */
+  @inline def liveDoc(
+      tomb: Option[org.apache.spark.broadcast.Broadcast[Array[Long]]],
+      docid: Long): Boolean =
+    tomb.forall(b => java.util.Arrays.binarySearch(b.value, docid) < 0)
+
   /** Longest leading run of literal regex characters, used to prefix-prune
     * the [[Searcher.regexScan]] vocabulary scan. Stops at the first
     * metacharacter, and surrenders the final literal if a quantifier

@@ -180,6 +180,13 @@ final class UnionIndex(spark0: SparkSession, val dirs: Seq[String], cfg0: IndexC
     dirs.flatMap(d => BuiltIndex.listGrps(spark, s"$d/$DocsDir"))
       .distinct.sorted
   override def postings: DataFrame = unioned(PostingsDir)
+  // each delta may carry its own equality-delete generations
+  override def deleteDirs: Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dirs.map(d => new org.apache.hadoop.fs.Path(s"$d/$DeletesDir"))
+      .filter(p => p.getFileSystem(conf).exists(p))
+      .map(_.toString)
+  }
   override def vocab: DataFrame = unioned(VocabDir)
   override def termStats: DataFrame =
     unioned(TermStatsDir)
