@@ -1017,6 +1017,15 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // spell suggestion ("did you mean", ≙ Lucene's DirectSpellChecker):
+    // top-3 vocabulary terms within 2 edits per misspelled input, ranked
+    // (distance asc, df desc, term asc); "merge" is a known corpus word
+    // (df > maxQueryFrequency=0) so it must yield no rows
+    "q_suggest" -> ((s, dir) => {
+      Engine.searcher(s, dir)
+        .suggest(SuggestInputs, maxEdits = 2, topN = 3)
+        .orderBy("q", "rank")
+    }),
     // more-like-this (Lucene MLT analog): the source doc's top tf×idf
     // terms run as an unboosted OR with the source excluded; the oracle
     // re-derives the term selection and replays the BM25 ranking
@@ -1393,6 +1402,12 @@ object SparkEntry {
     */
   val MltDocno = "doc-00000007"
   val MltTerms = 4
+
+  /** Spell-suggestion inputs: five misspellings of corpus words plus one
+    * KNOWN word ("merge") that must be gated out by maxQueryFrequency.
+    */
+  val SuggestInputs: Seq[String] =
+    Seq("tabel", "qurey", "hashh", "custmer", "windoww", "merge")
 
   // ---- DuckDB oracle -------------------------------------------------------
 
@@ -3361,6 +3376,26 @@ object SparkEntry {
          |  FROM scored)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // spell suggestion: candidates = vocabulary within 2 edits of each
+    // input absent from the corpus, ranked (distance asc, df desc, term
+    // asc) — the engine's maxQueryFrequency=0 gate is the NOT EXISTS
+    "q_suggest" -> withCtes(
+      s""",
+         |inputs(q) AS (VALUES ${SuggestInputs.map(w => s"('$w')").mkString(",")}),
+         |voc AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |act AS (SELECT q FROM inputs i
+         |        WHERE NOT EXISTS (SELECT 1 FROM voc v WHERE v.term = i.q)),
+         |cand AS (SELECT a.q, v.term, levenshtein(a.q, v.term) AS d, v.df
+         |         FROM act a JOIN voc v
+         |           ON abs(length(v.term) - length(a.q)) <= 2
+         |         WHERE levenshtein(a.q, v.term) <= 2),
+         |ranked AS (SELECT q, term, d, df,
+         |                  row_number() OVER (PARTITION BY q
+         |                    ORDER BY d ASC, df DESC, term ASC) AS rn
+         |           FROM cand)
+         |SELECT q, term AS suggestion, d::BIGINT AS dist, df::BIGINT AS df,
+         |       (rn - 1)::BIGINT AS rank
+         |FROM ranked WHERE rn <= 3 ORDER BY q, rank""".stripMargin),
     // blended-frequency fuzzy replay: expansion = levenshtein ≤ N over the
     // vocabulary (well under maxExpansions=50 here), ONE idf from the max
     // df across the expansion, per-term boost 1 − d/min(|q|,|t|), a doc

@@ -447,6 +447,54 @@ final class Searcher(val index: BuiltIndex) {
         .as[(String, Int)].take(maxExpansions).toSeq
     })
 
+  /** Did-you-mean suggestions (≙ Lucene's DirectSpellChecker over the
+    * index terms): for each input term the top `topN` vocabulary terms
+    * within `maxEdits` (plain Levenshtein), ranked by (distance asc,
+    * df desc, term asc) — DirectSpellChecker's score order with its
+    * docFreq tie-break. Inputs the corpus already knows (df >
+    * `maxQueryFrequency` docs; default 0 = only correct absent terms) get
+    * no suggestions, like its maxQueryFrequency gate. Scale shape: one
+    * length-band partition-pruned vocab scan serves the whole input batch
+    * (inputs broadcast into a nested-loop join — the automaton-intersect
+    * analog), and df attaches by broadcasting the tiny surviving candidate
+    * set against the column-pruned term_stats scan. Returns (q,
+    * suggestion, dist, df, rank).
+    */
+  def suggest(inputs: Seq[String], maxEdits: Int = 2, topN: Int = 5,
+              maxQueryFrequency: Long = 0): DataFrame = {
+    require(inputs.nonEmpty, "suggest needs at least one input term")
+    require(maxEdits >= 1 && maxEdits <= 4, s"maxEdits out of range: $maxEdits")
+    import spark.implicits._
+    // df of the inputs themselves: tiny bucket-pruned point lookup
+    val inBuckets = inputs.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+    val knownDf: Map[String, Long] = index.termStats
+      .where(col("bucket").isin(inBuckets: _*) && col("term").isin(inputs: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    val active = inputs.distinct
+      .filter(t => knownDf.getOrElse(t, 0L) <= maxQueryFrequency)
+    val empty = Seq.empty[(String, String, Long, Long, Long)]
+      .toDF("q", "suggestion", "dist", "df", "rank")
+    if (active.isEmpty) return empty
+    val lens = active.map(_.length)
+    val cands = index.vocab
+      .where(col("len") >= lens.min - maxEdits &&
+        col("len") <= lens.max + maxEdits)
+      .join(broadcast(active.toDF("q")),
+        abs(col("len") - length(col("q"))) <= maxEdits &&
+          levenshtein(col("term"), col("q")) <= maxEdits)
+      .select(col("q"), col("term"),
+        levenshtein(col("term"), col("q")).cast("long").as("dist"))
+      .distinct() // a delta-union vocab may list a term once per delta
+    val scored = index.termStats.select(col("term"), col("df"))
+      .join(broadcast(cands), Seq("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("dist").asc, col("df").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long") - 1)
+      .where(col("rank") < topN)
+      .select(col("q"), col("term").as("suggestion"), col("dist"),
+        col("df").cast("long").as("df"), col("rank"))
+  }
+
   private val regexCache =
     new scala.collection.concurrent.TrieMap[(String, Int), Seq[String]]()
 

@@ -83,4 +83,27 @@ class VocabSpec extends AnyFunSuite {
     // the band reads strictly fewer rows than the vocabulary
     assert(banded.count() < searcher.index.vocab.count())
   }
+
+  test("spell suggestion: DirectSpellChecker order, known-word gate, topN") {
+    // corpus dfs: alpha 2, alpine 2, beta 2, albatross/gamma/delta/
+    // epsilon/zeta/eta 1. 'bета'-like input: 1 edit from beta/eta/zeta
+    val rows = searcher.suggest(Seq("betaa", "alpin", "gamma"), maxEdits = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byQ = rows.groupBy(_._1)
+    // 'gamma' is a corpus word (df>0) → gated out entirely
+    assert(!byQ.contains("gamma"))
+    // distance ascends first, then df desc, then term asc
+    val betaa = byQ("betaa").sortBy(_._5).toSeq
+    assert(betaa.head._2 == "beta" && betaa.head._3 == 1)
+    assert(betaa.map(_._3).sorted == betaa.map(_._3))
+    val alpin = byQ("alpin").sortBy(_._5).toSeq
+    assert(alpin.head._2 == "alpine" && alpin.head._3 == 1)
+    // df tie-break: alpha (df 2) must outrank eta-like df-1 terms at
+    // equal distance; both 'alpha' (d2) and 'alpine' (d1) appear
+    assert(alpin.map(_._2).contains("alpha"))
+    // topN truncates
+    assert(searcher.suggest(Seq("betaa"), maxEdits = 2, topN = 1)
+      .count() == 1)
+  }
 }
