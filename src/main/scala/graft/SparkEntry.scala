@@ -58,6 +58,16 @@ object SparkEntry {
           length(col("content")).cast("long").as("n_chars"))
         .orderBy("docno")
     }),
+    // North-rule sha256 invariant as a gate row: the per-row content sha
+    // STORED in the index at build time (computed executor-side with
+    // java.security MessageDigest, IndexBuilder.scala:157) replayed
+    // row-for-row against DuckDB's independent sha256 of the source table
+    // — a third implementation checking the other two.
+    "q_integrity" -> ((s, dir) => {
+      Engine.oracleIndex(s, dir).docs
+        .select(col("docno"), col("sha"))
+        .orderBy("docno")
+    }),
     // §2.4 doc length (dl ≙ computeNorm) through the full build pipeline
     "q_doclens" -> ((s, dir) => {
       Engine.oracleIndex(s, dir).docs
@@ -1982,6 +1992,9 @@ object SparkEntry {
          |       sha256(content) AS sha,
          |       length(content)::BIGINT AS n_chars
          |FROM corpus ORDER BY docno""".stripMargin,
+    "q_integrity" -> withCtes(
+      """SELECT docno, sha256(content) AS sha
+        |FROM corpus ORDER BY docno""".stripMargin),
     "q_doclens" -> withCtes(
       """SELECT c.docno, coalesce(t.dl, 0)::BIGINT AS dl
         |FROM corpus c
