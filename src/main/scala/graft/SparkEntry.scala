@@ -153,6 +153,31 @@ object SparkEntry {
       import s.implicits._
       Seq((st.max_doc, st.sum_total_term_freq)).toDF("max_doc", "sum_total_term_freq")
     }),
+    // Document UPDATE = delete + re-add (≙ IndexWriter.updateDocument over
+    // a live index): the new version lands as an epoch-1 streaming delta,
+    // the OLD version is tombstoned by an equality-delete overlay resolved
+    // against the BASE snapshot only (the new docid must survive), and the
+    // search runs over UnionIndex + overlay. Pre-merge stats contract
+    // throughout: N=501, and df/dl still count BOTH versions — the oracle
+    // models versions as distinct stat-carrying rows and drops only the
+    // old version from the candidate set.
+    "q_update_topk" -> ((s, dir) => {
+      import s.implicits._
+      val base = Engine.oracleIndex(s, dir)
+      // content-addressed root: IndexBuilder's resume fingerprint is
+      // keys-only, so a changed replacement text must change the dir
+      val ufp = java.lang.Integer.toHexString((UpdateDocno + UpdateContent).hashCode)
+      val root = s"${Engine.workDir}/update_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}_$ufp"
+      val delta = streaming.StreamingIngest.ingestBatch(
+        Seq((UpdateDocno, UpdateContent)).toDF("docno", "content"),
+        batchId = 0, root, base.cfg)
+      val overlay = s"$root/tomb"
+      graft.index.Deletes.writeDeletes(base, Seq(UpdateDocno).toDF("docno"), overlay)
+      val union = new streaming.UnionIndex(s, Seq(base.dir, delta.dir), base.cfg)
+      new graft.search.Searcher(union.withDeletes(overlay)).search(topics, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // Field-collapsed top-k (code-search "one hit per repo"): per query,
     // each repo keeps its best doc by the collector ordering, then the
     // collapsed winners rank; oracle = the shared BM25 scored stream with
@@ -1419,6 +1444,15 @@ object SparkEntry {
   val SuggestInputs: Seq[String] =
     Seq("tabel", "qurey", "hashh", "custmer", "windoww", "merge")
 
+  /** Document-update fixture (q_update_topk): the docno whose content is
+    * replaced, and the fixed replacement text — high-tf topic-1 terms in a
+    * tiny dl, so the NEW version must enter topic 1's top-k (the entry
+    * fails visibly if the delta isn't searched, not just by hash drift).
+    */
+  val UpdateDocno = "doc-00000012"
+  val UpdateContent = "hash hash hash hash join join join join " +
+    "merge merge merge merge updated"
+
   // ---- DuckDB oracle -------------------------------------------------------
 
   /** Shared corpus/tokenization CTEs, mirroring the engine's oracle
@@ -2062,6 +2096,47 @@ object SparkEntry {
     "q_purge_stats" -> withCtesPurged(
       """SELECT (SELECT count(*) FROM corpus)::BIGINT AS max_doc,
         |       (SELECT count(*) FROM tok)::BIGINT AS sum_total_term_freq""".stripMargin),
+    // update = delete + re-add, pre-merge stats: versions are distinct
+    // stat-carrying rows (N=501, df/dl count both), only the OLD version
+    // leaves the candidate set
+    "q_update_topk" ->
+      s"""WITH $CorpusCte,
+         |up(docno, content) AS (VALUES ('$UpdateDocno', '$UpdateContent')),
+         |corpus2 AS (SELECT docno, content, 0 AS ver FROM corpus
+         |            UNION ALL SELECT docno, content, 1 AS ver FROM up),
+         |tokv0 AS (SELECT docno, ver,
+         |                 unnest(string_split_regex(lower(content), '\\s+')) AS term
+         |          FROM corpus2),
+         |tokv AS (SELECT docno, ver, term FROM tokv0
+         |         WHERE term <> '' AND term NOT IN ('a', 'the')),
+         |$TopicsCte,
+         |tf AS (SELECT docno, ver, term, count(*) AS tf FROM tokv GROUP BY 1, 2, 3),
+         |dl AS (SELECT docno, ver, count(*) AS dl FROM tokv GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df
+         |       FROM (SELECT DISTINCT docno, ver, term FROM tokv) GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus2) AS n,
+         |              (SELECT count(*) FROM tokv) AS sumttf),
+         |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
+         |scored AS (
+         |  SELECT q.qid, f.docno,
+         |         sum(q.w * ((1.2 + 1.0) * f.tf)
+         |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
+         |  FROM qterm q
+         |  JOIN tf f ON f.term = q.term
+         |  JOIN dl d ON d.docno = f.docno AND d.ver = f.ver
+         |  JOIN df v ON v.term = q.term
+         |  CROSS JOIN st
+         |  WHERE NOT (f.docno = '$UpdateDocno' AND f.ver = 0)
+         |  GROUP BY q.qid, f.docno
+         |),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scored
+         |)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin,
     "q_treceval" -> TrecEvalSql,
     // WAND is rank-identical to exhaustive BM25 by design — same oracle
     "q_wand_topk" -> Bm25TopkSql,

@@ -142,6 +142,27 @@ class DeletesSpec extends AnyFunSuite {
     assert(again.stats == purged.stats)
   }
 
+  test("update = delta re-add + base-resolved tombstone over UnionIndex") {
+    import spark.implicits._
+    val baseDir = TestSpark.tmpDir("updbase")
+    val base = IndexBuilder.build(corpusDF(docs), baseDir, cfg)
+    val root = TestSpark.tmpDir("updroot")
+    // new version of d01: drops 'cat', gains high-tf 'solo'
+    val delta = graft.streaming.StreamingIngest.ingestBatch(
+      Seq(("d01", "solo solo solo updated")).toDF("docno", "content"),
+      batchId = 0, root, base.cfg)
+    val ov = s"$root/tomb"
+    Deletes.writeDeletes(base, Seq("d01").toDF("docno"), ov)
+    val union = new graft.streaming.UnionIndex(spark, Seq(base.dir, delta.dir), base.cfg)
+    val got = runOf(new Searcher(union.withDeletes(ov))
+      .search(Seq(Topic("1", "cat"), Topic("2", "solo")), k = 100))
+    // old version (cat-bearing) gone; new version tops the solo query
+    assert(!got("1").exists(_._1 == "d01"))
+    assert(got("2").head._1 == "d01")
+    // pre-merge stats: N counts both versions
+    assert(union.stats.max_doc == docs.size + 1L)
+  }
+
   test("purge copies runs outside the tombstoned docid range verbatim") {
     import spark.implicits._
     val purged = Deletes.purge(overlayIdx, TestSpark.tmpDir("delvb") + "/purged")
