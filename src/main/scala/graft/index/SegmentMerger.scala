@@ -21,24 +21,40 @@ object SegmentMerger {
     * (term, merged group), `grp` rewritten to the merged id, bucket
     * preserved.
     */
-  def mergeSorted(it: Iterator[(PostingRun, Long)]): Iterator[PostingRun] = {
+  /** `live` drops tombstoned docids during the re-encode (merges RECLAIM
+    * deletes, like Lucene's); a (term, merged group) whose postings all
+    * die vanishes from the output.
+    */
+  def mergeSorted(it: Iterator[(PostingRun, Long)],
+                  live: Long => Boolean = _ => true): Iterator[PostingRun] = {
     val rows = it.buffered
     new Iterator[PostingRun] {
-      def hasNext: Boolean = rows.hasNext
-      def next(): PostingRun = {
-        val (head, mgrp) = rows.head
-        val term = head.term
-        val bucket = head.bucket
-        val chunkRuns = new Iterator[PostingRun] {
-          def hasNext: Boolean =
-            rows.hasNext && rows.head._1.term == term && rows.head._2 == mgrp
-          def next(): PostingRun = rows.next()._1
+      private var pending: PostingRun = null
+      private def advance(): Unit = {
+        while (pending == null && rows.hasNext) {
+          val (head, mgrp) = rows.head
+          val term = head.term
+          val bucket = head.bucket
+          val chunkRuns = new Iterator[PostingRun] {
+            def hasNext: Boolean =
+              rows.hasNext && rows.head._1.term == term && rows.head._2 == mgrp
+            def next(): PostingRun = rows.next()._1
+          }
+          val decoded = chunkRuns.flatMap(decode).filter(p => live(p.docid))
+          if (decoded.hasNext) { // hasNext drains dead chunks fully
+            val e = PostingCodec.encode(decoded)
+            pending = PostingRun(term, bucket, mgrp, e.ndocs, e.firstDocid,
+              e.lastDocid, e.maxTf, e.sumTf, e.docBlob, e.tfBlob, e.dlBlob,
+              e.posBlob, e.blockLastDocid, e.blockMaxTf, e.blockMinDl,
+              e.blockDocOff, e.blockTfOff, e.blockDlOff, e.blockPosOff)
+          }
         }
-        val e = PostingCodec.encode(chunkRuns.flatMap(decode))
-        PostingRun(term, bucket, mgrp, e.ndocs, e.firstDocid, e.lastDocid,
-          e.maxTf, e.sumTf, e.docBlob, e.tfBlob, e.dlBlob, e.posBlob,
-          e.blockLastDocid, e.blockMaxTf, e.blockMinDl,
-          e.blockDocOff, e.blockTfOff, e.blockDlOff, e.blockPosOff)
+      }
+      def hasNext: Boolean = { advance(); pending != null }
+      def next(): PostingRun = {
+        advance()
+        if (pending == null) throw new NoSuchElementException
+        val r = pending; pending = null; r
       }
     }
   }
@@ -82,6 +98,13 @@ object SegmentMerger {
     // runs docid-disjoint and ordered; the docs table (whose grp partition
     // IS cfg-derived) is copied verbatim.
     val ms = mergeShift.getOrElse(cfg.mergeShift + 2)
+    // merges RECLAIM deletes (≙ Lucene dropping per-segment .del sets on
+    // merge): union each source's own equality-delete generations; the
+    // compacted output carries none of them
+    val tomb: Array[Long] =
+      Deletes.load(spark, srcDirs.map(d => s"$d/$DeletesDir"))
+    val tombBc = if (tomb.isEmpty) None
+      else Some(spark.sparkContext.broadcast(tomb))
     Checkpoint.atomically(outDir, conf) { tmp =>
       val runs = srcDirs.map(d => spark.read.parquet(s"$d/$PostingsDir"))
         .reduce(_ unionByName _)
@@ -98,20 +121,42 @@ object SegmentMerger {
         .sortWithinPartitions(col("term"), col("mgrp"), col("first_docid"))
         .select(struct(RunCols.map(col): _*).as("_1"), col("mgrp").as("_2"))
         .as[(PostingRun, Long)]
-        .mapPartitions(it => mergeSorted(it))
+        .mapPartitions { it =>
+          val live: Long => Boolean = tombBc match {
+            case None => _ => true
+            case Some(b) => d => Deletes.live(b.value, d)
+          }
+          mergeSorted(it, live)
+        }
       merged.write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$tmp/$PostingsDir")
       // docs: docids (and their grp partition values) are globally unique
-      // across epochs → a plain re-partitioned union
-      srcDirs.map(d => spark.read.parquet(s"$d/$DocsDir"))
+      // across epochs → a plain re-partitioned union, minus tombstones
+      val docsAll = srcDirs.map(d => spark.read.parquet(s"$d/$DocsDir"))
         .reduce(_ unionByName _)
-        .write.mode("overwrite").partitionBy("grp").parquet(s"$tmp/$DocsDir")
-      // collection stats are additive across disjoint delta sets
-      val st = srcDirs.map { d =>
-        val r = spark.read.parquet(s"$d/$StatsDir").head()
-        (r.getAs[Long]("max_doc"), r.getAs[Long]("sum_total_term_freq"))
+      val docsLive = tombBc match {
+        case None => docsAll
+        case Some(b) => docsAll.join(
+          broadcast(spark.createDataset(b.value.toSeq).toDF("docid")),
+          Seq("docid"), "left_anti")
       }
-      Seq((st.map(_._1).sum, st.map(_._2).sum))
+      docsLive.write.mode("overwrite").partitionBy("grp").parquet(s"$tmp/$DocsDir")
+      // collection stats: additive across disjoint delta sets when no
+      // deletes are reclaimed; otherwise recomputed over survivors
+      val (maxDoc, sumTtf) =
+        if (tomb.isEmpty) {
+          val st = srcDirs.map { d =>
+            val r = spark.read.parquet(s"$d/$StatsDir").head()
+            (r.getAs[Long]("max_doc"), r.getAs[Long]("sum_total_term_freq"))
+          }
+          (st.map(_._1).sum, st.map(_._2).sum)
+        } else {
+          val r = spark.read.parquet(s"$tmp/$PostingsDir")
+            .agg(sum(col("sum_tf")).cast("long")).head()
+          (spark.read.parquet(s"$tmp/$DocsDir").count(),
+            if (r.isNullAt(0)) 0L else r.getLong(0))
+        }
+      Seq((maxDoc, sumTtf))
         .toDF("max_doc", "sum_total_term_freq")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$StatsDir")
       // per-term stats + vocabulary projection from the compacted postings

@@ -163,6 +163,28 @@ class DeletesSpec extends AnyFunSuite {
     assert(union.stats.max_doc == docs.size + 1L)
   }
 
+  test("compaction reclaims in-place deletes (≡ fresh build of survivors)") {
+    import spark.implicits._
+    val srcDir = TestSpark.tmpDir("cmpdel")
+    val src = IndexBuilder.build(corpusDF(docs), srcDir, cfg)
+    // in-place deletes: generations under the index's own deletes/ subdir
+    Deletes.writeDeletes(src, deleted.toSeq.toDF("docno"),
+      s"$srcDir/${IndexLayout.DeletesDir}")
+    assert(BuiltIndex.open(spark, srcDir).tombstones.length == deleted.size)
+    val compacted = SegmentMerger.compactIndexes(spark, Seq(srcDir),
+      TestSpark.tmpDir("cmpout") + "/out", cfg)
+    val fresh = IndexBuilder.build(
+      corpusDF(docs.filterNot(d => deleted(d._1))), TestSpark.tmpDir("cmpfresh"), cfg)
+    assert(compacted.tombstones.isEmpty) // reclaimed, not carried forward
+    assert(compacted.stats == fresh.stats)
+    val dfC = compacted.termStats.select("term", "df").as[(String, Long)].collect().toMap
+    val dfF = fresh.termStats.select("term", "df").as[(String, Long)].collect().toMap
+    assert(dfC == dfF)
+    val rc = runOf(new Searcher(compacted).search(topics, k = 1000))
+    val rf = runOf(new Searcher(fresh).search(topics, k = 1000))
+    assert(rc == rf)
+  }
+
   test("purge copies runs outside the tombstoned docid range verbatim") {
     import spark.implicits._
     val purged = Deletes.purge(overlayIdx, TestSpark.tmpDir("delvb") + "/purged")
