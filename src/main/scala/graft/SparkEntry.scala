@@ -189,6 +189,17 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // Sort-by-field retrieval (≙ TopFieldCollector, Sort(repo asc), no
+    // scores): top-k matching docs per topic ordered (repo asc, docid asc)
+    // — certifies the match set, the attribute join and the bounded
+    // field-sort heap; docid-asc ≡ docno-asc under the ntile packing, so
+    // the oracle replays the order with a plain window
+    "q_sort_topk" -> ((s, dir) => {
+      val sr = Engine.searcher(s, dir)
+      val keys = sr.collapseKeyTable(corpus.Corpus.fromDocuments(s, dir), "repo")
+      sr.searchSorted(topics, keys, TopK)
+        .orderBy("qid", "rank")
+    }),
     // Attribute-filtered search (FILTER clause over a doc-values field —
     // "lang:de"): candidates outside the filter are removed pre-collector
     // so ranks close up; the oracle restricts the shared scored stream
@@ -3464,6 +3475,19 @@ object SparkEntry {
          |  FROM scored)
          |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // sort-by-field: matched docs (any topic term) ordered (repo asc,
+    // docno asc) — docid tie-break ≡ docno under the ntile packing
+    "q_sort_topk" -> withCtes(
+      s""",
+         |$TopicsCte,
+         |m AS (SELECT DISTINCT t.qid, k.docno
+         |      FROM topics t JOIN tok k ON k.term = t.term),
+         |ranked AS (SELECT m.qid, m.docno, c.repo AS ckey,
+         |                  (row_number() OVER (PARTITION BY m.qid
+         |                     ORDER BY c.repo ASC, m.docno ASC) - 1) AS rank
+         |           FROM m JOIN corpus c USING (docno))
+         |SELECT qid, docno, rank::BIGINT AS rank, ckey
+         |FROM ranked WHERE rank < $TopK ORDER BY qid, rank""".stripMargin),
     // spell suggestion: candidates = vocabulary within 2 edits of each
     // input absent from the corpus, ranked (distance asc, df desc, term
     // asc) — the engine's maxQueryFrequency=0 gate is the NOT EXISTS

@@ -218,6 +218,61 @@ final class Searcher(val index: BuiltIndex) {
       .groupBy("qid", "ckey").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Sorted retrieval (≙ Lucene's TopFieldCollector with
+    * Sort(SortField.STRING asc) and trackScores=false): the top-k MATCHING
+    * documents per topic ordered by a doc-values attribute, docid-asc
+    * tie-break — scoring is skipped entirely, so the scan reads only the
+    * topics' docid runs ([[BuiltIndex.postingsMatch]]). Matching is the
+    * disjunctive bag-of-words match of [[search]]; `keys` is a
+    * (docid, ckey) table from [[collapseKeyTable]]. Docs without a key row
+    * are omitted (Lucene would sort missing-value docs last). The per-qid
+    * heap is bounded ([[SortTopKAgg]], map-side partials), so the shuffle
+    * moves ≤ 4k rows per partition regardless of match count. Returns
+    * (qid, docno, rank, ckey).
+    */
+  def searchSorted(topics: Seq[Topic], keys: DataFrame, k: Int = 1000): DataFrame = {
+    requireDistinctQids(topics)
+    import spark.implicits._
+    val termQids: Map[String, Seq[String]] = topics
+      .flatMap(t => analyzer.analyze(t.text).distinct.map(_ -> t.qid))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    if (termQids.isEmpty)
+      return Seq.empty[(String, String, Long, String)]
+        .toDF("qid", "docno", "rank", "ckey")
+    val buckets =
+      termQids.keySet.map(IndexLayout.bucketOf(_, index.cfg.buckets)).toSeq
+    val bc = spark.sparkContext.broadcast(termQids)
+    val tombL = tombstonesBc
+    val matched = index.postingsMatch
+      .where(col("bucket").isin(buckets: _*) &&
+        col("term").isin(termQids.keys.toSeq: _*))
+      .as[PostingRun]
+      .flatMap { run =>
+        val qids = bc.value(run.term)
+        PostingCodec.decodeDocids(run.ndocs, run.doc_blob)
+          .filter(d => Searcher.liveDoc(tombL, d))
+          .flatMap(d => qids.map(q => (q, d)))
+      }
+      .toDF("qid", "docid").distinct()
+    val agg = new SortTopKAgg(k,
+      implicitly[Encoder[Seq[(String, Long)]]],
+      implicitly[Encoder[Seq[(String, Long)]]])
+    val top = matched.join(keys.select($"docid", $"ckey"), Seq("docid"))
+      .select($"qid", $"docid", $"ckey")
+      .as[(String, Long, String)]
+      .groupByKey(_._1).agg(agg.toColumn)
+    val ranked = top.flatMap { case (qid, hits) =>
+      hits.iterator.zipWithIndex.map { case ((ckey, docid), i) =>
+        (qid, docid, i.toLong, ckey)
+      }
+    }.toDF("qid", "docid", "rank", "ckey")
+    val docShift = index.cfg.groupShift + index.cfg.mergeShift
+    index.docs.select($"docid", $"docno", $"grp")
+      .join(broadcast(ranked.withColumn("grp", shiftright($"docid", docShift))),
+        Seq("docid", "grp"))
+      .select($"qid", $"docno", $"rank", $"ckey")
+  }
+
   /** Conjunctive variant: only docs containing every analyzed query term. */
   def searchAnd(topics: Seq[Topic], k: Int = 1000,
                 scorerName: String = "bm25"): Dataset[RunLine] = {
@@ -1386,6 +1441,31 @@ final class TopKAgg(k: Int,
   def finish(buf: Seq[(Long, Float)]): Seq[(Long, Float)] = compact(buf)
   def bufferEncoder: Encoder[Seq[(Long, Float)]] = bufEnc
   def outputEncoder: Encoder[Seq[(Long, Float)]] = outEnc
+}
+
+/** Bounded top-k by (key asc, docid asc) — the TopFieldCollector analog of
+  * [[TopKAgg]]: buffers stay ≤ 4k entries, partials merge associatively.
+  */
+final class SortTopKAgg(k: Int,
+                        bufEnc: Encoder[Seq[(String, Long)]],
+                        outEnc: Encoder[Seq[(String, Long)]])
+    extends Aggregator[(String, Long, String), Seq[(String, Long)], Seq[(String, Long)]] {
+  private def better(a: (String, Long), b: (String, Long)): Boolean = {
+    val c = a._1.compareTo(b._1)
+    c < 0 || (c == 0 && a._2 < b._2)
+  }
+  private def compact(s: Seq[(String, Long)]): Seq[(String, Long)] =
+    s.sortWith(better).take(k)
+  def zero: Seq[(String, Long)] = Vector.empty
+  def reduce(buf: Seq[(String, Long)], in: (String, Long, String)): Seq[(String, Long)] = {
+    val b2 = buf :+ ((in._3, in._2))
+    if (b2.size >= 4 * k) compact(b2) else b2
+  }
+  def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
+    compact(a ++ b)
+  def finish(buf: Seq[(String, Long)]): Seq[(String, Long)] = compact(buf)
+  def bufferEncoder: Encoder[Seq[(String, Long)]] = bufEnc
+  def outputEncoder: Encoder[Seq[(String, Long)]] = outEnc
 }
 
 object Searcher {

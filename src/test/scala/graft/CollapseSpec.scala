@@ -90,4 +90,24 @@ class CollapseSpec extends AnyFunSuite {
         pruning = true, collapseKeys = Some(keys))
     }
   }
+
+  test("sort-by-field: (key asc, docid asc) over the match set, bounded k") {
+    val (s, keys) = fixture
+    val rows = s.searchSorted(Seq(Topic("1", "hot cold")), keys, k = 100)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._2)
+    // matches: a-1 a-2 a-3 (ra), b-1 b-2 (rb) — ordered by repo then docid
+    assert(rows.map(_._1).toSeq == Seq("a-1", "a-2", "a-3", "b-1", "b-2"))
+    assert(rows.map(_._3).toSeq == Seq("ra", "ra", "ra", "rb", "rb"))
+    assert(rows.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // k truncates in sort order, not match order
+    val k2 = s.searchSorted(Seq(Topic("1", "hot cold")), keys, k = 2)
+      .collect().map(_.getString(1)).toSeq.sorted
+    assert(k2 == Seq("a-1", "a-2"))
+    // docs without a key row are omitted (missing doc-values contract)
+    val partial = keys.where(org.apache.spark.sql.functions.col("ckey") =!= "ra")
+    val noRa = s.searchSorted(Seq(Topic("1", "hot")), partial, k = 10)
+      .collect().map(_.getString(1)).toSeq
+    assert(noRa == Seq("b-1"))
+  }
 }
