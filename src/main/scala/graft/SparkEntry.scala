@@ -993,6 +993,13 @@ object SparkEntry {
     // training-pipeline op: concat-and-chunk sequence packing — docs laid
     // end-to-end in docno order, cut into 512-token training sequences;
     // same two-pass prefix-sum machinery
+    // sliding token-window chunking (RAG/long-doc passage step): windows
+    // of 32 tokens every 24 (8-token overlap), closed-form window count
+    "q_chunk" -> ((s, dir) => {
+      ops.Curation.chunkWindows(corpus.Corpus.fromDocuments(s, dir),
+          size = ChunkSize, stride = ChunkStride)
+        .orderBy("docno", "chunk_id")
+    }),
     "q_pack" -> ((s, dir) => {
       val toks = corpus.Corpus.fromDocuments(s, dir).select(col("docno"),
         size(filter(split(lower(col("content")), "\\s+"), t => t =!= ""))
@@ -1463,6 +1470,10 @@ object SparkEntry {
   val UpdateDocno = "doc-00000012"
   val UpdateContent = "hash hash hash hash join join join join " +
     "merge merge merge merge updated"
+
+  /** Chunking fixture: 32-token windows every 24 tokens (8-token overlap). */
+  val ChunkSize = 32
+  val ChunkStride = 24
 
   // ---- DuckDB oracle -------------------------------------------------------
 
@@ -2300,6 +2311,24 @@ object SparkEntry {
          |       (row_number() OVER (ORDER BY md5('$SampleSalt:' || docno),
          |                           docno) - 1)::BIGINT AS pos
          |FROM corpus ORDER BY pos""".stripMargin,
+    // sliding-window chunk replay: nw = 1 + ceil((n-size)/stride) via
+    // integer math; DuckDB list slicing is 1-based inclusive
+    "q_chunk" ->
+      s"""WITH $CorpusCte,
+         |tl AS (SELECT docno,
+         |              list_filter(string_split_regex(content, '\\s+'),
+         |                          x -> x <> '') AS l
+         |       FROM corpus),
+         |meta AS (SELECT docno, l, len(l) AS n,
+         |                CASE WHEN len(l) <= $ChunkSize THEN 1
+         |                     ELSE 1 + (len(l) - $ChunkSize + $ChunkStride - 1) // $ChunkStride
+         |                END AS nw
+         |         FROM tl),
+         |w AS (SELECT docno, l, n, unnest(range(nw)) AS i FROM meta)
+         |SELECT docno, i::BIGINT AS chunk_id,
+         |       (least(i * $ChunkStride + $ChunkSize, n) - i * $ChunkStride)::BIGINT AS n_tokens,
+         |       array_to_string(l[i * $ChunkStride + 1 : least(i * $ChunkStride + $ChunkSize, n)], ' ') AS chunk_text
+         |FROM w ORDER BY docno, chunk_id""".stripMargin,
     "q_pack" ->
       s"""WITH $CorpusCte,
          |t AS (SELECT docno,

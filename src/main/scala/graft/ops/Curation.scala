@@ -18,6 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Sliding token-window chunking (the passage/chunk step of RAG and
+    * long-doc training pipelines, complementing [[packSequences]]'s
+    * concat-and-cut): each document splits into windows of `size`
+    * whitespace tokens starting every `stride` tokens, so consecutive
+    * chunks overlap by `size - stride`. Window count is the closed form
+    * `1 + ceil((n - size) / stride)` (one window when `n <= size`; empty
+    * docs yield one empty chunk), so the rule replays in SQL with integer
+    * math. Narrow per-doc flatMap — no shuffle, embarrassingly parallel.
+    * Returns (docno, chunk_id, n_tokens, chunk_text).
+    */
+  def chunkWindows(corpus: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("docno"), col("content")).as[(String, String)]
+      .flatMap { case (docno, content) =>
+        val toks = content.split("\\s+").filter(_.nonEmpty)
+        val n = toks.length
+        val nw = if (n <= size) 1 else 1 + (n - size + stride - 1) / stride
+        (0 until nw).iterator.map { i =>
+          val start = i * stride
+          val slice = toks.slice(start, math.min(start + size, n))
+          (docno, i.toLong, slice.length.toLong, slice.mkString(" "))
+        }
+      }
+      .toDF("docno", "chunk_id", "n_tokens", "chunk_text")
+  }
+
   /** Deterministic hash-bucket sampling: keep documents whose
     * `md5(salt:docno)` bucket (first 8 hex chars mod `buckets`) falls below
     * `keep` — a `keep/buckets` sample that is stable across runs, executors

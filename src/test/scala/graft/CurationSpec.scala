@@ -100,4 +100,28 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(got.toSeq == expect)
   }
+
+  test("chunkWindows: closed-form window count, overlap, boundary, empty doc") {
+    import spark.implicits._
+    import graft.ops.Curation
+    val c = Seq(
+      ("c-1", (1 to 10).map(i => s"t$i").mkString(" ")), // n=10: 3 windows
+      ("c-2", (1 to 4).map(i => s"u$i").mkString(" ")),  // n == size: 1
+      ("c-3", (1 to 5).map(i => s"v$i").mkString(" ")),  // n = size+1: 2
+      ("c-4", "")                                        // empty: 1 empty
+    ).toDF("docno", "content")
+    val got = Curation.chunkWindows(c, size = 4, stride = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.filter(_._1 == "c-1") == Seq(
+      ("c-1", 0L, 4L, "t1 t2 t3 t4"),
+      ("c-1", 1L, 4L, "t4 t5 t6 t7"),   // 1-token overlap
+      ("c-1", 2L, 4L, "t7 t8 t9 t10")))
+    assert(got.filter(_._1 == "c-2") == Seq(("c-2", 0L, 4L, "u1 u2 u3 u4")))
+    assert(got.filter(_._1 == "c-3") == Seq(
+      ("c-3", 0L, 4L, "v1 v2 v3 v4"), ("c-3", 1L, 2L, "v4 v5")))
+    assert(got.filter(_._1 == "c-4") == Seq(("c-4", 0L, 0L, "")))
+    intercept[IllegalArgumentException](
+      Curation.chunkWindows(c, size = 4, stride = 5))
+  }
 }
