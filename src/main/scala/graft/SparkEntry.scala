@@ -43,6 +43,10 @@ object SparkEntry {
   val CurateMinTokens = 5
   val CurateTrainKeep = 18
 
+  // Resume-drill slice: docnos below this = doc_id < 200 (zero-padded ids
+  // make the string ceiling ≡ the integer predicate the oracle uses).
+  val ResumeDocnoCeiling = "doc-00000200"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Engine.searcher(spark, "/root/testdata/sf0.001")
@@ -67,6 +71,44 @@ object SparkEntry {
       Engine.oracleIndex(s, dir).docs
         .select(col("docno"), col("sha"))
         .orderBy("docno")
+    }),
+    // North-rule resume clause as a gate row: build a fixed 200-doc slice,
+    // simulate a crash that loses every stage downstream of `stats`
+    // (postings/term_stats/vocab + the completion marker), then build again.
+    // The resumed run must SKIP completed upstream stages — `reused` is
+    // pinned by the stage manifest's mtime staying untouched — and rebuild
+    // only the lost ones, and each manifest's `rows_out` lineage metric is
+    // replayed independently by the oracle (doc counts, the ntile-packed
+    // merged-run count, |vocabulary|). A red row means resume recomputed
+    // finished work, skipped unfinished work, or published stale lineage.
+    "q_resume" -> ((s, dir) => {
+      import s.implicits._
+      import graft.index.{Checkpoint, IndexBuilder, IndexConfig, IndexLayout => L}
+      import org.apache.hadoop.fs.Path
+      val conf = s.sparkContext.hadoopConfiguration
+      val cfg = IndexConfig(analyzer = Engine.OracleAnalyzer,
+        rangePartitions = Engine.OracleRangePartitions)
+      val root = s"${Engine.workDir}/resume_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+      val fs = new Path(root).getFileSystem(conf)
+      fs.delete(new Path(root), true) // the entry IS the crash drill: start clean
+      val corp = corpus.Corpus.fromDocuments(s, dir)
+        .where(col("docno") < ResumeDocnoCeiling) // fixed slice: bench-cheap at any sf
+      IndexBuilder.build(corp, root, cfg)
+      val stages = Seq(L.TokenizedDir -> "tokenized", L.DocsDir -> "docs",
+        L.StatsDir -> "stats", L.PostingsDir -> "postings",
+        L.TermStatsDir -> "term_stats", L.VocabDir -> "vocab")
+      def mtime(sub: String): Long =
+        fs.getFileStatus(new Path(s"$root/$sub/_graft_manifest.json"))
+          .getModificationTime
+      val before = stages.map { case (sub, _) => sub -> mtime(sub) }.toMap
+      Seq(L.PostingsDir, L.TermStatsDir, L.VocabDir, L.PropsFile)
+        .foreach(sub => fs.delete(new Path(s"$root/$sub"), true))
+      IndexBuilder.build(corp, root, cfg) // resume
+      stages.map { case (sub, name) =>
+        val m = Checkpoint.readManifest(s"$root/$sub", conf)
+          .getOrElse(sys.error(s"missing manifest for stage $name"))
+        (name, m.rowsOut, mtime(sub) == before(sub))
+      }.toDF("stage", "rows_out", "reused").orderBy("stage")
     }),
     // §2.4 doc length (dl ≙ computeNorm) through the full build pipeline
     "q_doclens" -> ((s, dir) => {
@@ -281,6 +323,34 @@ object SparkEntry {
           idx.termStats.select(col("term"), col("df")),
           idx.stats.max_doc, 3)
         .orderBy("docno", "kw_rank")
+    }),
+    // index-analytics op: term co-occurrence (the query-expansion /
+    // related-terms table): document frequency of unordered term pairs.
+    // Pairs are generated IN-ROW from each doc's distinct-term list (the
+    // tokenized stage already stores one entry per distinct term) — no
+    // doc-level self-join ever materializes; fan-out is bounded by each
+    // doc's type count squared, and at web scale the pairing vocabulary
+    // gets a df band exactly like the MinHash shingle filter.
+    "q_cooccur" -> ((s, dir) => {
+      val idx = Engine.oracleIndex(s, dir)
+      ops.TextQuality.coocPairs(
+          idx.spark.read.parquet(s"${idx.dir}/${graft.index.IndexLayout.TokenizedDir}")
+            .select(col("docno"), col("terms.term").as("ts")))
+        .orderBy("term_a", "term_b")
+    }),
+    // index-analytics op: per-language document frequency (the north-rule
+    // corpus carries a lang column; per-language vocabulary stats are the
+    // code-corpus curation staple). tf comes off the DECODED posting blobs
+    // — certifying codec + attribute join together — with the language
+    // attached by a docno join against the doc table.
+    "q_lang_df" -> ((s, dir) => {
+      val idx = Engine.oracleIndex(s, dir)
+      val langs = corpus.Corpus.fromDocuments(s, dir).select(col("docno"), col("lang"))
+      decodedTf(idx).select(col("term"), col("docno"))
+        .join(langs, "docno")
+        .groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).cast("long").as("df"))
+        .orderBy("lang", "term")
     }),
     // training-pipeline op: per-doc token statistics (quality signals)
     "q_text_stats" -> ((s, dir) => {
@@ -1078,6 +1148,35 @@ object SparkEntry {
       Engine.searcher(s, dir)
         .suggest(SuggestInputs, maxEdits = 2, topN = 3)
         .orderBy("q", "rank")
+    }),
+    // Hybrid retrieval (the modern two-tower + BM25 stack): reciprocal-rank
+    // fusion of the sparse BM25 top-k and the dense cosine top-k over the
+    // doc-aligned embedding slice. Each list contributes 1/(61+rank0); docs
+    // in one list keep a single term; fused order (rrf desc, docno asc).
+    // The final window runs over ≤ 2k rows per query BY CONSTRUCTION (two
+    // top-k lists), so it stays bounded at any corpus scale — the heavy
+    // lifting happened inside the two bounded-heap retrievers. The oracle
+    // replays both retrievers and the fusion arithmetic (same IEEE op
+    // order) in SQL.
+    "q_hybrid_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      // dense side: embedding i belongs to doc-%08d(i) (a real pipeline
+      // stores docno on the embedding row; the join is the alignment)
+      val docVecs = corpus.Corpus.fromDocuments(s, dir)
+        .select(expr("cast(substring(docno, 5, 24) as long)").as("vec_id"))
+        .join(emb, "vec_id")
+        .select(col("vec_id"), col("embedding"))
+      // query vectors 1001..1004 are disjoint from doc vec_ids, so the
+      // retriever's self-match exclusion can never fire
+      val qvs = emb.where(col("vec_id").between(1001, 1004))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val dense = ops.Knn.bruteForceTopK(docVecs, qvs, TopK)
+        .select((col("qid") - 1000).cast("string").as("qid"),
+          concat(lit("doc-"), lpad(col("vec_id").cast("string"), 8, "0")).as("docno"),
+          col("rank"))
+      val sparse = Engine.searcher(s, dir).search(topics, TopK).toDF()
+        .select(col("qid"), col("docno"), col("rank"))
+      ops.Fusion.rrf2(sparse, dense, TopK).orderBy("qid", "rank")
     }),
     // more-like-this (Lucene MLT analog): the source doc's top tf×idf
     // terms run as an unboosted OR with the source excluded; the oracle
@@ -2057,6 +2156,41 @@ object SparkEntry {
         |LEFT JOIN (SELECT docno, count(*) AS dl FROM tok GROUP BY docno) t
         |  USING (docno)
         |ORDER BY docno""".stripMargin),
+    // Resume drill over the fixed 200-doc slice: per-stage lineage rows_out
+    // recomputed independently (docs, |vocab|, the ntile-packed merged-run
+    // count — same replay as q_postings_meta on the slice), and `reused`
+    // pins which stages a crash-after-stats resume must skip vs rebuild.
+    "q_resume" ->
+      s"""WITH ${CorpusCte.replace("FROM documents",
+             "FROM documents WHERE doc_id < 200")},
+         |$TokCte,
+         |tf AS (SELECT term, docno FROM tok GROUP BY 1, 2),
+         |rk AS (SELECT docno,
+         |              row_number() OVER (ORDER BY docno) - 1 AS r,
+         |              count(*) OVER () AS n
+         |       FROM corpus),
+         |did AS (SELECT docno,
+         |               ((r * 32) // n) * 1099511627776
+         |                 + (r - (((r * 32) // n) * n + 31) // 32) AS docid
+         |        FROM rk),
+         |pg AS (SELECT docno, docid // 262144 AS pgrp FROM did),
+         |gmap AS (SELECT pgrp,
+         |                (row_number() OVER (ORDER BY pgrp) - 1) // 16 AS mgrp
+         |         FROM (SELECT DISTINCT pgrp FROM pg)),
+         |pruns AS (SELECT count(*)::BIGINT AS c FROM (
+         |  SELECT f.term, g.mgrp FROM tf f
+         |  JOIN pg p USING (docno) JOIN gmap g USING (pgrp)
+         |  GROUP BY 1, 2)),
+         |nterm AS (SELECT count(DISTINCT term)::BIGINT AS c FROM tok),
+         |ndoc AS (SELECT count(*)::BIGINT AS c FROM corpus)
+         |SELECT * FROM (
+         |  SELECT 'docs' AS stage, (SELECT c FROM ndoc) AS rows_out, TRUE AS reused
+         |  UNION ALL SELECT 'postings', (SELECT c FROM pruns), FALSE
+         |  UNION ALL SELECT 'stats', 1::BIGINT, TRUE
+         |  UNION ALL SELECT 'term_stats', (SELECT c FROM nterm), FALSE
+         |  UNION ALL SELECT 'tokenized', (SELECT c FROM ndoc), TRUE
+         |  UNION ALL SELECT 'vocab', (SELECT c FROM nterm), FALSE
+         |) ORDER BY stage""".stripMargin,
     "q_stats" -> withCtes(
       """SELECT (SELECT count(*) FROM corpus)::BIGINT AS max_doc,
         |       (SELECT count(*) FROM tok)::BIGINT AS sum_total_term_freq""".stripMargin),
@@ -2066,6 +2200,17 @@ object SparkEntry {
     "q_tf" -> withCtes(
       """SELECT term, docno, count(*)::BIGINT AS tf
         |FROM tok GROUP BY term, docno ORDER BY term, docno""".stripMargin),
+    "q_cooccur" -> withCtes(
+      """,
+        |dterm AS (SELECT DISTINCT docno, term FROM tok)
+        |SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS co_df
+        |FROM dterm a JOIN dterm b ON a.docno = b.docno AND a.term < b.term
+        |GROUP BY 1, 2 HAVING count(*) > 1
+        |ORDER BY term_a, term_b""".stripMargin),
+    "q_lang_df" -> withCtes(
+      """SELECT c.lang, t.term, count(DISTINCT t.docno)::BIGINT AS df
+        |FROM tok t JOIN corpus c USING (docno)
+        |GROUP BY 1, 2 ORDER BY lang, term""".stripMargin),
     // deterministic docid replay (IndexBuilder.ntileBoundaries): rank0 =
     // row_number over docno (binary collation ≡ Spark's UTF8 sort), group
     // g = rank0*32 // N (exact ntile, rangePartitions pinned at 32 by
@@ -2751,6 +2896,39 @@ object SparkEntry {
     // — the same double chain as MoreLikeThis.interestingTerms — top
     // MltTerms by (score desc, term asc) become w=1 BM25 clauses; the
     // source doc drops out BEFORE ranks are assigned
+    // hybrid RRF: replay both retrievers (the proven BM25 `ranked` chain +
+    // the list_cosine_similarity dense ranking over the doc-aligned
+    // embedding slice), then the same double fusion arithmetic
+    "q_hybrid_topk" -> withCtes(
+      s"""$Bm25RankedCtes,
+         |sparse AS (SELECT qid, docno, rank AS r_sparse
+         |           FROM ranked WHERE rank < $TopK),
+         |dv AS (SELECT e.vec_id, e.embedding
+         |       FROM embeddings e JOIN corpus c
+         |         ON e.vec_id = substring(c.docno, 5)::BIGINT),
+         |qvq AS (SELECT vec_id AS qid, embedding AS qv
+         |        FROM embeddings WHERE vec_id BETWEEN 1001 AND 1004),
+         |dscored AS (SELECT q.qid, d.vec_id,
+         |                   list_cosine_similarity(q.qv, d.embedding) AS cos
+         |            FROM dv d CROSS JOIN qvq q),
+         |densed AS (SELECT (qid - 1000)::VARCHAR AS qid,
+         |                  'doc-' || lpad(vec_id::VARCHAR, 8, '0') AS docno,
+         |                  row_number() OVER (PARTITION BY qid
+         |                    ORDER BY cos DESC, vec_id ASC) - 1 AS r_dense
+         |           FROM dscored),
+         |dense AS (SELECT * FROM densed WHERE r_dense < $TopK),
+         |fused AS (SELECT coalesce(s.qid, d.qid) AS qid,
+         |                 coalesce(s.docno, d.docno) AS docno,
+         |                 coalesce(1.0::DOUBLE / (61.0::DOUBLE + s.r_sparse), 0.0::DOUBLE)
+         |                   + coalesce(1.0::DOUBLE / (61.0::DOUBLE + d.r_dense), 0.0::DOUBLE) AS rrf
+         |          FROM sparse s FULL OUTER JOIN dense d
+         |            ON s.qid = d.qid AND s.docno = d.docno),
+         |final AS (SELECT qid, docno,
+         |                 row_number() OVER (PARTITION BY qid
+         |                   ORDER BY rrf DESC, docno ASC) - 1 AS rank
+         |          FROM fused)
+         |SELECT qid, docno, rank FROM final WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
     "q_mlt_topk" -> withCtes(
       s""",
          |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),

@@ -351,6 +351,9 @@ object IndexBuilder {
     val tsDir = s"$dir/$TermStatsDir"
     if (force || !Checkpoint.isComplete(tsDir, fp, cfg.id, conf)) {
       val t0 = System.nanoTime()
+      // rowsOut (= |vocabulary|) rides the write as an observed metric —
+      // lineage stays complete with NO count job over the published table
+      val tsObs = org.apache.spark.sql.Observation()
       Checkpoint.atomically(tsDir, conf) { tmp =>
         spark.read.parquet(postDir)
           .groupBy($"term", $"bucket")
@@ -358,10 +361,19 @@ object IndexBuilder {
                max($"max_tf").as("max_tf"),
                sum($"sum_tf").cast("long").as("cf"))
           .select($"term", $"bucket", $"df", $"max_tf", $"cf")
+          .observe(tsObs, count(lit(1)).as("rows"))
           .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
       }
+      val tsRows =
+        try {
+          val row = scala.concurrent.Await.result(
+            tsObs.future, scala.concurrent.duration.Duration(30, "s"))
+          row.getAs[Long]("rows")
+        } catch { // metric lost (never for a completed local write): one scan
+          case scala.util.control.NonFatal(_) => spark.read.parquet(tsDir).count()
+        }
       Checkpoint.writeManifest(tsDir,
-        Checkpoint.Manifest("term_stats", fp, cfg.id, -1L, msSince(t0), Nil), conf)
+        Checkpoint.Manifest("term_stats", fp, cfg.id, tsRows, msSince(t0), Nil), conf)
     }
 
     // ---- stage: vocabulary projection (prefix/fuzzy expansion pruning) -----
@@ -381,8 +393,11 @@ object IndexBuilder {
           .sortWithinPartitions($"term")
           .write.mode("overwrite").partitionBy("len").parquet(tmp)
       }
+      // 1 term_stats row in = 1 vocab row out: rowsOut from upstream lineage
+      val vRows = Checkpoint.readManifest(tsDir, conf).map(_.rowsOut)
+        .filter(_ >= 0).getOrElse(spark.read.parquet(vocabDir).count())
       Checkpoint.writeManifest(vocabDir,
-        Checkpoint.Manifest("vocab", fp, cfg.id, -1L, msSince(t0), Nil), conf)
+        Checkpoint.Manifest("vocab", fp, cfg.id, vRows, msSince(t0), Nil), conf)
     }
 
     BuiltIndex.writeProps(spark, dir, cfg)

@@ -34,6 +34,27 @@ object TextQuality {
     */
   val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** Term co-occurrence pair document frequency (the query-expansion /
+    * related-terms table). `docTerms` is (docno, ts: array<string>) with
+    * per-doc DISTINCT terms (the index's tokenized stage emits exactly
+    * that). Unordered pairs (a < b) are generated IN-ROW by a pure column
+    * expression — no doc-level self-join ever materializes; the fan-out is
+    * bounded by each doc's type count squared, and at web scale the
+    * pairing vocabulary gets a df band exactly like the MinHash shingle
+    * filter.
+    */
+  def coocPairs(docTerms: DataFrame, minCoDf: Long = 2): DataFrame = {
+    val u = array_sort(col("ts"))
+    val pairs = flatten(transform(u, (a, i) =>
+      transform(slice(u, i + lit(2), size(u)),
+        b => struct(a.as("term_a"), b.as("term_b")))))
+    docTerms.select(explode(pairs).as("p"))
+      .select(col("p.term_a"), col("p.term_b"))
+      .groupBy("term_a", "term_b")
+      .agg(count(lit(1)).cast("long").as("co_df"))
+      .where(col("co_df") >= minCoDf)
+  }
+
   /** Per-doc token budgeting counts for an LLM-data pipeline: whitespace
     * tokens (from [[qualitySignals]]) plus BPE-ish segment counts over the
     * content AND the path (paths exercise the digit/punctuation branches),

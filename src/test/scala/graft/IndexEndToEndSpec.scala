@@ -223,6 +223,14 @@ class IndexEndToEndSpec extends AnyFunSuite {
     val idx = IndexBuilder.build(corpus, dir, cfg)
     // upstream stage was NOT recomputed
     assert(java.nio.file.Files.getLastModifiedTime(tokManifest) == mtimeBefore)
+    // rebuilt stages publish real lineage metrics: term_stats rowsOut is
+    // |vocabulary| (observed during the write), vocab inherits it 1:1
+    val hconf = TestSpark.spark.sparkContext.hadoopConfiguration
+    val nTerms = idx.termStats.count()
+    for (sub <- Seq(IndexLayout.TermStatsDir, IndexLayout.VocabDir)) {
+      val m = graft.index.Checkpoint.readManifest(s"$dir/$sub", hconf).get
+      assert(m.rowsOut == nTerms, sub)
+    }
     // and the resumed index answers identically to the brute force
     val got = collectRun(new Searcher(idx).search(unitTopics, 1000))
     val want = brute(unitDocs, cfg.analyzer, unitTopics, 1000)
