@@ -47,6 +47,15 @@ object SparkEntry {
   // make the string ceiling ≡ the integer predicate the oracle uses).
   val ResumeDocnoCeiling = "doc-00000200"
 
+  // Query-time synonym groups per topic (vocabulary words, so the math —
+  // not the linguistics — is under test). Topic 4's group carries an
+  // unindexed member that the clause must silently drop from the blend.
+  val SynGroups: Map[String, Seq[String]] = Map(
+    "1" -> Seq("scan", "window"),
+    "2" -> Seq("dup", "slow"),
+    "3" -> Seq("merge", "fast"),
+    "4" -> Seq("hash", "customer", "zzz_unindexed"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Engine.searcher(spark, "/root/testdata/sf0.001")
@@ -1148,6 +1157,28 @@ object SparkEntry {
       Engine.searcher(s, dir)
         .suggest(SuggestInputs, maxEdits = 2, topN = 3)
         .orderBy("q", "rank")
+    }),
+    // Query-time synonym groups (≙ Lucene SynonymQuery): each topic keeps
+    // its bag-of-words term clauses and adds ONE synonym group that scores
+    // as a single pseudo-term — member tfs SUM per doc, saturated once by
+    // the TF function against a blended weight (max df, Σcf over indexed
+    // members; topic 4's group proves unindexed members drop out of the
+    // blend). The oracle replays summed-tf/max-df BM25 next to the plain
+    // term partials.
+    "q_synonym_topk" -> ((s, dir) => {
+      val sr = Engine.searcher(s, dir)
+      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+      val wcs = topics.flatMap { t =>
+        an.analyze(t.text).zipWithIndex.map { case (term, i) =>
+          graft.search.WeightedClause(t.qid, i, term, 1.0f)
+        }
+      }
+      val syn = topics.map(t =>
+        graft.search.SynonymClause(t.qid, an.analyze(t.text).length,
+          SynGroups(t.qid), 1.0f))
+      sr.searchClauses(wcs, TopK, synonymClauses = syn)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
     }),
     // Hybrid retrieval (the modern two-tower + BM25 stack): reciprocal-rank
     // fusion of the sparse BM25 top-k and the dense cosine top-k over the
@@ -2896,6 +2927,50 @@ object SparkEntry {
     // — the same double chain as MoreLikeThis.interestingTerms — top
     // MltTerms by (score desc, term asc) become w=1 BM25 clauses; the
     // source doc drops out BEFORE ranks are assigned
+    // synonym groups: plain term partials + a summed-tf / group-max-df BM25
+    // partial per group; the group's df blend is over its INDEXED members
+    // (doc-independent), exactly the engine's SynonymWeight
+    "q_synonym_topk" -> withCtes(
+      s""",
+         |$TopicsCte,
+         |syn(qid, term) AS (VALUES
+         |  ('1','scan'),('1','window'),('2','dup'),('2','slow'),
+         |  ('3','merge'),('3','fast'),('4','hash'),('4','customer')),
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |qterm AS (SELECT qid, term, count(*) AS w FROM topics GROUP BY qid, term),
+         |tpart AS (
+         |  SELECT q.qid, f.docno,
+         |         sum(q.w * ((1.2 + 1.0) * f.tf)
+         |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
+         |  FROM qterm q JOIN tf f ON f.term = q.term
+         |  JOIN dl d ON d.docno = f.docno JOIN df v ON v.term = q.term
+         |  CROSS JOIN st GROUP BY q.qid, f.docno),
+         |sdf AS (SELECT s.qid, max(v.df) AS df
+         |        FROM (SELECT DISTINCT qid, term FROM syn) s
+         |        JOIN df v ON v.term = s.term GROUP BY 1),
+         |sgrp AS (SELECT s.qid, f.docno, sum(f.tf) AS tf
+         |         FROM syn s JOIN tf f ON f.term = s.term GROUP BY 1, 2),
+         |spart AS (
+         |  SELECT g.qid, g.docno,
+         |         ((1.2 + 1.0) * g.tf)
+         |           / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + g.tf)
+         |           * (ln(1.0 + (st.n - x.df + 0.5) / (x.df + 0.5)) / ln(2.0)) AS score
+         |  FROM sgrp g JOIN dl d ON d.docno = g.docno
+         |  JOIN sdf x ON x.qid = g.qid CROSS JOIN st),
+         |scored AS (
+         |  SELECT qid, docno, sum(score) AS score FROM (
+         |    SELECT * FROM tpart UNION ALL SELECT * FROM spart) GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scored)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
     // hybrid RRF: replay both retrievers (the proven BM25 `ranked` chain +
     // the list_cosine_similarity dense ranking over the doc-aligned
     // embedding slice), then the same double fusion arithmetic

@@ -65,6 +65,18 @@ final case class ExpansionClause(qid: String, qidx: Int,
 final case class BlendedClause(qid: String, qidx: Int,
                                terms: Seq[(String, Float)], boost: Float)
 
+/** One synonym-group clause (≙ Lucene `SynonymQuery`, the query-time
+  * synonym-expansion primitive): the group scores as a SINGLE pseudo-term —
+  * a document's frequency is the SUM of the member terms' tfs, saturated by
+  * the scorer's TF function ONCE against one blended weight built from the
+  * group's max docFreq (and summed collectionFreq), exactly
+  * `SynonymQuery.SynonymWeight`'s `docFreq = max, totalTermFreq = Σ` /
+  * `SynonymScorer.freq = Σ`. This differs from [[BlendedClause]] (fuzzy),
+  * which scores each member separately and sums the PARTIALS.
+  */
+final case class SynonymClause(qid: String, qidx: Int,
+                               terms: Seq[String], boost: Float)
+
 /** Batch retrieval — the Spark-native reimplementation of the reference's
   * `BatchSearch` lifecycle (SURVEY.md §3.2). The Lucene boolean OR scorer
   * (union of query-term posting lists, per-doc float score sum, bounded
@@ -621,6 +633,7 @@ final class Searcher(val index: BuiltIndex) {
                     phraseClauses: Seq[PhraseClause] = Nil,
                     expansionClauses: Seq[ExpansionClause] = Nil,
                     blendedClauses: Seq[BlendedClause] = Nil,
+                    synonymClauses: Seq[SynonymClause] = Nil,
                     trees: Map[String, BoolQuery.TreeSpec] = Map.empty,
                     collapseKeys: Option[DataFrame] = None,
                     filterDocids: Option[DataFrame] = None)
@@ -628,7 +641,7 @@ final class Searcher(val index: BuiltIndex) {
     import spark.implicits._
     val scorer = Scorer.byName(scorerName)
     if (clauses.isEmpty && phraseClauses.isEmpty && expansionClauses.isEmpty &&
-        blendedClauses.isEmpty && trees.isEmpty)
+        blendedClauses.isEmpty && synonymClauses.isEmpty && trees.isEmpty)
       return spark.emptyDataset[RunLine]
     require(phraseClauses.isEmpty || index.cfg.indexPositions,
       "phrase clauses need a positions-enabled index (IndexConfig.indexPositions)")
@@ -644,7 +657,8 @@ final class Searcher(val index: BuiltIndex) {
     if (trees.nonEmpty) {
       // fail at the driver, not as an executor-side lookup miss at job time
       val uncovered = (clauses.map(_.qid) ++ phraseClauses.map(_.qid) ++
-        expansionClauses.map(_.qid) ++ blendedClauses.map(_.qid))
+        expansionClauses.map(_.qid) ++ blendedClauses.map(_.qid) ++
+        synonymClauses.map(_.qid))
         .distinct.filterNot(trees.contains)
       require(uncovered.isEmpty,
         s"clauses reference qids without a TreeSpec: ${uncovered.mkString(", ")}")
@@ -666,7 +680,8 @@ final class Searcher(val index: BuiltIndex) {
     // those trees remain unprunable.
     val unprunableQids: Set[String] =
       (phraseClauses.map(_.qid) ++ expansionClauses.map(_.qid) ++
-        blendedClauses.map(_.qid) ++ negTerms.map(_._1) ++
+        blendedClauses.map(_.qid) ++ synonymClauses.map(_.qid) ++
+        negTerms.map(_._1) ++
         excludeDocnos.keys ++
         trees.collect { case (qid, ts) if !BoolQuery.prunableShape(ts.root) => qid }).toSet
     val pruneQids: Set[String] =
@@ -687,7 +702,9 @@ final class Searcher(val index: BuiltIndex) {
 
     val phraseTerms = phraseClauses.flatMap(_.terms.map(_._1)).distinct
     val blendTerms = blendedClauses.flatMap(_.terms.map(_._1)).distinct
-    val terms = (clauses.map(_.term) ++ phraseTerms ++ blendTerms).distinct
+    val synTerms = synonymClauses.flatMap(_.terms).distinct
+    val terms =
+      (clauses.map(_.term) ++ phraseTerms ++ blendTerms ++ synTerms).distinct
     val buckets = terms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
     val stats = CollStats(index.stats.max_doc, index.stats.sum_total_term_freq)
 
@@ -725,6 +742,15 @@ final class Searcher(val index: BuiltIndex) {
         else scorer.termWeight(present.map(_._1).max, present.map(_._2).max, stats))
     }.toMap
 
+    // Synonym pseudo-term weight (≙ SynonymQuery.SynonymWeight's merged
+    // TermStatistics): max docFreq, summed collectionFreq over the group's
+    // indexed members.
+    val synWeights: Map[(String, Int), Float] = synonymClauses.map { sc =>
+      val present = sc.terms.flatMap(t => dfs.get(t))
+      (sc.qid, sc.qidx) -> (if (present.isEmpty) 0.0f
+        else scorer.termWeight(present.map(_._1).max, present.map(_._2).sum, stats))
+    }.toMap
+
     // Tree mode mirrors Lucene's BooleanWeight recursion: prohibited
     // (MUST_NOT-subtree) clauses never contribute to the norm sum, and each
     // scoring match-all node contributes weight 1.
@@ -736,7 +762,9 @@ final class Searcher(val index: BuiltIndex) {
         (pc.qid, pc.qidx, phraseWeights((pc.qid, pc.qidx)) * pc.boost)) ++
         expansionClauses.map(e => (e.qid, e.qidx, e.boost)) ++ // constant weight
         blendedClauses.map(bc =>
-          (bc.qid, bc.qidx, blendWeights((bc.qid, bc.qidx)) * bc.boost)))
+          (bc.qid, bc.qidx, blendWeights((bc.qid, bc.qidx)) * bc.boost)) ++
+        synonymClauses.map(sc =>
+          (sc.qid, sc.qidx, synWeights((sc.qid, sc.qidx)) * sc.boost)))
     val qnByQid: Map[String, Float] =
       (if (trees.isEmpty) normEntries
        else normEntries.filterNot { case (qid, qidx, _) =>
@@ -751,7 +779,8 @@ final class Searcher(val index: BuiltIndex) {
       (clauses.map(c => (c.qid, c.qidx)) ++
         phraseClauses.map(pc => (pc.qid, pc.qidx)) ++
         expansionClauses.map(e => (e.qid, e.qidx)) ++
-        blendedClauses.map(bc => (bc.qid, bc.qidx)))
+        blendedClauses.map(bc => (bc.qid, bc.qidx)) ++
+        synonymClauses.map(sc => (sc.qid, sc.qidx)))
         .groupBy(_._1).map { case (q, cs) => q -> cs.size }
 
     // AND mode: a query with any unindexed clause term (or phrase term, or
@@ -765,7 +794,9 @@ final class Searcher(val index: BuiltIndex) {
         expansionClauses.groupBy(_.qid)
           .collect { case (q, es) if es.exists(_.terms.isEmpty) => q } ++
         blendedClauses.groupBy(_.qid)
-          .collect { case (q, bs) if bs.exists(_.terms.forall(t => !dfs.contains(t._1))) => q })
+          .collect { case (q, bs) if bs.exists(_.terms.forall(t => !dfs.contains(t._1))) => q } ++
+        synonymClauses.groupBy(_.qid)
+          .collect { case (q, ss) if ss.exists(_.terms.forall(t => !dfs.contains(t))) => q })
         .toSet
     val liveClauses = clauses.filterNot(c => deadQids(c.qid))
     val livePhrases = phraseClauses.filterNot(pc => deadQids(pc.qid))
@@ -773,6 +804,9 @@ final class Searcher(val index: BuiltIndex) {
       .filterNot(e => deadQids(e.qid)).filter(_.terms.nonEmpty)
     val liveBlended = blendedClauses.filterNot(bc => deadQids(bc.qid))
       .map(bc => bc.copy(terms = bc.terms.filter(t => dfs.contains(t._1))))
+      .filter(_.terms.nonEmpty)
+    val liveSynonyms = synonymClauses.filterNot(sc => deadQids(sc.qid))
+      .map(sc => sc.copy(terms = sc.terms.filter(dfs.contains)))
       .filter(_.terms.nonEmpty)
 
     // Driver-side query plan: term → (idf, clauses using it), queryNorm
@@ -785,7 +819,8 @@ final class Searcher(val index: BuiltIndex) {
         }
       }
     if (plan.isEmpty && livePhrases.isEmpty && liveExpansions.isEmpty &&
-        liveBlended.isEmpty && trees.isEmpty) // a tree may still match-all
+        liveBlended.isEmpty && liveSynonyms.isEmpty &&
+        trees.isEmpty) // a tree may still match-all
       return spark.emptyDataset[RunLine]
 
     // Postings lookup: bucket prunes parquet partitions, term pushes
@@ -1012,11 +1047,52 @@ final class Searcher(val index: BuiltIndex) {
         }
       }
 
+    // Synonym clause partials: decode the group members' postings, SUM the
+    // raw tfs per (query, doc, clause) — an integer sum, order-free — then
+    // apply the scorer's TF saturation ONCE against the blended weight
+    // (≙ SynonymScorer: one freq, one similarity call). One extra tiny
+    // shuffle, paid only by queries that carry synonym groups.
+    val synPartials: Dataset[(String, Long, Int, Float)] =
+      if (liveSynonyms.isEmpty) spark.emptyDataset[(String, Long, Int, Float)]
+      else {
+        val byTerm: Map[String, Array[(String, Int)]] = liveSynonyms
+          .flatMap(sc => sc.terms.map(t => (t, (sc.qid, sc.qidx))))
+          .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
+        val synBoost: Map[(String, Int), Float] = liveSynonyms
+          .map(sc => (sc.qid, sc.qidx) -> sc.boost * qnByQid(sc.qid)).toMap
+        val sTerms = byTerm.keys.toSeq
+        val sBuckets = sTerms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+        val sPosts = index.postingsDecode
+          .where(col("bucket").isin(sBuckets: _*) && col("term").isin(sTerms: _*))
+          .as[PostingRun]
+        val weights = synWeights
+        val scorerB = scorer
+        val statsB = stats
+        sPosts.flatMap { run =>
+          val cs = byTerm(run.term)
+          PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
+            .flatMap { p =>
+              cs.iterator.map { case (qid, qidx) => (qid, p.docid, qidx, p.tf, p.dl) }
+            }
+        }
+        .groupByKey(t => (t._1, t._2, t._3))
+        .mapGroups[(String, Long, Int, Float)] {
+          (key: (String, Long, Int), it: Iterator[(String, Long, Int, Int, Int)]) =>
+            var tf = 0
+            var dl = 0
+            it.foreach { r => tf += r._4; dl = r._5 }
+            val boost = synBoost((key._1, key._3))
+            val sc = scorerB.score(tf.toFloat, dl, weights((key._1, key._3)), statsB)
+            (key._1, key._2, key._3, if (boost == 1.0f) sc else sc * boost)
+        }
+      }
+
     val allPartials = Seq(
       Some(partials),
       if (livePhrases.isEmpty) None else Some(phrasePartials),
       if (liveExpansions.isEmpty) None else Some(expPartials),
-      if (liveBlended.isEmpty) None else Some(blendedPartials)
+      if (liveBlended.isEmpty) None else Some(blendedPartials),
+      if (liveSynonyms.isEmpty) None else Some(synPartials)
     ).flatten.reduce(_ union _)
 
     // Per-(query, doc) scoring. Flat mode: float sum in clause order
