@@ -47,6 +47,9 @@ object SparkEntry {
   // make the string ceiling ≡ the integer predicate the oracle uses).
   val ResumeDocnoCeiling = "doc-00000200"
 
+  // Cluster-balanced sampling salt (q_cluster_sample).
+  val ClusterSampleSalt = "cs1"
+
   // Query-time synonym groups per topic (vocabulary words, so the math —
   // not the linguistics — is under test). Topic 4's group carries an
   // unindexed member that the clause must silently drop from the blend.
@@ -1061,6 +1064,24 @@ object SparkEntry {
           "lang", SampleSalt, 5)
         .orderBy("strat", "rank")
     }),
+    // training-pipeline op: CLUSTER-BALANCED sampling — the curation
+    // composition behind "diverse pretraining subsets": assign each doc's
+    // embedding to its nearest TRAINED quantizer cell (ivfTrain is
+    // bit-deterministic, ivfCellExpr a narrow codegen fold — one pass, no
+    // shuffle at any corpus size), then the n smallest md5(salt:docno) per
+    // cell via the bounded-heap stratified sampler. The oracle replays
+    // training, assignment argmax and the md5 window end-to-end.
+    "q_cluster_sample" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = ops.Knn.ivfTrain(emb, 8, iters = 2)
+      val assigned = corpus.Corpus.fromDocuments(s, dir)
+        .select(col("docno"), expr("cast(substring(docno, 5, 24) as long)").as("vec_id"))
+        .join(emb, "vec_id")
+        .withColumn("cid", ops.Knn.ivfCellExpr(col("embedding"), cents))
+        .select(col("docno"), col("cid"))
+      ops.Curation.stratifiedSample(assigned, "cid", ClusterSampleSalt, 5)
+        .orderBy("strat", "rank")
+    }),
     // training-pipeline op: seeded reproducible corpus permutation via the
     // distributed prefix sum (range partition + per-partition offsets),
     // never a single-partition Window
@@ -1519,10 +1540,16 @@ object SparkEntry {
     * `iters` is a constant). Empty cells keep the previous centroid via
     * the LEFT JOIN + coalesce.
     */
-  private def ivfTrainSql(nCents: Int, iters: Int, dims: Int): String = {
-    def dot(a: String, b: String): String =
-      (1 to dims).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
-        .mkString("0.0 + ", " + ", "")
+  private def ivfDot(dims: Int)(a: String, b: String): String =
+    (1 to dims).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString("0.0 + ", " + ", "")
+
+  /** The unrolled spherical-k-means training chain (CTEs `cents0` …
+    * `cents$iters`) — shared by the q_ivf_train oracle and every oracle
+    * that needs the TRAINED quantizer downstream (q_cluster_sample).
+    */
+  private def ivfTrainCtes(nCents: Int, iters: Int, dims: Int): String = {
+    val dot = ivfDot(dims) _
     val rounds = (1 to iters).map { r =>
       s"""inv$r AS (SELECT cid, cv,
          |    CASE WHEN n2 = 0.0 THEN 0.0 ELSE 1.0 / sqrt(n2) END AS ic
@@ -1542,7 +1569,7 @@ object SparkEntry {
          |cents$r AS (SELECT p.cid, coalesce(nc.cv, p.cv) AS cv
          |  FROM cents${r - 1} p LEFT JOIN newc$r nc USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH cents0 AS (SELECT vec_id AS cid, embedding AS cv
+    s"""cents0 AS (SELECT vec_id AS cid, embedding AS cv
        |  FROM embeddings WHERE vec_id < $nCents),
        |nv AS (SELECT vec_id, embedding, sqrt(n2) AS nrm
        |  FROM (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
@@ -1551,12 +1578,15 @@ object SparkEntry {
        |              round(CAST(embedding[pos] AS DOUBLE) / nrm * 16777216.0)::BIGINT AS f
        |  FROM (SELECT vec_id, embedding, nrm, unnest(range(1, ${dims + 1})) AS pos
        |        FROM nv WHERE nrm > 0.0)),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private def ivfTrainSql(nCents: Int, iters: Int, dims: Int): String =
+    s"""WITH ${ivfTrainCtes(nCents, iters, dims)},
        |outp AS (SELECT cid, unnest(range(1, ${dims + 1})) AS p FROM cents$iters)
        |SELECT o.cid, (o.p - 1)::BIGINT AS pos, c.cv[o.p] AS comp
        |FROM outp o JOIN cents$iters c USING (cid)
        |ORDER BY cid, pos""".stripMargin
-  }
 
   /** Topics for the exact-phrase gate entry: a pure phrase query and a
     * phrase mixed with a loose OR term.
@@ -2475,6 +2505,34 @@ object SparkEntry {
          |k AS (SELECT lang AS strat, docno,
          |             md5('$SampleSalt:' || docno) AS skey
          |      FROM corpus),
+         |r AS (SELECT strat, docno,
+         |             row_number() OVER (PARTITION BY strat
+         |                                ORDER BY skey, docno) AS rank
+         |      FROM k)
+         |SELECT strat, docno, rank::BIGINT AS rank FROM r WHERE rank <= 5
+         |ORDER BY strat, rank""".stripMargin,
+    // cluster-balanced sampling: the full training chain (shared with
+    // q_ivf_train), final-quantizer assignment argmax (dot × 1/|c|, ties
+    // to the lowest cid) over the doc-aligned vectors, then the same
+    // md5-window stratified pick per cell
+    "q_cluster_sample" ->
+      s"""WITH $CorpusCte,
+         |${ivfTrainCtes(nCents = 8, iters = 2, dims = 64)},
+         |cinv AS (SELECT cid, cv,
+         |    CASE WHEN n2 = 0.0 THEN 0.0 ELSE 1.0 / sqrt(n2) END AS ic
+         |  FROM (SELECT cid, cv, ${ivfDot(64)("cv", "cv")} AS n2 FROM cents2)),
+         |dvec AS (SELECT c.docno, e.embedding
+         |         FROM embeddings e JOIN corpus c
+         |           ON e.vec_id = substring(c.docno, 5)::BIGINT),
+         |asnf AS (SELECT docno, cid FROM (
+         |    SELECT d.docno, c.cid,
+         |           row_number() OVER (PARTITION BY d.docno
+         |             ORDER BY (${ivfDot(64)("d.embedding", "c.cv")}) * c.ic DESC,
+         |                      c.cid ASC) AS rn
+         |    FROM dvec d CROSS JOIN cinv c) WHERE rn = 1),
+         |k AS (SELECT cid::VARCHAR AS strat, docno,
+         |             md5('$ClusterSampleSalt:' || docno) AS skey
+         |      FROM asnf),
          |r AS (SELECT strat, docno,
          |             row_number() OVER (PARTITION BY strat
          |                                ORDER BY skey, docno) AS rank
