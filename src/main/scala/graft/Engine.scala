@@ -105,6 +105,31 @@ object Engine {
       IndexConfig(analyzer = CodeAnalyzer,
         rangePartitions = OracleRangePartitions), "code")
 
+  /** ASCII-folding analyzer + the accented enrichment the fold gate entry
+    * appends to every doc (uppercase accents exercise lowercase→fold
+    * ordering, ß/œ/ĳ/þ the multi-char folds, Łódź Latin Extended-A, and
+    * "thé" folds INTO the stop set — proving the fold runs before
+    * stopping). Constant lives here so the index dir can be
+    * content-addressed on it (the resume fingerprint is keys-only).
+    */
+  val FoldAnalyzer: AnalyzerConfig =
+    AnalyzerConfig(tokenizer = "whitespace", stopWords = Set("a", "the"),
+      stemmer = "none", foldAscii = true)
+
+  val FoldEnrich: String =
+    " Café NAÏVE Łódź cœur Straße Ĳsselmeer ñandú øre þorn thé"
+
+  def foldIndex(spark: SparkSession, sfDir: String): BuiltIndex =
+    cache.getOrElseUpdate(s"$sfDir|fold", {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val enriched = Corpus.fromDocuments(spark, sfDir)
+        .withColumn("content", concat(col("content"), lit(FoldEnrich)))
+      val tag = s"fold_${java.lang.Integer.toHexString(FoldEnrich.hashCode)}"
+      IndexBuilder.build(enriched,
+        s"$workDir/idx_${safeSf(sfDir)}_$tag",
+        IndexConfig(analyzer = FoldAnalyzer), verifySha = true)
+    })
+
   val MinStemAnalyzer: AnalyzerConfig =
     AnalyzerConfig(tokenizer = "whitespace", stopWords = Set("a", "the"),
       stemmer = "minimal")

@@ -392,6 +392,17 @@ object SparkEntry {
         .select(col("term"), col("df").cast("long").as("df"))
         .orderBy("term")
     }),
+    // ASCII-folded index df (≙ ASCIIFoldingFilter in the chain slot between
+    // lowercase and stop): built over the corpus + an accented enrichment
+    // suffix; "thé" must fold INTO the stop set and vanish, uppercase
+    // accents must lowercase THEN fold, ß/œ/ĳ/þ take the multi-char folds.
+    // The oracle replays the same fold via the generated replace+translate
+    // expression (one mapping table emits both sides — AsciiFold.sqlExpr).
+    "q_fold_df" -> ((s, dir) => {
+      Engine.foldIndex(s, dir).termStats
+        .select(col("term"), col("df").cast("long").as("df"))
+        .orderBy("term")
+    }),
     // ClassicTokenizer over the corpus + a fixed enrichment suffix that
     // fires every alternation branch; output = (docno, pos, term), exactly
     // replayed by the oracle's RE2 run of the same ordered pattern
@@ -2261,6 +2272,19 @@ object SparkEntry {
     "q_tf" -> withCtes(
       """SELECT term, docno, count(*)::BIGINT AS tf
         |FROM tok GROUP BY term, docno ORDER BY term, docno""".stripMargin),
+    // fold gate: tokens from the folded lowered enriched content; the fold
+    // expression is GENERATED from the same table the engine folds with
+    "q_fold_df" ->
+      s"""WITH $CorpusCte,
+         |tokf0 AS (SELECT docno,
+         |    unnest(string_split_regex(
+         |      ${graft.analysis.AsciiFold.sqlExpr(
+               s"lower(content || '${Engine.FoldEnrich}')")}, '\\s+')) AS term
+         |  FROM corpus),
+         |tokf AS (SELECT docno, term FROM tokf0
+         |         WHERE term <> '' AND term NOT IN ('a', 'the'))
+         |SELECT term, count(DISTINCT docno)::BIGINT AS df
+         |FROM tokf GROUP BY term ORDER BY term""".stripMargin,
     "q_cooccur" -> withCtes(
       """,
         |dterm AS (SELECT DISTINCT docno, term FROM tok)

@@ -7,23 +7,28 @@ package graft.analysis
 final case class AnalyzerConfig(
     tokenizer: String = "whitespace",
     stopWords: Set[String] = Set.empty,
-    stemmer: String = "none"
+    stemmer: String = "none",
+    foldAscii: Boolean = false // ≙ ASCIIFoldingFilter (AsciiFold subset)
 ) {
   /** Stable id used in index manifests so a config change invalidates
-    * checkpointed stages.
+    * checkpointed stages. (`fold=1` appended only when enabled, so every
+    * pre-existing checkpointed index id is unchanged.)
     */
   def id: String = {
     val stop = if (stopWords.isEmpty) "-" else stopWords.toSeq.sorted.mkString(",")
-    s"tok=$tokenizer;stop=${Integer.toHexString(stop.hashCode)};stem=$stemmer"
+    val fold = if (foldAscii) ";fold=1" else ""
+    s"tok=$tokenizer;stop=${Integer.toHexString(stop.hashCode)};stem=$stemmer$fold"
   }
 }
 
-/** The analysis chain: tokenize → lowercase → stop-filter → stem, exactly
-  * the reference's `TrecAnalyzer` composition and order
+/** The analysis chain: tokenize → lowercase → [fold] → stop-filter → stem,
+  * exactly the reference's `TrecAnalyzer` composition and order
   * (`TrecAnalyzer.java:48-106`; lowercase always applied BEFORE stopping,
   * :72-76, so the stop list is effectively case-insensitive against input
-  * tokens). Serializable: one instance is closed over by Dataset
-  * transformations and shipped to executors.
+  * tokens; the optional ASCII fold sits between them, the conventional
+  * ASCIIFoldingFilter slot, so stop terms compare against folded forms).
+  * Serializable: one instance is closed over by Dataset transformations
+  * and shipped to executors.
   */
 final class Analyzer(val cfg: AnalyzerConfig) extends Serializable {
   private val tokenizer = Tokenizer.byName(cfg.tokenizer)
@@ -31,6 +36,7 @@ final class Analyzer(val cfg: AnalyzerConfig) extends Serializable {
   private val stop = cfg.stopWords // already-lowercased stop terms
   private val stopping = stop.nonEmpty
   private val stemming = stemmer ne NoStemmer
+  private val folding = cfg.foldAscii
 
   /** Code-point-wise lowercase (the observable behavior of Lucene's
     * `LowerCaseFilter`), NOT `String.toLowerCase` whose locale-aware
@@ -57,7 +63,8 @@ final class Analyzer(val cfg: AnalyzerConfig) extends Serializable {
     val out = Array.newBuilder[String]
     val it = tokenizer.tokenize(text)
     while (it.hasNext) {
-      val low = lowercase(it.next())
+      val low0 = lowercase(it.next())
+      val low = if (folding) AsciiFold.fold(low0) else low0
       if (!stopping || !stop.contains(low)) {
         out += (if (stemming) stemmer.stem(low) else low)
       }
@@ -81,7 +88,8 @@ final class Analyzer(val cfg: AnalyzerConfig) extends Serializable {
     while (it.hasNext) {
       val (raw, inc) = it.next()
       pos += inc - 1 // tokenizer-level skips (discarded over-long matches)
-      val low = lowercase(raw)
+      val low0 = lowercase(raw)
+      val low = if (folding) AsciiFold.fold(low0) else low0
       if (!stopping || !stop.contains(low)) {
         out += ((if (stemming) stemmer.stem(low) else low, pos))
       }
