@@ -151,6 +151,12 @@ object Dedup {
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = vb.select(col("bucket"), col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    // No dedup shuffle needed: a pair (a, b) joins only where a's PROBED
+    // bucket equals b's true bucket, i.e. where the flip f satisfies
+    // bucket_a XOR f = bucket_b ⟺ f = bucket_a XOR bucket_b — at most ONE
+    // f in {0, single bits} matches, so each ordered pair is generated at
+    // most once and vec_a < vec_b keeps exactly one orientation.
+    // (OpsSpec asserts the candidate stream is duplicate-free.)
     a.join(b, Seq("bucket"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
@@ -158,7 +164,6 @@ object Dedup {
           col("nrm_a"), col("nrm_b")).as("cos"))
       .where(col("cos") >= minCos)
       .select("vec_a", "vec_b")
-      .distinct() // a pair can share several probe buckets
   }
 
   /** 64-bit SimHash fingerprint per doc from analyzed term frequencies

@@ -291,6 +291,18 @@ class OpsSpec extends AnyFunSuite {
     val pairs = Dedup.embeddingNearDups(vecs, minCos = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L))) // the planted near-dup, nothing else
+
+    // Candidate-stream uniqueness (the reason embeddingNearDups needs no
+    // distinct shuffle): a pair joins only at the single flip
+    // f = bucketA XOR bucketB, so even a heavily bucket-collided fixture
+    // (5 directions × 12 vectors, multi-probe on) yields each pair once.
+    // minCos = -1 keeps EVERY candidate, exposing raw multiplicity.
+    val many = (0 until 60).map(i =>
+        (i.toLong, Array.tabulate(8)(d => ((i % 5) + 1 + d * 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val all = Dedup.embeddingNearDups(many, minCos = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(all.nonEmpty && all.size == all.distinct.size)
   }
 
   test("language classification: marker argmax, first-wins ties, und fallback") {
