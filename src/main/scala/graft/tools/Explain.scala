@@ -82,6 +82,42 @@ object Explain {
     println("\n========== seeded shuffle prefix sum (exactly ONE range exchange; both passes read the materialized sort) ==========")
     graft.ops.Curation.seededShuffle(corp, "s1").explain("formatted")
 
+    println("\n========== synonym-group search plan (group postings in the same bucket-pruned scan; one extra tiny shuffle for the tf sum) ==========")
+    searcher.searchClauses(
+      Seq(graft.search.WeightedClause("1", 0, "hash", 1.0f)),
+      k = 20,
+      synonymClauses = Seq(graft.search.SynonymClause("1", 1, Seq("scan", "window"), 1.0f)))
+      .explain("formatted")
+
+    println("\n========== hybrid RRF fusion (two bounded top-k inputs → full-outer join on ≤2k rows/query; the window runs over that bounded set) ==========")
+    val docVecs = corp
+      .select(expr("cast(substring(docno, 5, 24) as long)").as("vec_id"))
+      .join(emb, "vec_id").select(col("vec_id"), col("embedding"))
+    val qv1 = emb.where(col("vec_id") === 1001)
+      .select(lit("1").as("qid"), col("embedding").as("qv"))
+    val dense = graft.ops.Knn.bruteForceTopK(docVecs,
+        emb.where(col("vec_id") === 1001)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")), 20)
+      .select((col("qid") - 1000).cast("string").as("qid"),
+        concat(lit("doc-"), lpad(col("vec_id").cast("string"), 8, "0")).as("docno"),
+        col("rank"))
+    val sparse = searcher.search(Seq(Topic("1", "hash join merge")), 20).toDF()
+      .select(col("qid"), col("docno"), col("rank"))
+    graft.ops.Fusion.rrf2(sparse, dense, 20).explain("formatted")
+
+    println("\n========== in-row co-occurrence pairs (ONE aggregate exchange; pair fan-out inside WholeStageCodegen) ==========")
+    graft.ops.TextQuality.coocPairs(
+      spark.read.parquet(s"${idx.dir}/${graft.index.IndexLayout.TokenizedDir}")
+        .select(col("docno"), col("terms.term").as("ts"))).explain("formatted")
+
+    println("\n========== cluster assignment + stratified pick (assignment is a narrow fold over the scan — no shuffle before the per-cell heap agg) ==========")
+    graft.ops.Curation.stratifiedSample(
+      docVecs.withColumn("cid", graft.ops.Knn.ivfCellExpr(col("embedding"),
+          graft.ops.Knn.ivfSeedCentroids(emb, 8)))
+        .select(concat(lit("doc-"), lpad(col("vec_id").cast("string"), 8, "0")).as("docno"),
+          col("cid")),
+      "cid", "cs1", 5).explain("formatted")
+
     spark.stop()
   }
 }
