@@ -824,6 +824,16 @@ object SparkEntry {
       ops.Decontaminate.contaminationFlags(corp, bench, an, n = 3, minShared = 5)
         .orderBy("docno")
     }),
+    // training-pipeline op: SUBSTRING-level duplicate spans (Lee et al.,
+    // ACL'22) — maximal runs of token positions covered by a 5-gram that
+    // occurs in ≥2 distinct docs; the dedup granularity that catches
+    // boilerplate INSIDE otherwise-unique documents
+    "q_dup_spans" -> ((s, dir) => {
+      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+      ops.Dedup.duplicatedSpans(corpus.Corpus.fromDocuments(s, dir), an,
+          n = DupSpanN)
+        .orderBy("docno", "span_start")
+    }),
     // training-pipeline op: embedding-cosine near-dup pairs via sign-LSH
     // blocking + exact cosine verify
     "q_emb_neardup" -> ((s, dir) => {
@@ -1645,6 +1655,11 @@ object SparkEntry {
   /** Chunking fixture: 32-token windows every 24 tokens (8-token overlap). */
   val ChunkSize = 32
   val ChunkStride = 24
+
+  /** Duplicate-span gram length (production ~50; small so the synthetic
+    * corpus's shared boilerplate yields multi-span docs).
+    */
+  val DupSpanN = 5
 
   // ---- DuckDB oracle -------------------------------------------------------
 
@@ -2673,6 +2688,39 @@ object SparkEntry {
          |       coalesce(b.bench_id, '') AS bench_id
          |FROM corpus c LEFT JOIN best b USING (docno)
          |ORDER BY docno""".stripMargin,
+    // substring-span replay: same tokenization as the shingle CTE, 5-gram
+    // md5 keys, duplicated = in ≥2 distinct docs, then classic
+    // gaps-and-islands over the covered start positions (a start at pos
+    // covers [pos, pos+4]; runs merge while the next start is ≤ prev+5)
+    "q_dup_spans" ->
+      s"""WITH $CorpusCte,
+         |sd AS (SELECT docno,
+         |              list_filter(string_split_regex(lower(content), '\\s+'),
+         |                          t -> t <> '' AND t NOT IN ('a', 'the')) AS toks
+         |       FROM corpus),
+         |gr AS (SELECT docno, i AS pos,
+         |              md5(array_to_string(
+         |                list_slice(toks, i, i + ${DupSpanN - 1}), ' ')) AS gk
+         |       FROM (SELECT docno, toks,
+         |                    unnest(range(1, len(toks) - ${DupSpanN - 2})) AS i
+         |             FROM sd WHERE len(toks) >= $DupSpanN)),
+         |dup AS (SELECT gk FROM gr GROUP BY gk
+         |        HAVING count(DISTINCT docno) >= 2),
+         |st AS (SELECT docno, pos FROM gr JOIN dup USING (gk)),
+         |br AS (SELECT docno, pos,
+         |              CASE WHEN pos > coalesce(lag(pos) OVER
+         |                     (PARTITION BY docno ORDER BY pos),
+         |                     ${-1 - DupSpanN}) + $DupSpanN
+         |                   THEN 1 ELSE 0 END AS b
+         |       FROM st),
+         |isl AS (SELECT docno, pos,
+         |               sum(b) OVER (PARTITION BY docno ORDER BY pos) AS isl
+         |        FROM br)
+         |SELECT docno, min(pos)::BIGINT AS span_start,
+         |       (max(pos) + ${DupSpanN - 1})::BIGINT AS span_end,
+         |       (max(pos) + ${DupSpanN - 1} - min(pos) + 1)::BIGINT AS n_tokens
+         |FROM isl GROUP BY docno, isl
+         |ORDER BY docno, span_start""".stripMargin,
     "q_neardup" ->
       s"""WITH $CorpusCte,
          |$ShingleCte,

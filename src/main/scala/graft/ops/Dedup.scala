@@ -258,6 +258,67 @@ object Dedup {
       (col("docno") === col("cluster")).as("keep"))
   }
 
+  /** Substring-level duplicate SPANS (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022): a token n-gram
+    * occurring in ≥ `minDocs` distinct documents marks its n covered token
+    * positions as duplicated, and the maximal contiguous covered runs per
+    * document come back as (docno, span_start, span_end, n_tokens) over
+    * the analyzed token sequence (1-based, inclusive). Document-level
+    * MinHash dedup cannot see the boilerplate *inside* otherwise-unique
+    * documents — license headers, copied functions, templated banners —
+    * which is exactly the removal granularity training pipelines want.
+    *
+    * Scale shape: (a) one analyzed pass emits (docno, pos, md5(gram)) —
+    * the 128-bit fingerprint bounds shuffle width independent of gram
+    * text and replays exactly in the DuckDB oracle; (b) one
+    * hash-partitioned aggregation finds fingerprints spanning ≥ minDocs
+    * docs (the paper's suffix-array pass reduced to the fixed-length
+    * case, the form its public MapReduce ports use); (c) a semi-join
+    * back marks duplicated start positions; (d) island-merge is two
+    * docno-partitioned window passes + one agg — per-doc state only, and
+    * the docno hash partitioning is reused across all three (one
+    * exchange). No all-pairs work anywhere; production n is ~50 tokens,
+    * tests use a small n so the synthetic corpus exercises multi-span
+    * docs.
+    */
+  def duplicatedSpans(corpus: DataFrame, analyzer: Analyzer, n: Int,
+                      minDocs: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val grams = corpus
+      .select(col("docno").cast("string"), col("content").cast("string"))
+      .as[(String, String)]
+      .flatMap { case (docno, content) =>
+        val toks = analyzer.analyze(if (content == null) "" else content)
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).zipWithIndex
+          .map { case (w, i) => (docno, i + 1L, w.mkString(" ")) }
+      }.toDF("docno", "pos", "gram")
+      .select(col("docno"), col("pos"), md5(col("gram")).as("gk"))
+    val dup = grams.groupBy(col("gk"))
+      .agg(countDistinct(col("docno")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("gk")
+    // (docno, pos) is unique by construction — no dedup needed after the
+    // semi-join; a start at pos covers [pos, pos + n - 1]
+    val starts = grams.join(dup, Seq("gk"), "leftsemi").select("docno", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("docno").orderBy("pos")
+    starts
+      .withColumn("brk",
+        when(col("pos") >
+          coalesce(lag(col("pos"), 1).over(w), lit(-1L - n)) + n, 1)
+          .otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(w))
+      .groupBy(col("docno"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"))
+      .select(col("docno"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("n_tokens"))
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance <= maxDist, found via
     * 4×16-bit band blocking (any pair within distance 3 shares at least one
     * exact 16-bit band — pigeonhole), then exact popcount verification.

@@ -51,6 +51,24 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("duplicatedSpans: maximal cross-doc covered runs; intra-doc repeats don't count") {
+    import spark.implicits._
+    val c = Seq(
+      // s1/s2 share the prefix run "one two three four five" and the
+      // suffix run "eight nine ten" at different offsets
+      "s1" -> "one two three four five six seven eight nine ten",
+      "s2" -> "zz one two three four five yy qq eight nine ten pp",
+      // 3-gram repeated twice INSIDE one doc only — distinct-doc rule
+      // must ignore it
+      "s3" -> "foo bar baz foo bar baz").toDF("docno", "content")
+    val sp = Dedup.duplicatedSpans(c, an, n = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // s1 duplicated 3-gram starts {1,2,3,8} → covered runs [1,5] and [8,10];
+    // s2 starts {2,3,4,9} → [2,6] and [9,11]; s3 none
+    assert(sp == Set(("s1", 1L, 5L, 5L), ("s1", 8L, 10L, 3L),
+      ("s2", 2L, 6L, 5L), ("s2", 9L, 11L, 3L)))
+  }
+
   test("jaccard verification yields exact integer counts") {
     val sh = Dedup.shingles(corpusDF, an, 3)
     val cand = Dedup.minHashCandidates(corpusDF, an, 3, 12, 2)
