@@ -105,6 +105,22 @@ object Engine {
       IndexConfig(analyzer = CodeAnalyzer,
         rangePartitions = OracleRangePartitions), "code")
 
+  /** The PATH field indexed as its own field index (code-tokenized path
+    * segments), for multi-field retrieval: same corpus + same range
+    * fan-out as [[codeIndex]], so the deterministic docid packing (a
+    * function of the docno set alone) coincides and
+    * [[graft.search.MultiField]] can combine the two on docid.
+    */
+  def pathIndex(spark: SparkSession, sfDir: String): BuiltIndex =
+    cache.getOrElseUpdate(s"$sfDir|path", {
+      import org.apache.spark.sql.functions.col
+      val pathCorpus = Corpus.fromDocuments(spark, sfDir)
+        .withColumn("content", col("path"))
+      IndexBuilder.build(pathCorpus, s"$workDir/idx_${safeSf(sfDir)}_path",
+        IndexConfig(analyzer = CodeAnalyzer,
+          rangePartitions = OracleRangePartitions), verifySha = true)
+    })
+
   /** ASCII-folding analyzer + the accented enrichment the fold gate entry
     * appends to every doc (uppercase accents exercise lowercase→fold
     * ordering, ß/œ/ĳ/þ the multi-char folds, Łódź Latin Extended-A, and

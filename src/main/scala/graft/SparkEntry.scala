@@ -28,6 +28,17 @@ object SparkEntry {
 
   val TopK = 20
 
+  /** Multi-field topics: content vocabulary mixed with PATH tokens (lang
+    * codes, doc-id digits, the universal "txt" extension), so per-field
+    * scoring, path-only matches and the boost weighting all materially
+    * shape the ranking.
+    */
+  val multiTopics: Seq[Topic] = Seq(
+    Topic("m1", "hash join txt"),
+    Topic("m2", "de table scan"),
+    Topic("m3", "en merge"),
+    Topic("m4", "42 window"))
+
   // Curation-op gate parameters: a ~10% stable sample, and 512-token
   // packed sequences (small enough that sf0.01 docs span chunk boundaries).
   val SampleSalt = "s1"
@@ -283,6 +294,19 @@ object SparkEntry {
       }
       sr.searchClauses(clauses, TopK, filterDocids = Some(flt),
           collapseKeys = Some(keys))
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // Multi-field "most_fields" retrieval (≙ Elasticsearch multi_match
+    // most_fields / Lucene MultiFieldQueryParser with boosts): content and
+    // path as separate field indexes sharing the deterministic docid
+    // packing; score = bm25_content + 2×bm25_path, full-outer combined so
+    // a doc matching ONLY the path field still ranks
+    "q_multifield_topk" -> ((s, dir) => {
+      graft.search.MultiField.mostFields(
+          Seq(new graft.search.Searcher(Engine.codeIndex(s, dir)) -> 1.0f,
+            new graft.search.Searcher(Engine.pathIndex(s, dir)) -> 2.0f),
+          multiTopics, TopK)
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
@@ -550,6 +574,15 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => {
       ops.TextQuality.qualitySignals(
           corpus.Corpus.fromDocuments(s, dir), Set("a", "the"))
+        .orderBy("docno")
+    }),
+    // training-pipeline op: LM quality score — per-doc cross-entropy in
+    // bits under a corpus-trained interpolated bigram model (the CCNet/
+    // Gopher perplexity-filter signal; self-trained ⇒ deterministic, no
+    // OOV mass)
+    "q_lm_score" -> ((s, dir) => {
+      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+      ops.TextQuality.lmScore(corpus.Corpus.fromDocuments(s, dir), an)
         .orderBy("docno")
     }),
     // PII scrubbing: emails/IPv4/long digit runs redacted with audit
@@ -1864,6 +1897,48 @@ object SparkEntry {
     * analyzed token occurrence, after stop-filtering (term weights = row
     * multiplicity).
     */
+  /** Code-tokenizer replay over column `srcCol` of `corpus` (camel/digit
+    * splits → non-alphanumeric split → lower → stop) plus the per-field
+    * tf/dl/df/collection-stats CTEs, names prefixed with `p` — one
+    * instantiation per FIELD for the multi-field oracle.
+    */
+  private def codeTokCtes(srcCol: String, p: String): String =
+    s"""${p}cs AS (SELECT docno,
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    $srcCol,
+       |    '([a-z])([A-Z])', '\\1 \\2', 'g'),
+       |    '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g'),
+       |    '([A-Za-z])([0-9])', '\\1 \\2', 'g'),
+       |    '([0-9])([A-Za-z])', '\\1 \\2', 'g') AS s
+       |  FROM corpus),
+       |${p}raw AS (SELECT docno,
+       |  list_filter(string_split_regex(s, '[^A-Za-z0-9]+'), x -> x <> '') AS l
+       |  FROM ${p}cs),
+       |${p}tok AS (SELECT docno, term FROM
+       |             (SELECT docno, lower(unnest(l)) AS term FROM ${p}raw)
+       |           WHERE term NOT IN ('a', 'the')),
+       |${p}tf AS (SELECT docno, term, count(*) AS tf FROM ${p}tok GROUP BY docno, term),
+       |${p}dl AS (SELECT docno, count(*) AS dl FROM ${p}tok GROUP BY docno),
+       |${p}df AS (SELECT term, count(DISTINCT docno) AS df FROM ${p}tok GROUP BY term),
+       |${p}st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+       |                  (SELECT count(*) FROM ${p}tok) AS sumttf)""".stripMargin
+
+  /** Per-field BM25 scored CTE `${p}sc(qid, docno, score)` over the
+    * [[codeTokCtes]] tables with prefix `p`, query terms from `mqw`.
+    */
+  private def bm25FieldCte(p: String): String =
+    s"""${p}sc AS (
+       |  SELECT q.qid, f.docno,
+       |         sum(q.w * ((1.2 + 1.0) * f.tf)
+       |             / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+       |             * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))) AS score
+       |  FROM mqw q
+       |  JOIN ${p}tf f ON f.term = q.term
+       |  JOIN ${p}dl d ON d.docno = f.docno
+       |  JOIN ${p}df v ON v.term = q.term
+       |  CROSS JOIN ${p}st st
+       |  GROUP BY q.qid, f.docno)""".stripMargin
+
   private val TopicsCte =
     """topics(qid, term) AS (VALUES
       |  ('1','hash'),('1','join'),('1','merge'),
@@ -2505,6 +2580,35 @@ object SparkEntry {
          |)
          |SELECT qid, docno, rank FROM cranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin,
+    // multi-field replay: the two field indexes' BM25 scores (each over
+    // its OWN token stream + stats) combined content + 2×path through a
+    // full outer join — a doc matching only one field still ranks; ranks
+    // re-derive with the engine's (score desc, docno asc) collector order
+    "q_multifield_topk" ->
+      s"""WITH $CorpusCte,
+         |${codeTokCtes("content", "c")},
+         |${codeTokCtes("path", "p")},
+         |mq(qid, term) AS (VALUES
+         |  ('m1','hash'),('m1','join'),('m1','txt'),
+         |  ('m2','de'),('m2','table'),('m2','scan'),
+         |  ('m3','en'),('m3','merge'),
+         |  ('m4','42'),('m4','window')),
+         |mqw AS (SELECT qid, term, count(*) AS w FROM mq GROUP BY qid, term),
+         |${bm25FieldCte("c")},
+         |${bm25FieldCte("p")},
+         |comb AS (
+         |  SELECT coalesce(c.qid, p.qid) AS qid,
+         |         coalesce(c.docno, p.docno) AS docno,
+         |         (coalesce(c.score, 0) + 2 * coalesce(p.score, 0)) AS score
+         |  FROM csc c FULL OUTER JOIN psc p
+         |    ON p.qid = c.qid AND p.docno = c.docno),
+         |mranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid
+         |                             ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM comb)
+         |SELECT qid, docno, rank FROM mranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin,
     "q_page_topk" -> PageTopkSql,
     // classic-tokenized Porter-stemmed df: the FQCN-loaded tokenizer
     // replayed via the same recursive-CTE maximal-munch scanner as
@@ -2798,6 +2902,38 @@ object SparkEntry {
         |       strlen(text)::BIGINT AS n_bytes,
         |       (CASE WHEN doc_id % 3 <> 0 THEN n_chars * 10 ELSE -1 END)::BIGINT AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
+    // LM-score replay: bigrams from the in-list token order (never a bare
+    // unnest, whose row order is unspecified), counts via two aggs, the
+    // interpolation in DOUBLE with (1 - CAST(0.9 AS DOUBLE)) so the
+    // complement weight's low bits match the engine's `1.0 - lambda`;
+    // avg_bits rounds to 6 decimals on both sides (sum-order noise is
+    // ~1e-15 relative, inter-doc gaps ≥1e-3)
+    "q_lm_score" ->
+      s"""WITH $CorpusCte,
+         |$TokCte,
+         |lmdoc AS (SELECT docno,
+        |                 list_filter(string_split_regex(lower(content), '\\s+'),
+        |                             t -> t <> '' AND t NOT IN ('a', 'the')) AS toks
+        |          FROM corpus),
+        |bgf AS (SELECT docno, p.w1 AS w1, p.w2 AS w2 FROM (
+        |          SELECT docno,
+        |                 unnest(list_transform(range(1, len(toks)),
+        |                        i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p
+        |          FROM lmdoc WHERE len(toks) >= 2)),
+        |uni AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+        |tot AS (SELECT count(*) AS t FROM tok),
+        |lsc AS (SELECT f.docno,
+        |               -log2(CAST(0.9 AS DOUBLE) * b.c12 / u1.c +
+        |                     (1 - CAST(0.9 AS DOUBLE)) * u2.c / CAST(tot.t AS DOUBLE)) AS bits
+        |        FROM bgf f
+        |        JOIN (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY w1, w2) b
+        |          USING (w1, w2)
+        |        JOIN uni u1 ON u1.term = f.w1
+        |        JOIN uni u2 ON u2.term = f.w2
+        |        CROSS JOIN tot)
+        |SELECT docno, count(*)::BIGINT AS n_bigrams,
+        |       round(sum(bits) / count(*), 6) AS avg_bits
+        |FROM lsc GROUP BY docno ORDER BY docno""".stripMargin,
     "q_quality" ->
       s"""WITH $CorpusCte,
          |t AS (SELECT docno, content,

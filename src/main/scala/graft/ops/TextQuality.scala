@@ -27,6 +27,64 @@ object TextQuality {
         .cast("long").as("sum_token_chars"))
   }
 
+  /** Language-model quality score (the CCNet / Gopher pipeline signal):
+    * per-doc cross-entropy in bits under an interpolated BIGRAM model
+    * trained on the corpus itself —
+    * P(w₂|w₁) = λ·C(w₁w₂)/C(w₁) + (1−λ)·C(w₂)/T over the analyzed token
+    * stream. Self-training means no OOV mass is needed (every token has
+    * C(w) ≥ 1) and the whole computation is deterministic from the corpus
+    * alone; low avg_bits flags repetitive/templated text, high avg_bits
+    * flags gibberish — the two tails a quality filter trims.
+    *
+    * Scale shape: one analyzed pass emits in-row bigrams; unigram and
+    * bigram counts are two hash-partitioned aggs; the probability attach
+    * is three co-partitioned equi-joins (bigram table ⋈ C(w₁w₂) ⋈ C(w₁)
+    * ⋈ C(w₂)); the per-doc reduce is one more hash agg. Never a driver
+    * collect, never a cross join; count tables are corpus-vocabulary-sized
+    * (shuffle keys are the terms themselves, same fan-out as the index
+    * build's df agg). avg_bits rounds to 6 decimals so the double SUM's
+    * order noise (±1e-15 relative, vs genuine inter-doc gaps ≥1e-3)
+    * cannot flip an oracle compare — same margin argument as the
+    * stock-model rank oracles.
+    */
+  def lmScore(corpus: DataFrame, analyzer: graft.analysis.Analyzer,
+              lambda: Double = 0.9): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bigrams = corpus
+      .select(col("docno").cast("string"), col("content").cast("string"))
+      .as[(String, String)]
+      .flatMap { case (docno, content) =>
+        val toks = analyzer.analyze(if (content == null) "" else content)
+        toks.iterator.sliding(2).withPartial(false)
+          .map(w => (docno, w.head, w(1)))
+      }.toDF("docno", "w1", "w2")
+    val toks = corpus
+      .select(col("docno").cast("string"), col("content").cast("string"))
+      .as[(String, String)]
+      .flatMap { case (docno, content) =>
+        analyzer.analyze(if (content == null) "" else content)
+          .iterator.map((docno, _))
+      }.toDF("docno", "term")
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c"))).as[Long].head()
+    val big = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = uni.select(col("term").as("w1"), col("c").as("c1"))
+    val c2 = uni.select(col("term").as("w2"), col("c").as("c2"))
+    bigrams
+      .join(big, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(c2, Seq("w2"))
+      .select(col("docno"),
+        (-log2(lit(lambda) * col("c12") / col("c1") +
+          lit(1.0 - lambda) * col("c2") / lit(total.toDouble))).as("bits"))
+      .groupBy(col("docno"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .select(col("docno"), col("n_bigrams").cast("long").as("n_bigrams"),
+        round(col("sum_bits") / col("n_bigrams"), 6).as("avg_bits"))
+  }
+
   /** BPE-ish pre-tokenizer segmentation (letter runs | digit runs | single
     * non-alphanumeric marks — the shape of a byte-pair pre-tokenizer's
     * coarse split), valid in both Java regex and RE2 so the DuckDB oracle

@@ -142,6 +142,22 @@ final class Searcher(val index: BuiltIndex) {
     searchClauses(clauses, k, scorerName, pruning = pruning)
   }
 
+  /** Scored (qid, docid, score) stream for a topic batch — one SHOULD
+    * clause per analyzed token like [[search]], but WITHOUT the top-k
+    * collector: the per-field input [[MultiField.mostFields]] combines.
+    */
+  private[search] def scoredTopics(topics: Seq[Topic],
+                                   scorerName: String = "bm25")
+      : Dataset[(String, Long, Float)] = {
+    requireDistinctQids(topics)
+    val clauses = topics.flatMap { t =>
+      analyzer.analyze(t.text).zipWithIndex.map { case (term, i) =>
+        WeightedClause(t.qid, i, term, 1.0f)
+      }
+    }
+    scoredClauses(clauses, scorerName = scorerName)
+  }
+
   /** Field-collapsed top-k (≙ Lucene's grouping module /
     * CollapsingTopDocsCollector over a SortedDocValues field — the code-
     * search "one hit per repository" shape): per query, each collapse key
@@ -637,12 +653,37 @@ final class Searcher(val index: BuiltIndex) {
                     trees: Map[String, BoolQuery.TreeSpec] = Map.empty,
                     collapseKeys: Option[DataFrame] = None,
                     filterDocids: Option[DataFrame] = None)
-      : Dataset[RunLine] = {
+      : Dataset[RunLine] =
+    collectTopK(
+      scoredClauses(clauses, k, scorerName, excludeDocnos, pruning, mode,
+        negTerms, phraseClauses, expansionClauses, blendedClauses,
+        synonymClauses, trees, collapseKeys, filterDocids),
+      k, Scorer.byName(scorerName).name)
+
+  /** The full scored candidate stream (qid, docid, score) BEFORE the top-k
+    * collector — the seam multi-field retrieval combines per-field scores
+    * on ([[MultiField]]); parameters as [[searchClauses]].
+    */
+  private[search] def scoredClauses(clauses: Seq[WeightedClause],
+                    k: Int = 1000,
+                    scorerName: String = "bm25",
+                    excludeDocnos: Map[String, Set[String]] = Map.empty,
+                    pruning: Boolean = false,
+                    mode: String = "or",
+                    negTerms: Seq[(String, String)] = Nil,
+                    phraseClauses: Seq[PhraseClause] = Nil,
+                    expansionClauses: Seq[ExpansionClause] = Nil,
+                    blendedClauses: Seq[BlendedClause] = Nil,
+                    synonymClauses: Seq[SynonymClause] = Nil,
+                    trees: Map[String, BoolQuery.TreeSpec] = Map.empty,
+                    collapseKeys: Option[DataFrame] = None,
+                    filterDocids: Option[DataFrame] = None)
+      : Dataset[(String, Long, Float)] = {
     import spark.implicits._
     val scorer = Scorer.byName(scorerName)
     if (clauses.isEmpty && phraseClauses.isEmpty && expansionClauses.isEmpty &&
         blendedClauses.isEmpty && synonymClauses.isEmpty && trees.isEmpty)
-      return spark.emptyDataset[RunLine]
+      return spark.emptyDataset[(String, Long, Float)]
     require(phraseClauses.isEmpty || index.cfg.indexPositions,
       "phrase clauses need a positions-enabled index (IndexConfig.indexPositions)")
     require(trees.isEmpty || (mode == "or" && negTerms.isEmpty),
@@ -821,7 +862,7 @@ final class Searcher(val index: BuiltIndex) {
     if (plan.isEmpty && livePhrases.isEmpty && liveExpansions.isEmpty &&
         liveBlended.isEmpty && liveSynonyms.isEmpty &&
         trees.isEmpty) // a tree may still match-all
-      return spark.emptyDataset[RunLine]
+      return spark.emptyDataset[(String, Long, Float)]
 
     // Postings lookup: bucket prunes parquet partitions, term pushes
     // down. Only the WAND main pass reads block metadata — the exhaustive
@@ -1227,12 +1268,21 @@ final class Searcher(val index: BuiltIndex) {
           .as[(String, Long, Float)]
     }
 
-    // Bounded top-k per query (score desc, docid asc tie-break — the Lucene
-    // collector contract, SURVEY.md §2.5).
+    scoresCollapsed
+  }
+
+  /** Bounded top-k collector + docno attach + first-occurrence docno dedup
+    * over a scored (qid, docid, score) stream — the shared tail of every
+    * search entry point (score desc, docid asc tie-break — the Lucene
+    * collector contract, SURVEY.md §2.5).
+    */
+  private[search] def collectTopK(scored: Dataset[(String, Long, Float)],
+                                  k: Int, runtag: String): Dataset[RunLine] = {
+    import spark.implicits._
     val agg = new TopKAgg(k, implicitly[Encoder[Seq[(Long, Float)]]],
       implicitly[Encoder[Seq[(Long, Float)]]])
     val top: Dataset[(String, Seq[(Long, Float)])] =
-      scoresCollapsed.groupByKey(_._1).agg(agg.toColumn)
+      scored.groupByKey(_._1).agg(agg.toColumn)
 
     val ranked = top.flatMap { case (qid, hits) =>
       hits.iterator.zipWithIndex.map { case ((docid, score), i) =>
@@ -1255,7 +1305,6 @@ final class Searcher(val index: BuiltIndex) {
     // Docno dedup keeping the first (lowest pre-dedup rank) occurrence +
     // rank-ordered output, one tiny per-query group op (≤ k rows per
     // group) instead of a window + global sort pair of shuffles.
-    val runtag = scorer.name
     withDocno.groupByKey(_._1)
       .flatMapGroups[RunLine] { (qid: String, it: Iterator[(String, String, Int, Float)]) =>
         val hits = it.toArray.sortBy(_._3)

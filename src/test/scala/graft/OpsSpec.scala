@@ -69,6 +69,25 @@ class OpsSpec extends AnyFunSuite {
       ("s2", 2L, 6L, 5L), ("s2", 9L, 11L, 3L)))
   }
 
+  test("lmScore: interpolated bigram cross-entropy, hand-checked") {
+    import spark.implicits._
+    val c = Seq("l1" -> "x y x y", "l2" -> "x z").toDF("docno", "content")
+    val got = TextQuality.lmScore(c, an).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // uni: x=3 y=2 z=1, T=6; bigrams: (x,y)=2 (y,x)=1 (x,z)=1
+    def p(c12: Long, c1: Long, c2: Long) =
+      0.9 * c12 / c1 + (1.0 - 0.9) * c2 / 6.0
+    def bits(x: Double) = -(math.log(x) / math.log(2.0))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = (2 * bits(p(2, 3, 2)) + bits(p(1, 2, 3))) / 3
+    val d2 = bits(p(1, 3, 1))
+    assert(got("l1")._1 == 3L && got("l2")._1 == 1L)
+    assert(math.abs(got("l1")._2 - r6(d1)) < 2e-6)
+    assert(math.abs(got("l2")._2 - r6(d2)) < 2e-6)
+    // the repetitive doc is more predictable than the unseen-pair doc
+    assert(got("l1")._2 < got("l2")._2)
+  }
+
   test("jaccard verification yields exact integer counts") {
     val sh = Dedup.shingles(corpusDF, an, 3)
     val cand = Dedup.minHashCandidates(corpusDF, an, 3, 12, 2)
