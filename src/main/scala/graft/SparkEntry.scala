@@ -50,6 +50,9 @@ object SparkEntry {
   val PageNo = 1
   val PageSize = 5
 
+  /** Explain gate: score components for each topic's top-5 hits. */
+  val ExplainK = 5
+
   // Composed curation pipeline: quality floor and 90% train split.
   val CurateMinTokens = 5
   val CurateTrainKeep = 18
@@ -309,6 +312,13 @@ object SparkEntry {
           multiTopics, TopK)
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
+    }),
+    // ≙ IndexSearcher.explain: per (query, top-5 hit, matching term) the
+    // integer scoring components (tf, dl, df) — everything needed to
+    // recompute the similarity by hand; integer-exact, float-free oracle
+    "q_explain" -> ((s, dir) => {
+      Engine.searcher(s, dir).explainStats(topics, ExplainK)
+        .orderBy("qid", "docno", "term")
     }),
     // §2.5 paging (≙ SearchFiles 5-page prefetch): the second 5-hit page
     // of topic 1 — a rank slice of the BM25 ordering
@@ -2609,6 +2619,19 @@ object SparkEntry {
          |  FROM comb)
          |SELECT qid, docno, rank FROM mranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin,
+    // explain replay: the BM25 oracle's top-5 hits joined back to the
+    // integer tf/dl/df tables, one row per (query, hit, matching term)
+    "q_explain" -> withCtes(
+      s"""$Bm25RankedCtes,
+         |hits AS (SELECT qid, docno FROM ranked WHERE rank < $ExplainK)
+         |SELECT h.qid, h.docno, q.term,
+         |       f.tf::BIGINT AS tf, d.dl::BIGINT AS dl, v.df::BIGINT AS df
+         |FROM hits h
+         |JOIN qterm q ON q.qid = h.qid
+         |JOIN tf f ON f.docno = h.docno AND f.term = q.term
+         |JOIN dl d ON d.docno = h.docno
+         |JOIN df v ON v.term = q.term
+         |ORDER BY h.qid, h.docno, q.term""".stripMargin),
     "q_page_topk" -> PageTopkSql,
     // classic-tokenized Porter-stemmed df: the FQCN-loaded tokenizer
     // replayed via the same recursive-CTE maximal-munch scanner as

@@ -66,7 +66,12 @@ object TextQuality {
         analyzer.analyze(if (content == null) "" else content)
           .iterator.map((docno, _))
       }.toDF("docno", "term")
+    // vocabulary-sized; materialized once (typed lineage defeats exchange
+    // reuse, and uni feeds BOTH probability joins plus the total) — the
+    // token-sized bigram stream, by contrast, is recomputed for its two
+    // consumers rather than materialized
     val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val total = uni.agg(sum(col("c"))).as[Long].head()
     val big = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))

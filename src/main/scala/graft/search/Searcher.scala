@@ -142,6 +142,59 @@ final class Searcher(val index: BuiltIndex) {
     searchClauses(clauses, k, scorerName, pruning = pruning)
   }
 
+  /** Per-hit scoring breakdown (≙ IndexSearcher.explain, the debugging
+    * surface SearchFiles-style tools print): for each topic's top-`k`
+    * documents, one row per MATCHING query term with the integer scoring
+    * components (tf, dl, df) — everything a user needs to recompute the
+    * similarity by hand, kept integer-exact so downstream checks are
+    * float-free. The hit set is the collector's (bounded, ≤ k×|topics|
+    * rows on the driver — same point-lookup seam as docno exclusions);
+    * the component attach decodes ONLY the query terms' postings,
+    * bucket-pruned and filtered to the explained docids in-row.
+    */
+  def explainStats(topics: Seq[Topic], k: Int = 5,
+                   scorerName: String = "bm25"): DataFrame = {
+    import spark.implicits._
+    val hits = search(topics, k, scorerName).collect()
+    val byQid: Map[String, Set[String]] =
+      hits.groupBy(_.qid).map { case (q, hs) => q -> hs.map(_.docno).toSet }
+    val hitDocnos = hits.map(_.docno).distinct.toSeq
+    val ids: Map[String, Long] =
+      if (hitDocnos.isEmpty) Map.empty
+      else index.docs.where(col("docno").isin(hitDocnos: _*))
+        .select("docno", "docid").as[(String, Long)].collect().toMap
+    val qterms: Seq[(String, String)] = topics.flatMap(t =>
+      analyzer.analyze(t.text).distinct.map(term => (t.qid, term)))
+    // (docid → (qid, docno)) pairs for the explained hits, broadcast-sized
+    val wanted: Map[Long, Array[(String, String)]] = byQid.toSeq
+      .flatMap { case (q, ds) => ds.flatMap(d => ids.get(d).map(id => (id, (q, d)))) }
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toArray }
+    val wantedB = spark.sparkContext.broadcast(wanted)
+    val termsByQid: Map[String, Set[String]] =
+      qterms.groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2).toSet }
+    val termsByQidB = spark.sparkContext.broadcast(termsByQid)
+    val terms = qterms.map(_._2).distinct
+    val buckets = terms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+    val comp = index.postingsDecode
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .as[PostingRun]
+      .flatMap { run =>
+        PostingCodec.decodeBlobs(run.ndocs, run.doc_blob, run.tf_blob, run.dl_blob)
+          .flatMap { p =>
+            wantedB.value.getOrElse(p.docid, Array.empty[(String, String)])
+              .iterator
+              .filter { case (q, _) => termsByQidB.value(q).contains(run.term) }
+              .map { case (q, d) => (q, d, run.term, p.tf.toLong, p.dl.toLong) }
+          }
+      }.toDF("qid", "docno", "term", "tf", "dl")
+    val dfs = index.termStats
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("term"), col("df").cast("long").as("df"))
+    comp.join(dfs, Seq("term"))
+      .select(col("qid"), col("docno"), col("term"),
+        col("tf"), col("dl"), col("df"))
+  }
+
   /** Scored (qid, docid, score) stream for a topic batch — one SHOULD
     * clause per analyzed token like [[search]], but WITHOUT the top-k
     * collector: the per-field input [[MultiField.mostFields]] combines.

@@ -118,6 +118,21 @@ object Explain {
           col("cid")),
       "cid", "cs1", 5).explain("formatted")
 
+    println("\n========== duplicate spans (one gram agg + semi-join; ONE docno exchange shared by both window passes and the island agg) ==========")
+    graft.ops.Dedup.duplicatedSpans(corp,
+      new graft.analysis.Analyzer(Engine.OracleAnalyzer), n = 5)
+      .explain("formatted")
+
+    println("\n========== multi-field most_fields (per-field bucket-pruned scans → ONE (qid, docid) full-outer join → bounded top-k) ==========")
+    graft.search.MultiField.mostFields(
+      Seq(new graft.search.Searcher(Engine.codeIndex(spark, sfDir)) -> 1.0f,
+        new graft.search.Searcher(Engine.pathIndex(spark, sfDir)) -> 2.0f),
+      Seq(Topic("m1", "hash join txt")), 20).explain("formatted")
+
+    println("\n========== LM score (two count aggs broadcast-joined back onto the bigram stream; one per-doc agg) ==========")
+    graft.ops.TextQuality.lmScore(corp,
+      new graft.analysis.Analyzer(Engine.OracleAnalyzer)).explain("formatted")
+
     spark.stop()
   }
 }
