@@ -313,6 +313,19 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // BM25F (Robertson-Zaragoza-Taylor CIKM'04, the model behind Lucene's
+    // CombinedFieldQuery): per-field length-normalized tfs (content b=0.75,
+    // path b=0.4, weight 2) combine into ONE saturation per term, idf over
+    // the document-level any-field df — contrast q_multifield_topk, which
+    // saturates per field and sums scores
+    "q_bm25f_topk" -> ((s, dir) => {
+      graft.search.CombinedField.bm25f(
+          Seq((new graft.search.Searcher(Engine.codeIndex(s, dir)), 1.0, 0.75),
+            (new graft.search.Searcher(Engine.pathIndex(s, dir)), 2.0, 0.4)),
+          multiTopics, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // ≙ IndexSearcher.explain: per (query, top-5 hit, matching term) the
     // integer scoring components (tf, dl, df) — everything needed to
     // recompute the similarity by hand; integer-exact, float-free oracle
@@ -2618,6 +2631,56 @@ object SparkEntry {
          |                             ORDER BY score DESC, docno ASC) - 1) AS rank
          |  FROM comb)
          |SELECT qid, docno, rank FROM mranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin,
+    // BM25F replay: per-field tf/dl streams full-outer joined per
+    // (term, doc), the per-field length normalizations summed into one
+    // pseudo-frequency through ONE saturation, idf over the any-field df;
+    // the rank sort rounds to 10 decimals (equal-stat tie stability, as
+    // the stock-model oracles)
+    "q_bm25f_topk" ->
+      s"""WITH $CorpusCte,
+         |${codeTokCtes("content", "c")},
+         |${codeTokCtes("path", "p")},
+         |mq(qid, term) AS (VALUES
+         |  ('m1','hash'),('m1','join'),('m1','txt'),
+         |  ('m2','de'),('m2','table'),('m2','scan'),
+         |  ('m3','en'),('m3','merge'),
+         |  ('m4','42'),('m4','window')),
+         |mqw AS (SELECT qid, term, count(*) AS w FROM mq GROUP BY qid, term),
+         |cposts AS (SELECT f.term, f.docno, f.tf, d.dl
+         |           FROM ctf f JOIN cdl d USING (docno)
+         |           WHERE f.term IN (SELECT term FROM mq)),
+         |pposts AS (SELECT f.term, f.docno, f.tf, d.dl
+         |           FROM ptf f JOIN pdl d USING (docno)
+         |           WHERE f.term IN (SELECT term FROM mq)),
+         |fcomb AS (
+         |  SELECT coalesce(c.term, p.term) AS term,
+         |         coalesce(c.docno, p.docno) AS docno,
+         |         (CASE WHEN c.term IS NULL THEN 0.0
+         |               ELSE 1.0 * c.tf / ((1.0 - 0.75)
+         |                 + 0.75 * (c.dl / (cst.sumttf / CAST(cst.n AS DOUBLE)))) END
+         |          + CASE WHEN p.term IS NULL THEN 0.0
+         |               ELSE 2.0 * p.tf / ((1.0 - 0.4)
+         |                 + 0.4 * (p.dl / (pst.sumttf / CAST(pst.n AS DOUBLE)))) END) AS tfb
+         |  FROM cposts c FULL OUTER JOIN pposts p
+         |    ON p.term = c.term AND p.docno = c.docno
+         |  CROSS JOIN cst CROSS JOIN pst),
+         |udf AS (SELECT term, count(*) AS df FROM fcomb GROUP BY term),
+         |fscored AS (
+         |  SELECT q.qid, m.docno,
+         |         sum(q.w * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0))
+         |             * m.tfb / (1.2 + m.tfb)) AS score
+         |  FROM mqw q
+         |  JOIN fcomb m ON m.term = q.term
+         |  JOIN udf v ON v.term = q.term
+         |  CROSS JOIN cst st
+         |  GROUP BY q.qid, m.docno),
+         |branked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid
+         |             ORDER BY round(score, 10) DESC, docno ASC) - 1) AS rank
+         |  FROM fscored)
+         |SELECT qid, docno, rank FROM branked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin,
     // explain replay: the BM25 oracle's top-5 hits joined back to the
     // integer tf/dl/df tables, one row per (query, hit, matching term)

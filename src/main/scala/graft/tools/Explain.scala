@@ -133,6 +133,12 @@ object Explain {
     graft.ops.TextQuality.lmScore(corp,
       new graft.analysis.Analyzer(Engine.OracleAnalyzer)).explain("formatted")
 
+    println("\n========== BM25F combined-field (per-field pruned postings scans → ONE (term, docid) full-outer join, checkpointed for the df agg + scoring double-read) ==========")
+    graft.search.CombinedField.bm25f(
+      Seq((new graft.search.Searcher(Engine.codeIndex(spark, sfDir)), 1.0, 0.75),
+        (new graft.search.Searcher(Engine.pathIndex(spark, sfDir)), 2.0, 0.4)),
+      Seq(Topic("m1", "hash join txt")), 20).explain("formatted")
+
     spark.stop()
   }
 }
