@@ -142,6 +142,16 @@ object SparkEntry {
         .select(col("docno"), col("dl").cast("long").as("dl"))
         .orderBy("docno")
     }),
+    // Exact discrete percentiles of the doc-length distribution (the
+    // token-count report a training-data pipeline publishes): ONE
+    // count-by-value shuffle + a driver cumsum over distinct lengths;
+    // integer-exact ⌈p·n/100⌉ rank arithmetic so any replay lands on the
+    // same row
+    "q_percentiles" -> ((s, dir) => {
+      graft.ops.TextQuality.exactPercentiles(
+          Engine.oracleIndex(s, dir).docs, "dl", Seq(25, 50, 75, 90, 99))
+        .orderBy("pct")
+    }),
     // §2.4 collection stats (N, sumTotalTermFreq)
     "q_stats" -> ((s, dir) => {
       val st = Engine.oracleIndex(s, dir).stats
@@ -325,6 +335,14 @@ object SparkEntry {
           multiTopics, TopK)
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
+    }),
+    // Learning-to-rank feature extraction (the reference's namesake
+    // surface): per (query, top-5 hit) one integer-exact feature row —
+    // match count, tf sum/max, dl, rarest-matched df, query term count —
+    // the training table a ranking model consumes
+    "q_ltr_features" -> ((s, dir) => {
+      Engine.searcher(s, dir).ltrFeatures(topics, ExplainK)
+        .orderBy("qid", "docno")
     }),
     // ≙ IndexSearcher.explain: per (query, top-5 hit, matching term) the
     // integer scoring components (tf, dl, df) — everything needed to
@@ -2341,6 +2359,24 @@ object SparkEntry {
         |LEFT JOIN (SELECT docno, count(*) AS dl FROM tok GROUP BY docno) t
         |  USING (docno)
         |ORDER BY docno""".stripMargin),
+    // percentile replay: cumulative counts over distinct lengths, the
+    // same integer ceiling-rank rule ((p*n + 99) // 100 — no floating
+    // ceil on either engine)
+    "q_percentiles" -> withCtes(
+      """,
+        |dl0 AS (SELECT c.docno, coalesce(t.dl, 0) AS dl
+        |        FROM corpus c
+        |        LEFT JOIN (SELECT docno, count(*) AS dl FROM tok GROUP BY docno) t
+        |          USING (docno)),
+        |dlc AS (SELECT dl AS v, count(*) AS c FROM dl0 GROUP BY dl),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM dlc),
+        |nn AS (SELECT count(*) AS n FROM dl0),
+        |ps(pct) AS (VALUES (25), (50), (75), (90), (99))
+        |SELECT p.pct::BIGINT AS pct, min(u.v)::BIGINT AS dl
+        |FROM ps p CROSS JOIN nn
+        |JOIN cum u ON u.cum >= (p.pct * nn.n + 99) // 100
+        |GROUP BY p.pct
+        |ORDER BY pct""".stripMargin),
     // Resume drill over the fixed 200-doc slice: per-stage lineage rows_out
     // recomputed independently (docs, |vocab|, the ntile-packed merged-run
     // count — same replay as q_postings_meta on the slice), and `reused`
@@ -2682,6 +2718,27 @@ object SparkEntry {
          |  FROM fscored)
          |SELECT qid, docno, rank FROM branked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin,
+    // LTR-feature replay: the explain join aggregated per (query, hit),
+    // plus the query's distinct-term count — all integer columns
+    "q_ltr_features" -> withCtes(
+      s"""$Bm25RankedCtes,
+         |hits AS (SELECT qid, docno FROM ranked WHERE rank < $ExplainK),
+         |qsize AS (SELECT qid, count(DISTINCT term) AS nterms FROM topics GROUP BY qid)
+         |SELECT h.qid, h.docno,
+         |       count(*)::BIGINT AS n_matched,
+         |       sum(f.tf)::BIGINT AS sum_tf,
+         |       max(f.tf)::BIGINT AS max_tf,
+         |       max(d.dl)::BIGINT AS dl,
+         |       min(v.df)::BIGINT AS min_df,
+         |       max(z.nterms)::BIGINT AS nterms
+         |FROM hits h
+         |JOIN qterm q ON q.qid = h.qid
+         |JOIN tf f ON f.docno = h.docno AND f.term = q.term
+         |JOIN dl d ON d.docno = h.docno
+         |JOIN df v ON v.term = q.term
+         |JOIN qsize z ON z.qid = h.qid
+         |GROUP BY h.qid, h.docno
+         |ORDER BY h.qid, h.docno""".stripMargin),
     // explain replay: the BM25 oracle's top-5 hits joined back to the
     // integer tf/dl/df tables, one row per (query, hit, matching term)
     "q_explain" -> withCtes(

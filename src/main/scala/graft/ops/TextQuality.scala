@@ -133,6 +133,51 @@ object TextQuality {
       size(regexp_extract_all(lower(col("content")), lit("[0-9]+"), lit(0)))
         .cast("long").as("n_digit_runs"))
 
+  /** EXACT discrete percentiles of a bounded-domain Long column — the
+    * token-count distribution report a training-data pipeline publishes
+    * (and the partition-sizing input: p99 doc length drives
+    * maxPartitionBytes/seq-pack choices). percentile_disc semantics with
+    * integer-exact rank arithmetic: for percent p (an INTEGER 1..100),
+    * the smallest value whose cumulative count ≥ ⌈p·n/100⌉ — no floating
+    * ceil, so a replay in any engine lands on the same row (0.9·n in
+    * binary floating point can fall either side of the integer).
+    *
+    * Scale shape: ONE count-by-value aggregation shuffle (map-side
+    * partial), then a driver-side cumulative walk over the DISTINCT
+    * values — correct for bounded domains (doc lengths, quality scores,
+    * year buckets: distinct values ≤ ~10⁶ regardless of row count; at
+    * 10¹² docs the distinct-dl set is still ≤ max doc length). NOT for
+    * unbounded/continuous domains — that wants iterative rank selection,
+    * which no gate column needs.
+    */
+  def exactPercentiles(values: DataFrame, valueCol: String,
+                       pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percents must be integers in 1..100, got $pcts")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val counts: Array[(Long, Long)] = values
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("v").as[(Long, Long)].collect()
+    val n = counts.iterator.map(_._2).sum
+    require(n > 0, "exactPercentiles over an empty input")
+    val rows = pcts.sorted.map { p =>
+      val rank = (p.toLong * n + 99L) / 100L // ⌈p·n/100⌉, integer-exact
+      var cum = 0L
+      var picked = counts.last._1
+      val it = counts.iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val (v, c) = it.next()
+        cum += c
+        if (cum >= rank) { picked = v; found = true }
+      }
+      (p.toLong, picked)
+    }
+    rows.toDF("pct", valueCol)
+  }
+
   /** Default marker profiles for [[langMarkers]]/[[classifyLang]] — a
     * real n-gram model slots into the same shape.
     */

@@ -195,6 +195,35 @@ final class Searcher(val index: BuiltIndex) {
         col("tf"), col("dl"), col("df"))
   }
 
+  /** Learning-to-rank feature extraction — the training-data surface a
+    * ranking pipeline builds over a search engine (the reference's
+    * namesake): for each topic's top-`k` documents, one row of
+    * integer-exact ranking features aggregated from the matching terms'
+    * scoring components ([[explainStats]]): match count, tf sum/max, doc
+    * length, rarest-matched-term df, and the query's distinct-term count.
+    * Integer-only so the extracted feature table replays exactly in any
+    * engine (floats like the BM25 score itself are one saturation away
+    * from these components). Same bounded shape as explainStats: ≤
+    * k×|topics| driver-held hits, postings decode pruned to query terms.
+    */
+  def ltrFeatures(topics: Seq[Topic], k: Int = 5,
+                  scorerName: String = "bm25"): DataFrame = {
+    val nterms = topics.map(t =>
+      (t.qid, analyzer.analyze(t.text).distinct.length.toLong))
+    val ntDf = {
+      import spark.implicits._
+      nterms.toDF("qid", "nterms")
+    }
+    explainStats(topics, k, scorerName)
+      .groupBy(col("qid"), col("docno"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum("tf").as("sum_tf"), max("tf").as("max_tf"),
+        max("dl").as("dl"), min("df").as("min_df"))
+      .join(broadcast(ntDf), Seq("qid"))
+      .select(col("qid"), col("docno"), col("n_matched"), col("sum_tf"),
+        col("max_tf"), col("dl"), col("min_df"), col("nterms"))
+  }
+
   /** Scored (qid, docid, score) stream for a topic batch — one SHOULD
     * clause per analyzed token like [[search]], but WITHOUT the top-k
     * collector: the per-field input [[MultiField.mostFields]] combines.

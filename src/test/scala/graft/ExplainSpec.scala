@@ -40,4 +40,17 @@ class ExplainSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSet
     assert(one.size == 1) // a single explained doc, whichever ranks first
   }
+
+  test("ltrFeatures aggregates the components into integer feature rows") {
+    val rows = searcher.ltrFeatures(Seq(Topic("1", "hash join")), k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // e-1: matches hash(tf 2, df 2) + join(tf 1, df 1), dl 3, nterms 2
+    assert(rows(("1", "e-1")) == ((2L, 3L, 2L, 3L, 1L, 2L)))
+    // e-2: matches only hash(tf 1, df 2), dl 4
+    assert(rows(("1", "e-2")) == ((1L, 1L, 1L, 4L, 2L, 2L)))
+    assert(!rows.contains(("1", "e-3")))
+  }
 }

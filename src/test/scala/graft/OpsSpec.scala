@@ -385,4 +385,27 @@ class OpsSpec extends AnyFunSuite {
     assert(rows("x1")._3 == 7)
     assert(rows("x2") == ((0L, 0L, 0L, 0L)))
   }
+
+  test("exactPercentiles: integer ceiling-rank rule, float-ceil hazard case") {
+    import spark.implicits._
+    // n=10 values 1..10: p=90 → rank ⌈900/100⌉=9 → value 9. A double
+    // ceil(0.9*10)=ceil(9.000000000000002)=10 would pick 10 instead.
+    val ten = (1 to 10).map(v => ("d" + v, v.toLong)).toDF("docno", "dl")
+    val got = TextQuality.exactPercentiles(ten, "dl", Seq(1, 25, 50, 90, 100))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 25L -> 3L, 50L -> 5L, 90L -> 9L, 100L -> 10L))
+    // ties: value domain smaller than n — cumulative counts decide
+    val tied = Seq(0L, 0L, 0L, 7L, 7L, 9L).zipWithIndex
+      .map { case (v, i) => ("t" + i, v) }.toDF("docno", "dl")
+    val g2 = TextQuality.exactPercentiles(tied, "dl", Seq(50, 75, 100))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(50L -> 0L, 75L -> 7L, 100L -> 9L))
+    // loud on bad percents and empty input
+    intercept[IllegalArgumentException] {
+      TextQuality.exactPercentiles(ten, "dl", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      TextQuality.exactPercentiles(ten.where(col("dl") < 0), "dl", Seq(50))
+    }
+  }
 }
