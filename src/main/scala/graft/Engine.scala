@@ -105,6 +105,18 @@ object Engine {
       IndexConfig(analyzer = CodeAnalyzer,
         rangePartitions = OracleRangePartitions), "code")
 
+  /** Trigram substring index ([[graft.index.TrigramIndex]], Zoekt-style)
+    * over the raw corpus content — built once per corpus under the work
+    * dir, resumed from its checkpoint manifest afterwards like every
+    * other index surface.
+    */
+  private val trigramCache = TrieMap[String, org.apache.spark.sql.DataFrame]()
+
+  def trigramIndex(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
+    trigramCache.getOrElseUpdate(sfDir,
+      graft.index.TrigramIndex.build(Corpus.fromDocuments(spark, sfDir),
+        s"$workDir/trigram_${safeSf(sfDir)}"))
+
   /** The PATH field indexed as its own field index (code-tokenized path
     * segments), for multi-field retrieval: same corpus + same range
     * fan-out as [[codeIndex]], so the deterministic docid packing (a

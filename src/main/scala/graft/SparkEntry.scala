@@ -64,6 +64,25 @@ object SparkEntry {
   // Cluster-balanced sampling salt (q_cluster_sample).
   val ClusterSampleSalt = "cs1"
 
+  /** Literal substring needles for the trigram-index gate entries: each
+    * crosses a token boundary (or starts mid-word, s3), so the TERM index
+    * cannot serve it — only the trigram candidate path can. Exact bytes,
+    * no analysis.
+    */
+  val SubstringNeedles: Seq[(String, String)] = Seq(
+    ("s1", "merge slow"),
+    ("s2", "batch batch"),
+    ("s3", "w qu"),
+    ("s4", "table scan"))
+
+  /** minimumNumberShouldMatch for the msm gate entry: ≥2 of each topic's
+    * (up to 3 indexed) terms must match.
+    */
+  val MsmMin = 2
+
+  private lazy val SubstringNeedlesSql: String =
+    SubstringNeedles.map { case (q, n) => s"('$q','$n')" }.mkString(", ")
+
   // Query-time synonym groups per topic (vocabulary words, so the math —
   // not the linguistics — is under test). Topic 4's group carries an
   // unindexed member that the clause must silently drop from the blend.
@@ -1361,6 +1380,32 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // trigram substring index (Zoekt / Google-Code-Search design): gram
+    // document frequencies straight off the persisted (bucket, gram,
+    // docno) table — the index-certifying surface, replayed by the oracle
+    // as a distinct-per-doc sliding-window unnest over raw content
+    "q_trigram_df" -> ((s, dir) =>
+      graft.index.TrigramIndex.gramDf(Engine.trigramIndex(s, dir))),
+    // literal substring top-k THROUGH the trigram index: candidates =
+    // docs posting every distinct trigram of the needle (bucket-pruned,
+    // gram-pushed lookup), verified + occurrence-counted on content with
+    // non-overlapping replace semantics — the grep-style query a term
+    // index cannot serve ("merge slow" crosses a token boundary); the
+    // oracle is the semantic truth, a full contains() scan
+    "q_substring_topk" -> ((s, dir) =>
+      graft.index.TrigramIndex.substringTopK(
+          corpus.Corpus.fromDocuments(s, dir), Engine.trigramIndex(s, dir),
+          SubstringNeedles, TopK)
+        .orderBy("qid", "rank")),
+    // minimumNumberShouldMatch (≙ BooleanQuery.setMinimumNumberShouldMatch
+    // — Elasticsearch's minimum_should_match): OR retrieval that keeps
+    // only docs matching ≥2 distinct query clauses; scores stay the plain
+    // BM25 sum over the matched clauses, ranks close up
+    "q_msm_topk" -> ((s, dir) => {
+      Engine.searcher(s, dir).search(topics, TopK, minShouldMatch = MsmMin)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // retrieval-effectiveness metrics — the trec_eval step downstream of
     // the run-file sink (the reference writes its run lines FOR trec_eval,
     // BatchSearch.java:305-307): per-topic num_ret/num_rel/num_rel_ret,
@@ -2055,7 +2100,8 @@ object SparkEntry {
     * (q_delete_topk): Lucene skips tombstoned docs at decode time but
     * scores with pre-delete statistics until a merge purges them.
     */
-  private def bm25RankedCtes(candidateWhere: String = ""): String =
+  private def bm25RankedCtes(candidateWhere: String = "",
+                             having: String = ""): String =
     s""",
        |$TopicsCte,
        |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
@@ -2076,6 +2122,7 @@ object SparkEntry {
        |  CROSS JOIN st
        |  $candidateWhere
        |  GROUP BY q.qid, f.docno
+       |  $having
        |),
        |ranked AS (
        |  SELECT qid, docno,
@@ -3460,6 +3507,43 @@ object SparkEntry {
          |SELECT m.qid, c.lang AS ckey, count(*)::BIGINT AS n_docs
          |FROM m JOIN corpus c USING (docno)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // trigram-index replay: the semantic truth of the gram table is "the
+    // distinct character 3-grams of every doc's content" — a sliding
+    // window unnest, deduped per doc, counted per gram
+    "q_trigram_df" -> withCtes(
+      """,
+        |grams AS (
+        |  SELECT DISTINCT docno, substring(content, CAST(i AS INTEGER), 3) AS gram
+        |  FROM corpus, unnest(range(1, length(content) - 1)) AS t(i)
+        |)
+        |SELECT gram, count(*)::BIGINT AS ndocs
+        |FROM grams GROUP BY gram ORDER BY gram""".stripMargin),
+    // substring replay: the oracle IS the un-indexed semantic truth — a
+    // full contains() scan with the same non-overlapping replace-count
+    // the engine applies to its trigram-pruned candidates
+    "q_substring_topk" -> withCtes(
+      s""",
+         |needles(qid, needle) AS (VALUES $SubstringNeedlesSql),
+         |hit AS (
+         |  SELECT n.qid, c.docno,
+         |         CAST((length(c.content) - length(replace(c.content, n.needle, '')))
+         |              / length(n.needle) AS BIGINT) AS hits
+         |  FROM needles n JOIN corpus c ON contains(c.content, n.needle)
+         |),
+         |ranked AS (
+         |  SELECT qid, docno, hits,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY hits DESC, docno ASC) - 1) AS rank
+         |  FROM hit
+         |)
+         |SELECT qid, docno, hits, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // msm replay: the shared BM25 ranking restricted to (qid, doc) groups
+    // matching ≥ MsmMin clauses — sum(q.w) is the matched-clause count
+    // (w = clauses per term), exactly the engine's distinct-qidx gate
+    "q_msm_topk" -> withCtes(
+      s"""${bm25RankedCtes(having = s"HAVING sum(q.w) >= $MsmMin")}
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
     // regex replay: expansion docs = any term regexp_full_match'ing the
     // pattern (DuckDB RE2 full-match ≡ the engine's anchored Java rlike on
     // the shared dialect), constant 1.0 per clause per doc; topic 1 sums

@@ -130,7 +130,8 @@ final class Searcher(val index: BuiltIndex) {
 
   def search(topics: Seq[Topic], k: Int = 1000,
              scorerName: String = "bm25",
-             pruning: Boolean = false): Dataset[RunLine] = {
+             pruning: Boolean = false,
+             minShouldMatch: Int = 0): Dataset[RunLine] = {
     requireDistinctQids(topics)
     // ≙ SimpleQueryParser over analyzed text: one SHOULD clause per token
     // occurrence, in token order (`BatchSearch.java:189-190,252`).
@@ -139,7 +140,8 @@ final class Searcher(val index: BuiltIndex) {
         WeightedClause(t.qid, i, term, 1.0f)
       }
     }
-    searchClauses(clauses, k, scorerName, pruning = pruning)
+    searchClauses(clauses, k, scorerName, pruning = pruning,
+      minShouldMatch = minShouldMatch)
   }
 
   /** Per-hit scoring breakdown (≙ IndexSearcher.explain, the debugging
@@ -734,12 +736,13 @@ final class Searcher(val index: BuiltIndex) {
                     synonymClauses: Seq[SynonymClause] = Nil,
                     trees: Map[String, BoolQuery.TreeSpec] = Map.empty,
                     collapseKeys: Option[DataFrame] = None,
-                    filterDocids: Option[DataFrame] = None)
+                    filterDocids: Option[DataFrame] = None,
+                    minShouldMatch: Int = 0)
       : Dataset[RunLine] =
     collectTopK(
       scoredClauses(clauses, k, scorerName, excludeDocnos, pruning, mode,
         negTerms, phraseClauses, expansionClauses, blendedClauses,
-        synonymClauses, trees, collapseKeys, filterDocids),
+        synonymClauses, trees, collapseKeys, filterDocids, minShouldMatch),
       k, Scorer.byName(scorerName).name)
 
   /** The full scored candidate stream (qid, docid, score) BEFORE the top-k
@@ -759,10 +762,19 @@ final class Searcher(val index: BuiltIndex) {
                     synonymClauses: Seq[SynonymClause] = Nil,
                     trees: Map[String, BoolQuery.TreeSpec] = Map.empty,
                     collapseKeys: Option[DataFrame] = None,
-                    filterDocids: Option[DataFrame] = None)
+                    filterDocids: Option[DataFrame] = None,
+                    minShouldMatch: Int = 0)
       : Dataset[(String, Long, Float)] = {
     import spark.implicits._
     val scorer = Scorer.byName(scorerName)
+    // minimumNumberShouldMatch (≙ BooleanQuery.setMinimumNumberShouldMatch):
+    // flat-OR only — a tree carries its own occurs, AND already requires
+    // all, and WAND's seed θ is computed over the UNfiltered stream, so a
+    // doc the msm gate later removes could have seeded a θ that overshoots
+    // the true (post-gate) kth score — pruning would be unsound.
+    require(minShouldMatch == 0 ||
+        (mode == "or" && trees.isEmpty && !pruning),
+      "minShouldMatch requires flat OR mode without trees or pruning")
     if (clauses.isEmpty && phraseClauses.isEmpty && expansionClauses.isEmpty &&
         blendedClauses.isEmpty && synonymClauses.isEmpty && trees.isEmpty)
       return spark.emptyDataset[(String, Long, Float)]
@@ -1226,6 +1238,7 @@ final class Searcher(val index: BuiltIndex) {
     val excluded = excludedByQid
     val maxOv = maxOverlap
     val requireAll = conjunctive
+    val msm = minShouldMatch
     val scorerB = scorer
     val treeEval: Map[String, BoolQuery.EvalNode] =
       trees.map { case (qid, ts) =>
@@ -1269,8 +1282,13 @@ final class Searcher(val index: BuiltIndex) {
         .mapGroups[(String, Long, Float)] {
           (key: (String, Long), it: Iterator[(String, Long, Int, Float)]) =>
           val arr = it.toArray.sortBy(_._3)
-          if (requireAll &&
-              arr.iterator.map(_._3).toSet.size < maxOv.getOrElse(key._1, 0)) {
+          // distinct matched clauses: AND needs all of them, msm needs at
+          // least `msm` of them (score stays the plain sum over matches —
+          // bm25's coord is 1, like Lucene's BooleanWeight without coord)
+          val nMatched = arr.iterator.map(_._3).toSet.size
+          val needed =
+            if (requireAll) maxOv.getOrElse(key._1, 0) else msm
+          if (nMatched < needed) {
             (key._1, key._2, Float.NaN) // dropped below
           } else {
             var s = 0.0f
