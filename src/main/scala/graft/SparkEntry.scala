@@ -83,6 +83,18 @@ object SparkEntry {
   private lazy val SubstringNeedlesSql: String =
     SubstringNeedles.map { case (q, n) => s"('$q','$n')" }.mkString(", ")
 
+  /** Restricted-regex patterns for the trigram grep gate entry (the Cox
+    * plan's supported grammar: literals + non-nested alternation). Each
+    * expands to 2-4 literal branches crossing token boundaries.
+    */
+  val GrepPatterns: Seq[(String, String)] = Seq(
+    ("g1", "merge (slow|fast)"),
+    ("g2", "(dup|slow) (customer|query)"),
+    ("g3", "batch (batch|stream)"))
+
+  private lazy val GrepPatternsSql: String =
+    GrepPatterns.map { case (q, p) => s"('$q','$p')" }.mkString(", ")
+
   // Query-time synonym groups per topic (vocabulary words, so the math —
   // not the linguistics — is under test). Topic 4's group carries an
   // unindexed member that the clause must silently drop from the blend.
@@ -1396,6 +1408,17 @@ object SparkEntry {
       graft.index.TrigramIndex.substringTopK(
           corpus.Corpus.fromDocuments(s, dir), Engine.trigramIndex(s, dir),
           SubstringNeedles, TopK)
+        .orderBy("qid", "rank")),
+    // regex grep THROUGH the trigram index (the full Cox plan for the
+    // supported grammar): each pattern expands to literal branches, a doc
+    // is a candidate iff it posts every trigram of ≥1 branch (OR of
+    // AND-gram intersections in one grouped pass), and candidates are
+    // verified with a leftmost-first non-overlapping scan — exactly the
+    // oracle's RE2 regexp_extract_all count over a full scan
+    "q_grep_topk" -> ((s, dir) =>
+      graft.index.TrigramIndex.regexTopK(
+          corpus.Corpus.fromDocuments(s, dir), Engine.trigramIndex(s, dir),
+          GrepPatterns, TopK)
         .orderBy("qid", "rank")),
     // minimumNumberShouldMatch (≙ BooleanQuery.setMinimumNumberShouldMatch
     // — Elasticsearch's minimum_should_match): OR retrieval that keeps
@@ -3534,6 +3557,24 @@ object SparkEntry {
          |  SELECT qid, docno, hits,
          |         (row_number() OVER (PARTITION BY qid ORDER BY hits DESC, docno ASC) - 1) AS rank
          |  FROM hit
+         |)
+         |SELECT qid, docno, hits, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // grep replay: RE2 leftmost-first non-overlapping match count over a
+    // full scan — the engine's branch-expanded scan implements the same
+    // alternation preference (earliest position, then pattern order)
+    "q_grep_topk" -> withCtes(
+      s""",
+         |patterns(qid, pat) AS (VALUES $GrepPatternsSql),
+         |hit AS (
+         |  SELECT p.qid, c.docno,
+         |         CAST(len(regexp_extract_all(c.content, p.pat)) AS BIGINT) AS hits
+         |  FROM patterns p CROSS JOIN corpus c
+         |),
+         |ranked AS (
+         |  SELECT qid, docno, hits,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY hits DESC, docno ASC) - 1) AS rank
+         |  FROM hit WHERE hits > 0
          |)
          |SELECT qid, docno, hits, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),

@@ -156,4 +156,128 @@ object TrigramIndex {
       .where(col("rank") < k)
       .select(col("qid"), col("docno"), col("hits"), col("rank").cast("long").as("rank"))
   }
+
+  /** Expand a restricted regex — literal text with non-nested `(a|b|c)`
+    * alternation groups — into its full set of literal strings, pattern
+    * order (left group varies slowest, like RE2's alternation preference
+    * order at each position). The grammar is exactly the fragment the
+    * trigram query planner can serve losslessly (Cox §"Regular Expression
+    * Matching with a Trigram Index": alternation → OR of the branches'
+    * AND-gram queries); stars/classes would need gram-query weakening,
+    * which this engine refuses rather than approximates.
+    */
+  def expandAlternation(pattern: String, maxLiterals: Int = 64): Seq[String] = {
+    var parts = List("")
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '(' =>
+          val close = pattern.indexOf(')', i)
+          require(close > i, s"unclosed group in pattern: $pattern")
+          val branches = pattern.substring(i + 1, close).split("\\|", -1).toSeq
+          require(branches.forall(b => !b.contains("(")),
+            s"nested groups unsupported: $pattern")
+          parts = parts.flatMap(p => branches.map(p + _))
+          require(parts.size <= maxLiterals,
+            s"alternation expands past $maxLiterals literals: $pattern")
+          i = close + 1
+        case '|' | ')' =>
+          throw new IllegalArgumentException(s"stray '${pattern.charAt(i)}' in: $pattern")
+        case c =>
+          parts = parts.map(_ + c)
+          i += 1
+      }
+    }
+    parts
+  }
+
+  /** Count the leftmost-first non-overlapping matches of an ordered
+    * literal alternation in `content` — at each scan position the
+    * earliest-starting match wins, ties broken by pattern order, and the
+    * scan resumes after the match (exactly RE2/Java alternation-of-
+    * literals semantics, and DuckDB's `regexp_extract_all` count).
+    */
+  def alternationHits(content: String, literals: Array[String]): Long = {
+    var from = 0
+    var hits = 0L
+    while (from <= content.length) {
+      var best = -1
+      var bestLit: String = null
+      var j = 0
+      while (j < literals.length) {
+        val p = content.indexOf(literals(j), from)
+        if (p >= 0 && (best < 0 || p < best)) { best = p; bestLit = literals(j) }
+        j += 1
+      }
+      if (best < 0) return hits
+      hits += 1
+      from = best + bestLit.length
+    }
+    hits
+  }
+
+  /** Regex top-k through the trigram index — the full Cox plan for the
+    * supported grammar: each pattern expands to literal branches
+    * ([[expandAlternation]]), a doc is a candidate iff it posts every
+    * trigram of AT LEAST ONE branch (OR over branches of AND-gram
+    * intersections, evaluated in one grouped pass over the needle grams'
+    * bucket-pruned postings), and candidates are verified + counted with
+    * [[alternationHits]]. Rank: hits desc, docno asc, 0-based.
+    */
+  def regexTopK(corpus: DataFrame, gramTable: DataFrame,
+                patterns: Seq[(String, String)], k: Int): DataFrame = {
+    require(patterns.nonEmpty, "regexTopK needs at least one pattern")
+    require(patterns.map(_._1).distinct.size == patterns.size,
+      "duplicate qids in one regex batch")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // (qid, branch index, literal) — every branch must carry a trigram
+    val branches: Seq[(String, Int, String)] = patterns.flatMap { case (qid, p) =>
+      val ls = expandAlternation(p)
+      ls.foreach(l => require(l.length >= 3,
+        s"branch '$l' of qid=$qid is shorter than a trigram"))
+      ls.zipWithIndex.map { case (l, bi) => (qid, bi, l) }
+    }
+    val litsByQid: Map[String, Array[String]] =
+      branches.groupBy(_._1).map { case (q, bs) =>
+        q -> bs.sortBy(_._2).map(_._3).toArray
+      }
+    val bgrams = branches.flatMap { case (qid, bi, l) =>
+      grams(l).map(g => (qid, bi, g))
+    }
+    val needs = branches.map { case (qid, bi, l) => (qid, bi, grams(l).length) }
+      .toDF("qid", "branch", "need")
+    val allGrams = bgrams.map(_._3).distinct
+    val buckets = allGrams.map(IndexLayout.bucketOf(_, Buckets)).distinct
+
+    // one grouped pass: docs × matched (qid, branch) gram counts; a doc
+    // is a candidate for qid iff some branch reaches its full gram count
+    val cands = gramTable
+      .where(col("bucket").isin(buckets: _*) && col("gram").isin(allGrams: _*))
+      .join(broadcast(bgrams.toDF("qid", "branch", "gram")), Seq("gram"))
+      .groupBy("qid", "branch", "docno").agg(count(lit(1)).as("ng"))
+      .join(broadcast(needs), Seq("qid", "branch"))
+      .where(col("ng") === col("need"))
+      .select("qid", "docno").distinct()
+
+    val litsBc = spark.sparkContext.broadcast(litsByQid)
+    val verified = cands
+      .join(corpus.select("docno", "content"), Seq("docno"))
+      .select("qid", "docno", "content").as[(String, String, String)]
+      .map { case (qid, docno, content) =>
+        (qid, docno, alternationHits(content, litsBc.value(qid)))
+      }
+      .toDF("qid", "docno", "hits")
+      .where(col("hits") > 0)
+
+    verified
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("qid")
+          .orderBy(desc("hits"), asc("docno"))) - 1)
+      .where(col("rank") < k)
+      .select(col("qid"), col("docno"), col("hits").cast("long").as("hits"),
+        col("rank").cast("long").as("rank"))
+  }
 }

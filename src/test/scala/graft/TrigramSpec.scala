@@ -81,6 +81,50 @@ class TrigramSpec extends AnyFunSuite {
     assert(needleGrams.subsetOf(TrigramIndex.grams("abc bc c de def").toSet))
   }
 
+  test("expandAlternation: literal branches in pattern order") {
+    assert(TrigramIndex.expandAlternation("abc").toSeq == Seq("abc"))
+    assert(TrigramIndex.expandAlternation("a(b|c)d").toSeq == Seq("abd", "acd"))
+    assert(TrigramIndex.expandAlternation("(a|b) (c|d)").toSeq ==
+      Seq("a c", "a d", "b c", "b d"))
+    intercept[IllegalArgumentException] {
+      TrigramIndex.expandAlternation("a(b|(c|d))")
+    }
+    intercept[IllegalArgumentException] {
+      TrigramIndex.expandAlternation("a|b)")
+    }
+  }
+
+  test("alternationHits: leftmost-first non-overlapping (RE2 semantics)") {
+    // at a tied position the FIRST branch wins, scan resumes after it —
+    // the probes DuckDB RE2 answered: 'ababc' ~ (ab|abc) -> 2 matches
+    assert(TrigramIndex.alternationHits("ababc", Array("ab", "abc")) == 2L)
+    assert(TrigramIndex.alternationHits("abcabc", Array("abc", "ab")) == 2L)
+    assert(TrigramIndex.alternationHits("xxabcxx", Array("abc")) == 1L)
+    assert(TrigramIndex.alternationHits("", Array("abc")) == 0L)
+    assert(TrigramIndex.alternationHits("aaaa", Array("aa")) == 2L)
+  }
+
+  test("regexTopK: OR-of-branches candidates + verify ≡ brute scan") {
+    import spark.implicits._
+    val (gt, _) = builtTable()
+    val patterns = Seq(("g1", "abc (def|ghi)"), ("g2", "(abc|def)"))
+    val got = TrigramIndex.regexTopK(
+        corpus.toDF("docno", "content"), gt, patterns, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    val brute = patterns.flatMap { case (qid, p) =>
+      val lits = TrigramIndex.expandAlternation(p).toArray
+      corpus.map { case (d, c) => (qid, d, TrigramIndex.alternationHits(c, lits)) }
+        .filter(_._3 > 0)
+        .sortBy { case (_, d, h) => (-h, d) }
+        .zipWithIndex.map { case ((q, d, h), r) => (q, d, h, r.toLong) }
+    }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq == brute)
+    // d-02 posts all grams of both g1 branches but contains neither
+    // contiguously — a candidate that must die in verification
+    assert(!got.exists(t => t._1 == "g1" && t._2 == "d-02"))
+  }
+
   test("fuzz: random corpora and needles match the brute scan") {
     import spark.implicits._
     val rnd = new Random(41)
