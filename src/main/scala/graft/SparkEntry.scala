@@ -1005,6 +1005,27 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // MultiPhraseQuery (≙ Elasticsearch match_phrase_prefix): a phrase
+    // slot holding SEVERAL terms matches the union of their positions —
+    // p1/p3 prefix-expand the last slot from the pruned vocabulary, p2
+    // puts the alternatives in the FIRST slot; freq is exact-adjacency
+    // over the union lists, weight accumulates every slot term's idf
+    "q_phrase_prefix_topk" -> ((s, dir) => {
+      val sr = Engine.searcher(s, dir)
+      def pp(qid: String, first: String, prefix: String) = {
+        val exp = sr.expandPrefix(prefix).sorted
+        graft.search.PhraseClause(qid, 0,
+          (first, 0) +: exp.map(e => (e, 1)), 1.0f, 0)
+      }
+      val pcs = Seq(
+        pp("p1", "table", "s"),
+        graft.search.PhraseClause("p2", 0,
+          Seq(("fast", 0), ("slow", 0), ("query", 1)), 1.0f, 0),
+        pp("p3", "dup", "cu"))
+      sr.searchClauses(Nil, TopK, phraseClauses = pcs)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // production-shaped MinHash dedup: bucket cap ON (cap=2 is deliberately
     // tiny so the drop path actually fires at test scale; the 100 TB default
     // is 1000 — see ops.Dedup.minHashCandidates)
@@ -3559,6 +3580,68 @@ object SparkEntry {
          |  FROM hit
          |)
          |SELECT qid, docno, hits, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // multi-phrase replay: union-slot adjacency = "first term at p, ANY
+    // slot member at p+1" (raw positions, stop gaps preserved); the
+    // accumulated weight folds EVERY slot term's idf from 1.0 — prefix
+    // slots sum the whole LIKE band of the vocabulary (= the engine's
+    // sorted expandPrefix set)
+    "q_phrase_prefix_topk" -> withCtes(
+      s""",
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |rawt AS (SELECT docno,
+         |         list_filter(string_split_regex(lower(content), '\\s+'),
+         |                     x -> x <> '') AS l FROM corpus),
+         |rawpos AS (SELECT docno, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |           FROM rawt),
+         |widf AS (SELECT d.term,
+         |                ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) / ln(2.0) AS w
+         |         FROM df d CROSS JOIN st),
+         |php1 AS (SELECT a.docno, count(*) AS freq
+         |         FROM rawpos a JOIN rawpos b
+         |           ON b.docno = a.docno AND b.pos = a.pos + 1
+         |         WHERE a.term = 'table' AND b.term LIKE 's%' GROUP BY a.docno),
+         |php2 AS (SELECT a.docno, count(*) AS freq
+         |         FROM rawpos a JOIN rawpos b
+         |           ON b.docno = a.docno AND b.pos = a.pos + 1
+         |         WHERE a.term IN ('fast', 'slow') AND b.term = 'query'
+         |         GROUP BY a.docno),
+         |php3 AS (SELECT a.docno, count(*) AS freq
+         |         FROM rawpos a JOIN rawpos b
+         |           ON b.docno = a.docno AND b.pos = a.pos + 1
+         |         WHERE a.term = 'dup' AND b.term LIKE 'cu%' GROUP BY a.docno),
+         |scored AS (
+         |  SELECT 'p1' AS qid, p.docno,
+         |         ((1.2 + 1.0) * p.freq)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + p.freq)
+         |         * (1.0 + (SELECT w FROM widf WHERE term = 'table')
+         |                + (SELECT sum(w) FROM widf WHERE term LIKE 's%')) AS score
+         |  FROM php1 p JOIN dl d USING (docno) CROSS JOIN st
+         |  UNION ALL
+         |  SELECT 'p2' AS qid, p.docno,
+         |         ((1.2 + 1.0) * p.freq)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + p.freq)
+         |         * (1.0 + (SELECT w FROM widf WHERE term = 'fast')
+         |                + (SELECT w FROM widf WHERE term = 'slow')
+         |                + (SELECT w FROM widf WHERE term = 'query')) AS score
+         |  FROM php2 p JOIN dl d USING (docno) CROSS JOIN st
+         |  UNION ALL
+         |  SELECT 'p3' AS qid, p.docno,
+         |         ((1.2 + 1.0) * p.freq)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + p.freq)
+         |         * (1.0 + (SELECT w FROM widf WHERE term = 'dup')
+         |                + (SELECT sum(w) FROM widf WHERE term LIKE 'cu%')) AS score
+         |  FROM php3 p JOIN dl d USING (docno) CROSS JOIN st
+         |),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scored)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
     // grep replay: RE2 leftmost-first non-overlapping match count over a
     // full scan — the engine's branch-expanded scan implements the same

@@ -780,6 +780,13 @@ final class Searcher(val index: BuiltIndex) {
       return spark.emptyDataset[(String, Long, Float)]
     require(phraseClauses.isEmpty || index.cfg.indexPositions,
       "phrase clauses need a positions-enabled index (IndexConfig.indexPositions)")
+    // MultiPhraseQuery union slots (several terms sharing one offset —
+    // match_phrase_prefix's expanded last slot): exact matching unions the
+    // slot's position lists; the sloppy event walk pins repeats by TERM
+    // identity per slot, which a union slot has no single answer for.
+    require(phraseClauses.forall(pc =>
+        pc.slop == 0 || pc.terms.map(_._2).distinct.size == pc.terms.size),
+      "slot alternatives (MultiPhraseQuery union slots) require slop == 0")
     require(trees.isEmpty || (mode == "or" && negTerms.isEmpty),
       "tree evaluation carries its own boolean structure: use mode=or and no negTerms")
     require(collapseKeys.isEmpty || !pruning,
@@ -1037,10 +1044,15 @@ final class Searcher(val index: BuiltIndex) {
       if (livePhrases.isEmpty) spark.emptyDataset[(String, Long, Int, Float)]
       else {
         val phArr = livePhrases.toArray
+        // slot = DISTINCT offset (ascending): several terms sharing an
+        // offset form one union slot (≙ MultiPhraseQuery.add(Term[], pos));
+        // with unique offsets this degenerates to the plain phrase layout
         val termSlots: Map[String, Array[(Int, Int)]] =
           phArr.zipWithIndex.toSeq.flatMap { case (pc, pi) =>
-            pc.terms.zipWithIndex.map { case ((term, _), si) => (term, pi, si) }
-          }.groupBy(_._1).map { case (t, xs) => t -> xs.map(x => (x._2, x._3)).toArray }
+            val offsU = pc.terms.map(_._2).distinct.sorted
+            pc.terms.map { case (term, off) => (term, pi, offsU.indexOf(off)) }
+          }.distinct
+            .groupBy(_._1).map { case (t, xs) => t -> xs.map(x => (x._2, x._3)).toArray }
         val pTerms = termSlots.keys.toSeq
         val pBuckets = pTerms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
         val pPosts = index.postings
@@ -1062,18 +1074,19 @@ final class Searcher(val index: BuiltIndex) {
           .flatMapGroups[(String, Long, Int, Float)] {
             (key: (Int, Long), it: Iterator[(Int, Long, Int, Array[Int], Int)]) =>
             val pc = phArr(key._1)
-            val nSlots = pc.terms.length
+            val offsU = pc.terms.map(_._2).distinct.sorted
+            val nSlots = offsU.length
             val posBySlot = new Array[Array[Int]](nSlots)
             var dl = 0
             var matched = 0
             it.foreach { r =>
-              if (posBySlot(r._3) == null) matched += 1
-              posBySlot(r._3) = r._4
+              if (posBySlot(r._3) == null) { matched += 1; posBySlot(r._3) = r._4 }
+              else posBySlot(r._3) = Searcher.mergeSorted(posBySlot(r._3), r._4)
               dl = r._5
             }
             if (matched < nSlots) Iterator.empty
             else {
-              val offs = pc.terms.map(_._2).toArray
+              val offs = offsU.toArray
               val slop = pc.slop
               // slop 0 (ExactPhraseScorer analog): freq = integer count of
               // full-phrase starts, anchored on the sparsest slot (the
@@ -1084,7 +1097,10 @@ final class Searcher(val index: BuiltIndex) {
               // repeated terms pinned to distinct occurrences.
               var freq = 0.0f
               if (slop > 0) {
-                freq = SloppyPhrase.freq(pc.terms.map(_._1).toArray,
+                // slop > 0 ⇒ unique offsets (required above), so each slot
+                // has exactly one term; align the term array to slot order
+                freq = SloppyPhrase.freq(
+                  offsU.map(o => pc.terms.find(_._2 == o).get._1).toArray,
                   posBySlot, offs, slop)
               } else {
                 var minSlot = 0
@@ -1702,6 +1718,24 @@ object Searcher {
       tomb: Option[org.apache.spark.broadcast.Broadcast[Array[Long]]],
       docid: Long): Boolean =
     tomb.forall(b => java.util.Arrays.binarySearch(b.value, docid) < 0)
+
+  /** Deduplicating merge of two sorted int arrays — a MultiPhraseQuery
+    * union slot's position list (≙ UnionPostingsEnum). Static so the
+    * phrase co-group closure captures no Searcher state.
+    */
+  def mergeSorted(a: Array[Int], b: Array[Int]): Array[Int] = {
+    val out = new Array[Int](a.length + b.length)
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) { out(n) = a(i); i += 1 }
+      else if (a(i) > b(j)) { out(n) = b(j); j += 1 }
+      else { out(n) = a(i); i += 1; j += 1 }
+      n += 1
+    }
+    while (i < a.length) { out(n) = a(i); i += 1; n += 1 }
+    while (j < b.length) { out(n) = b(j); j += 1; n += 1 }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
 
   /** Longest leading run of literal regex characters, used to prefix-prune
     * the [[Searcher.regexScan]] vocabulary scan. Stops at the first
