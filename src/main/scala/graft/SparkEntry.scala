@@ -1450,6 +1450,33 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // wildcard term query (≙ WildcardQuery): `s??n`/`qu*` expand through
+    // the shared regex scan (leading-literal prefix pruning) into
+    // CONSTANT_SCORE expansions — w1 blends with a scored term, w2 is
+    // expansion-only so ranks are pure docid tie-breaks
+    "q_wildcard_topk" -> ((s, dir) => {
+      val sr = Engine.searcher(s, dir)
+      val ec = Seq(
+        graft.search.ExpansionClause("w1", 0, sr.expandWildcard("s??n"), 1.0f),
+        graft.search.ExpansionClause("w2", 0, sr.expandWildcard("qu*"), 1.0f))
+      val wcs = Seq(graft.search.WeightedClause("w1", 1, "table", 1.0f))
+      sr.searchClauses(wcs, TopK, expansionClauses = ec)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // term range query (≙ TermRangeQuery [scan TO sort], inclusive):
+    // vocabulary range scan → CONSTANT_SCORE expansion; r1 blends with a
+    // scored term, r2 is range-only
+    "q_range_topk" -> ((s, dir) => {
+      val sr = Engine.searcher(s, dir)
+      val ec = Seq(
+        graft.search.ExpansionClause("r1", 0, sr.expandRange("scan", "sort"), 1.0f),
+        graft.search.ExpansionClause("r2", 0, sr.expandRange("dup", "fast"), 1.0f))
+      val wcs = Seq(graft.search.WeightedClause("r1", 1, "merge", 1.0f))
+      sr.searchClauses(wcs, TopK, expansionClauses = ec)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // retrieval-effectiveness metrics — the trec_eval step downstream of
     // the run-file sink (the reference writes its run lines FOR trec_eval,
     // BatchSearch.java:305-307): per-topic num_ret/num_rel/num_rel_ret,
@@ -3580,6 +3607,77 @@ object SparkEntry {
          |  FROM hit
          |)
          |SELECT qid, docno, hits, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // wildcard replay: expansion docs = any term LIKE-matching the
+    // translated pattern (s??n → s__n, qu* → qu%), constant 1.0 per
+    // clause per doc; w1 sums with the table BM25 partial, w2 ranks by
+    // pure docno tie-break
+    "q_wildcard_topk" -> withCtes(
+      s""",
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |wc1_docs AS (SELECT DISTINCT docno FROM tok WHERE term LIKE 's__n'),
+         |wc2_docs AS (SELECT DISTINCT docno FROM tok WHERE term LIKE 'qu%'),
+         |bm25 AS (
+         |  SELECT f.docno,
+         |         ((1.2 + 1.0) * f.tf)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |         * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0)) AS score
+         |  FROM tf f JOIN dl d USING (docno) JOIN df v ON v.term = f.term
+         |  CROSS JOIN st WHERE f.term = 'table'),
+         |p1 AS (
+         |  SELECT docno, sum(score) AS score FROM (
+         |    SELECT docno, 1.0 AS score FROM wc1_docs
+         |    UNION ALL
+         |    SELECT docno, score FROM bm25) GROUP BY docno),
+         |ranked AS (
+         |  SELECT 'w1' AS qid, docno,
+         |         (row_number() OVER (ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM p1
+         |  UNION ALL
+         |  SELECT 'w2' AS qid, docno,
+         |         (row_number() OVER (ORDER BY docno ASC) - 1) AS rank
+         |  FROM wc2_docs)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // term-range replay: expansion docs = any term in the inclusive
+    // binary-order range; r1 sums with the merge BM25 partial, r2 ranks
+    // by pure docno tie-break
+    "q_range_topk" -> withCtes(
+      s""",
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |rg1_docs AS (SELECT DISTINCT docno FROM tok
+         |             WHERE term >= 'scan' AND term <= 'sort'),
+         |rg2_docs AS (SELECT DISTINCT docno FROM tok
+         |             WHERE term >= 'dup' AND term <= 'fast'),
+         |bm25 AS (
+         |  SELECT f.docno,
+         |         ((1.2 + 1.0) * f.tf)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |         * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0)) AS score
+         |  FROM tf f JOIN dl d USING (docno) JOIN df v ON v.term = f.term
+         |  CROSS JOIN st WHERE f.term = 'merge'),
+         |p1 AS (
+         |  SELECT docno, sum(score) AS score FROM (
+         |    SELECT docno, 1.0 AS score FROM rg1_docs
+         |    UNION ALL
+         |    SELECT docno, score FROM bm25) GROUP BY docno),
+         |ranked AS (
+         |  SELECT 'r1' AS qid, docno,
+         |         (row_number() OVER (ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM p1
+         |  UNION ALL
+         |  SELECT 'r2' AS qid, docno,
+         |         (row_number() OVER (ORDER BY docno ASC) - 1) AS rank
+         |  FROM rg2_docs)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
     // multi-phrase replay: union-slot adjacency = "first term at p, ANY
     // slot member at p+1" (raw positions, stop gaps preserved); the

@@ -686,6 +686,44 @@ final class Searcher(val index: BuiltIndex) {
       out
     })
 
+  /** Wildcard expansion (≙ WildcardQuery): `*` = any run, `?` = any one
+    * char, everything else literal. Compiles to the shared regex scan —
+    * the leading literal run prefix-prunes exactly like Lucene's wildcard
+    * automaton's common prefix; `a*` SHOULD be written as a prefix query
+    * but works here too. Alphanumeric literals only, so the translation
+    * needs no escaping in either the Java or RE2 dialect.
+    */
+  def expandWildcard(pattern: String, cap: Int = 4096): Seq[String] = {
+    require(pattern.forall(c => c == '*' || c == '?' || c.isLetterOrDigit),
+      s"wildcard pattern must be [alnum*?]: '$pattern'")
+    expandRegex(pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c => c.toString
+    }, cap)
+  }
+
+  /** Term-range expansion (≙ TermRangeQuery, both ends inclusive): every
+    * vocabulary term in `[lo, hi]` by binary order. The vocabulary
+    * projection is length-partitioned, so a range legally touches every
+    * length partition; within files the term sort order still prunes row
+    * groups via min/max stats. Feed to an [[ExpansionClause]].
+    */
+  def expandRange(lo: String, hi: String, cap: Int = 4096): Seq[String] = {
+    require(lo <= hi, s"empty term range: ['$lo', '$hi']")
+    import spark.implicits._
+    val out = rangeScan(lo, hi).select("term").distinct()
+      .as[String].take(cap + 1).toSeq
+    require(out.size <= cap, s"range ['$lo','$hi'] expands past $cap terms")
+    out
+  }
+
+  /** The vocabulary scan behind [[expandRange]] (exposed for plan
+    * assertions, like [[prefixScan]]).
+    */
+  def rangeScan(lo: String, hi: String): org.apache.spark.sql.DataFrame =
+    index.vocab.where(col("term") >= lo && col("term") <= hi)
+
   /** The pruned vocabulary scan behind [[expandRegex]] (exposed for plan
     * assertions, like [[prefixScan]]).
     */

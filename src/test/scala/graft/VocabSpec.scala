@@ -106,4 +106,30 @@ class VocabSpec extends AnyFunSuite {
     assert(searcher.suggest(Seq("betaa"), maxEdits = 2, topN = 1)
       .count() == 1)
   }
+
+  test("wildcard expansion: * and ? translate, prefix prunes, rest literal") {
+    assert(searcher.expandWildcard("al*").toSet ==
+      Set("alpha", "alpine", "albatross"))
+    assert(searcher.expandWildcard("?eta").toSet == Set("beta", "zeta"))
+    assert(searcher.expandWildcard("alp??").toSet == Set("alpha"))
+    // full-term anchoring: no substring matches
+    assert(searcher.expandWildcard("eta") == Seq("eta"))
+    intercept[IllegalArgumentException] {
+      searcher.expandWildcard("al.*") // dots are not wildcard syntax
+    }
+    // the leading literal run prefix-prunes like the prefix scan
+    val plan = searcher.regexScan("al.*").queryExecution.executedPlan.toString()
+    assert(plan.contains("StringStartsWith(term,al)"))
+  }
+
+  test("range expansion: inclusive binary-order vocabulary slice") {
+    assert(searcher.expandRange("alpha", "beta").toSet ==
+      Set("alpha", "alpine", "beta")) // albatross < alpha, gamma > beta
+    assert(searcher.expandRange("a", "az").toSet ==
+      Set("alpha", "alpine", "albatross"))
+    assert(searcher.expandRange("eta", "eta") == Seq("eta")) // degenerate
+    intercept[IllegalArgumentException] {
+      searcher.expandRange("zeta", "alpha") // empty range is a bug upstream
+    }
+  }
 }
