@@ -95,6 +95,9 @@ object SparkEntry {
   private lazy val GrepPatternsSql: String =
     GrepPatterns.map { case (q, p) => s"('$q','$p')" }.mkString(", ")
 
+  /** Significant terms returned per topic (q_sig_terms). */
+  val SigTermsN = 10
+
   // Query-time synonym groups per topic (vocabulary words, so the math —
   // not the linguistics — is under test). Topic 4's group carries an
   // unindexed member that the clause must silently drop from the blend.
@@ -1450,6 +1453,15 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // significant-terms aggregation (≙ Elasticsearch significant_terms):
+    // per topic, the terms whose hit-set df most exceeds their corpus df
+    // under the integer cross-multiplied score fg·N − bg·n_hits; the hit
+    // set is the BM25 top-k, foreground vectors re-analyze only those k
+    // docs, background dfs come from the pruned term_stats lookup
+    "q_sig_terms" -> ((s, dir) =>
+      graft.search.SignificantTerms.topTerms(Engine.searcher(s, dir),
+          corpus.Corpus.fromDocuments(s, dir), topics, TopK, SigTermsN)
+        .orderBy("qid", "rank")),
     // wildcard term query (≙ WildcardQuery): `s??n`/`qu*` expand through
     // the shared regex scan (leading-literal prefix pruning) into
     // CONSTANT_SCORE expansions — w1 blends with a scored term, w2 is
@@ -3607,6 +3619,28 @@ object SparkEntry {
          |  FROM hit
          |)
          |SELECT qid, docno, hits, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // significant-terms replay: hit sets from the shared BM25 ranking,
+    // foreground df over the analyzed token stream of those docs,
+    // background df from the corpus-wide df table, all-integer score
+    "q_sig_terms" -> withCtes(
+      s"""${bm25RankedCtes()}
+         |, hitset AS (SELECT qid, docno FROM ranked WHERE rank < $TopK),
+         |nh AS (SELECT qid, count(*) AS n_hits FROM hitset GROUP BY qid),
+         |fg AS (SELECT h.qid, k.term, count(DISTINCT k.docno) AS fg_df
+         |       FROM hitset h JOIN tok k USING (docno) GROUP BY 1, 2),
+         |sigscore AS (
+         |  SELECT f.qid, f.term, f.fg_df, d.df AS bg_df,
+         |         f.fg_df * st.n - d.df * nh.n_hits AS score
+         |  FROM fg f JOIN df d ON d.term = f.term
+         |  JOIN nh ON nh.qid = f.qid CROSS JOIN st),
+         |sigranked AS (
+         |  SELECT qid, term, fg_df, bg_df, score,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, term ASC) - 1) AS rank
+         |  FROM sigscore)
+         |SELECT qid, term, fg_df::BIGINT AS fg_df, bg_df::BIGINT AS bg_df,
+         |       score::BIGINT AS score, rank
+         |FROM sigranked WHERE rank < $SigTermsN
          |ORDER BY qid, rank""".stripMargin),
     // wildcard replay: expansion docs = any term LIKE-matching the
     // translated pattern (s??n → s__n, qu* → qu%), constant 1.0 per
