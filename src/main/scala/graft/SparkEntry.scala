@@ -98,6 +98,16 @@ object SparkEntry {
   /** Significant terms returned per topic (q_sig_terms). */
   val SigTermsN = 10
 
+  /** Completion-suggester prefixes (q_complete). */
+  val CompletePrefixes: Seq[(String, String)] =
+    Seq(("c1", "s"), ("c2", "qu"), ("c3", "c"))
+
+  /** SpanFirst topics (q_span_first_topk): term within the first N index
+    * positions of the document.
+    */
+  val SpanFirsts: Seq[(String, String, Int)] =
+    Seq(("f1", "hash", 5), ("f2", "window", 10), ("f3", "merge", 3))
+
   // Query-time synonym groups per topic (vocabulary words, so the math —
   // not the linguistics — is under test). Topic 4's group carries an
   // unindexed member that the clause must silently drop from the blend.
@@ -1453,6 +1463,30 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // completion suggester (≙ suggest-as-you-type): top-5 vocabulary
+    // terms per prefix by collection frequency desc, term asc — the
+    // pruned prefix scan + term_stats weight attach
+    "q_complete" -> ((s, dir) =>
+      Engine.searcher(s, dir).complete(CompletePrefixes, 5)
+        .orderBy("qid", "rank")),
+    // SpanFirstQuery: the term confined to the first N index positions
+    // (stop gaps preserved); in-bound occurrence count scores through the
+    // ordinary BM25 saturation against the term's stats
+    "q_span_first_topk" -> ((s, dir) =>
+      Engine.searcher(s, dir).searchSpanFirst(SpanFirsts, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")),
+    // date-histogram aggregation (≙ Elasticsearch date_histogram with a
+    // terms sub-aggregation): hourly buckets × event type over the events
+    // table — count plus order-free exact extremes (no float sums)
+    "q_date_histogram" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_trunc("hour", col("ts")).as("bkt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .select(unix_timestamp(col("bkt")).as("bucket_ts"), col("event_type"),
+          col("n_events"), col("min_value"), col("max_value"))
+        .orderBy("bucket_ts", "event_type")),
     // significant-terms aggregation (≙ Elasticsearch significant_terms):
     // per topic, the terms whose hit-set df most exceeds their corpus df
     // under the integer cross-multiplied score fg·N − bg·n_hits; the hit
@@ -3620,6 +3654,59 @@ object SparkEntry {
          |)
          |SELECT qid, docno, hits, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // completion replay: popularity = total analyzed occurrences (cf)
+    "q_complete" -> withCtes(
+      s""",
+         |cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+         |pfx(qid, p) AS (VALUES ${CompletePrefixes
+            .map { case (q, p) => s"('$q','$p')" }.mkString(", ")}),
+         |cand AS (SELECT x.qid, c.term, c.cf
+         |         FROM pfx x JOIN cf c ON c.term LIKE x.p || '%'),
+         |ranked AS (
+         |  SELECT qid, term, cf,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY cf DESC, term ASC) - 1) AS rank
+         |  FROM cand)
+         |SELECT qid, term, cf::BIGINT AS cf, rank FROM ranked WHERE rank < 5
+         |ORDER BY qid, rank""".stripMargin),
+    // span-first replay: in-bound occurrences from the raw position
+    // stream (stop gaps preserved), scored with the shared BM25 formula
+    "q_span_first_topk" -> withCtes(
+      s""",
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |rawt AS (SELECT docno,
+         |         list_filter(string_split_regex(lower(content), '\\s+'),
+         |                     x -> x <> '') AS l FROM corpus),
+         |rawpos AS (SELECT docno, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |           FROM rawt),
+         |spans(qid, term, e) AS (VALUES ${SpanFirsts
+            .map { case (q, t, e) => s"('$q','$t',$e)" }.mkString(", ")}),
+         |sfreq AS (SELECT s.qid, r.docno, s.term, count(*) AS freq
+         |          FROM spans s JOIN rawpos r
+         |            ON r.term = s.term AND r.pos < s.e
+         |          GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT f.qid, f.docno,
+         |         ((1.2 + 1.0) * f.freq)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.freq)
+         |         * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0)) AS score
+         |  FROM sfreq f JOIN dl d USING (docno) JOIN df v ON v.term = f.term
+         |  CROSS JOIN st),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scored)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // date-histogram replay: hour truncation in the shared UTC frame,
+    // epoch seconds keep the bucket key integer
+    "q_date_histogram" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS bucket_ts,
+        |       event_type, count(*)::BIGINT AS n_events,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // significant-terms replay: hit sets from the shared BM25 ranking,
     // foreground df over the analyzed token stream of those docs,
     // background df from the corpus-wide df table, all-integer score

@@ -662,6 +662,100 @@ final class Searcher(val index: BuiltIndex) {
         col("df").cast("long").as("df"), col("rank"))
   }
 
+  /** Completion suggester (≙ suggest-as-you-type / a weighted
+    * CompletionQuery over the vocabulary): for each (qid, prefix), the
+    * top-`topN` indexed terms with that prefix by popularity — collection
+    * frequency desc, term asc. The candidate set is the same pruned
+    * prefix scan as [[expandPrefix]] (pushed StringStartsWith + len
+    * bound), weights attach via the bucket-pruned term_stats lookup;
+    * driver state is the expansion cap, like every other vocab query.
+    * Returns (qid, term, cf, rank).
+    */
+  def complete(prefixes: Seq[(String, String)], topN: Int = 5): DataFrame = {
+    require(prefixes.nonEmpty, "complete needs at least one prefix")
+    require(prefixes.map(_._1).distinct.size == prefixes.size,
+      "duplicate qids in one completion batch")
+    import spark.implicits._
+    val rows: Seq[(String, String, Long, Long)] = prefixes.flatMap {
+      case (qid, prefix) =>
+        val exp = expandPrefix(prefix)
+        if (exp.isEmpty) Nil
+        else {
+          val buckets = exp.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+          val cfs: Map[String, Long] = index.termStats
+            .where(col("bucket").isin(buckets: _*) && col("term").isin(exp: _*))
+            .select("term", "cf").as[(String, Long)].collect().toMap
+          exp.flatMap(t => cfs.get(t).map(t -> _))
+            .sortBy { case (t, cf) => (-cf, t) }
+            .take(topN)
+            .zipWithIndex
+            .map { case ((t, cf), r) => (qid, t, cf, r.toLong) }
+        }
+    }
+    rows.toDF("qid", "term", "cf", "rank")
+  }
+
+  /** SpanFirstQuery: the term restricted to the first `end` positions of
+    * the document (match iff an occurrence has position < end). Each
+    * in-bound occurrence is a zero-length span, so the span scorer's
+    * sloppyFreq degenerates to the in-bound occurrence COUNT, scored
+    * through the ordinary similarity against the term's stats. Positions
+    * are index positions — stop gaps preserved, like phrases. One
+    * bucket-pruned positional postings scan serves the batch.
+    */
+  def searchSpanFirst(spans: Seq[(String, String, Int)], k: Int = 1000,
+                      scorerName: String = "bm25"): Dataset[RunLine] = {
+    require(spans.nonEmpty, "searchSpanFirst needs at least one span")
+    require(spans.map(_._1).distinct.size == spans.size,
+      "duplicate qids in one span batch")
+    require(spans.forall(_._3 > 0), "span end must be positive")
+    require(index.cfg.indexPositions,
+      "span queries need a positions-enabled index (IndexConfig.indexPositions)")
+    import spark.implicits._
+    val scorer = Scorer.byName(scorerName)
+    val stats = CollStats(index.stats.max_doc, index.stats.sum_total_term_freq)
+    val terms = spans.map(_._2).distinct
+    val buckets = terms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+    val dfs: Map[String, (Long, Long)] = index.termStats
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select("term", "df", "cf").as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // term -> [(qid, end, idf)], only for indexed terms
+    val byTerm: Map[String, Array[(String, Int, Float)]] = spans
+      .flatMap { case (qid, t, end) =>
+        dfs.get(t).map { case (df, cf) =>
+          (t, (qid, end, scorer.termWeight(df, cf, stats)))
+        }
+      }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
+    if (byTerm.isEmpty) return spark.emptyDataset[RunLine]
+    val sBuckets = byTerm.keys.toSeq
+      .map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+    val posts = index.postings
+      .where(col("bucket").isin(sBuckets: _*) &&
+        col("term").isin(byTerm.keys.toSeq: _*))
+      .as[graft.index.PostingRun]
+    val scorerB = scorer
+    val statsB = stats
+    val tombL = tombstonesBc
+    val scored: Dataset[(String, Long, Float)] = posts.flatMap { run =>
+      val qs = byTerm(run.term)
+      graft.codec.PostingCodec.decodeBlobs(run.ndocs, run.doc_blob,
+          run.tf_blob, run.dl_blob, run.pos_blob)
+        .flatMap { p =>
+          qs.iterator.flatMap { case (qid, end, idf) =>
+            var freq = 0
+            var i = 0
+            while (i < p.pos.length && p.pos(i) < end) { freq += 1; i += 1 }
+            if (freq == 0 || !Searcher.liveDoc(tombL, p.docid)) Iterator.empty
+            else Iterator.single(
+              (qid, p.docid, scorerB.score(freq.toFloat, p.dl, idf, statsB)))
+          }
+        }
+    }
+    collectTopK(scored, k, scorer.name)
+  }
+
   private val regexCache =
     new scala.collection.concurrent.TrieMap[(String, Int), Seq[String]]()
 
