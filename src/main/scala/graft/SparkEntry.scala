@@ -108,6 +108,17 @@ object SparkEntry {
   val SpanFirsts: Seq[(String, String, Int)] =
     Seq(("f1", "hash", 5), ("f2", "window", 10), ("f3", "merge", 3))
 
+  /** DisMax tie-breaker (q_dismax_topk): best clause + 0.3 × the rest. */
+  val DisMaxTie = 0.3f
+
+  /** Boosting-query negative terms per topic (q_boosting_topk); the 0.5
+    * demotion factor is exactly representable, so the engine's Float
+    * demote and the oracle's double demote order identically.
+    */
+  val BoostingNegTerms: Seq[(String, String)] =
+    Seq(("1", "slow"), ("2", "dup"), ("3", "window"), ("4", "hash"))
+  val NegativeBoost = 0.5f
+
   // Query-time synonym groups per topic (vocabulary words, so the math —
   // not the linguistics — is under test). Topic 4's group carries an
   // unindexed member that the clause must silently drop from the blend.
@@ -1463,6 +1474,22 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // DisjunctionMaxQuery: per doc the best topic-term score + 0.3 × the
+    // others — Lucene's multi-field inflation remedy, here over the
+    // analyzed topic terms as sub-queries
+    "q_dismax_topk" -> ((s, dir) =>
+      Engine.searcher(s, dir).searchDisMax(topics, TopK, DisMaxTie)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")),
+    // boosting query (≙ Elasticsearch boosting): docs matching the
+    // per-topic negative term keep ranking but at half score — demotion,
+    // not exclusion; the demote is a distributed left join against the
+    // negative term's decoded postings
+    "q_boosting_topk" -> ((s, dir) =>
+      Engine.searcher(s, dir)
+        .searchBoosting(topics, BoostingNegTerms, NegativeBoost, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")),
     // completion suggester (≙ suggest-as-you-type): top-5 vocabulary
     // terms per prefix by collection frequency desc, term asc — the
     // pruned prefix scan + term_stats weight attach
@@ -3653,6 +3680,55 @@ object SparkEntry {
          |  FROM hit
          |)
          |SELECT qid, docno, hits, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // dismax replay: per-(doc, term) BM25 partials, then max + tie·rest
+    "q_dismax_topk" -> withCtes(
+      s""",
+         |$TopicsCte,
+         |tf AS (SELECT docno, term, count(*) AS tf FROM tok GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |partials AS (
+         |  SELECT q.qid, f.docno,
+         |         ((1.2 + 1.0) * f.tf)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |         * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0)) AS score
+         |  FROM (SELECT DISTINCT qid, term FROM topics) q
+         |  JOIN tf f ON f.term = q.term
+         |  JOIN dl d ON d.docno = f.docno
+         |  JOIN df v ON v.term = q.term
+         |  CROSS JOIN st),
+         |dm AS (SELECT qid, docno,
+         |              max(score) + $DisMaxTie * (sum(score) - max(score)) AS score
+         |       FROM partials GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM dm)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // boosting replay: the shared BM25 scored stream with matching docs
+    // demoted by the exactly-representable 0.5 factor
+    "q_boosting_topk" -> withCtes(
+      s"""${bm25RankedCtes()}
+         |, negs(qid, term) AS (VALUES ${BoostingNegTerms
+            .map { case (q, t) => s"('$q','$t')" }.mkString(", ")}),
+         |negdocs AS (SELECT n.qid, k.docno
+         |            FROM negs n
+         |            JOIN (SELECT DISTINCT docno, term FROM tok) k USING (term)),
+         |demoted AS (
+         |  SELECT s.qid, s.docno,
+         |         CASE WHEN d.docno IS NOT NULL THEN s.score * 0.5
+         |              ELSE s.score END AS score
+         |  FROM scored s LEFT JOIN negdocs d
+         |    ON d.qid = s.qid AND d.docno = s.docno),
+         |branked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM demoted)
+         |SELECT qid, docno, rank FROM branked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
     // completion replay: popularity = total analyzed occurrences (cf)
     "q_complete" -> withCtes(

@@ -662,6 +662,121 @@ final class Searcher(val index: BuiltIndex) {
         col("df").cast("long").as("df"), col("rank"))
   }
 
+  /** DisjunctionMaxQuery: per document the BEST clause score wins, the
+    * others contribute `tieBreaker` times their score —
+    * `max + tie·(sum − max)` (tie 0 = pure max, tie 1 = the OR sum).
+    * Lucene's remedy for the "same word in many fields" inflation; here
+    * over the analyzed topic terms as the sub-queries. The partial stream
+    * is the ordinary bucket-pruned decode; the combiner folds in clause
+    * order so the float result is deterministic.
+    */
+  def searchDisMax(topics: Seq[Topic], k: Int = 1000,
+                   tieBreaker: Float = 0.0f,
+                   scorerName: String = "bm25"): Dataset[RunLine] = {
+    requireDistinctQids(topics)
+    require(tieBreaker >= 0.0f && tieBreaker <= 1.0f,
+      s"tieBreaker out of [0,1]: $tieBreaker")
+    import spark.implicits._
+    val scorer = Scorer.byName(scorerName)
+    val stats = CollStats(index.stats.max_doc, index.stats.sum_total_term_freq)
+    val clauses = topics.flatMap { t =>
+      analyzer.analyze(t.text).zipWithIndex.map { case (term, i) =>
+        WeightedClause(t.qid, i, term, 1.0f)
+      }
+    }
+    val terms = clauses.map(_.term).distinct
+    val buckets = terms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+    val dfs: Map[String, (Long, Long)] = index.termStats
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select("term", "df", "cf").as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val plan: Map[String, (Float, Array[(String, Int)])] =
+      clauses.groupBy(_.term).flatMap { case (term, cs) =>
+        dfs.get(term).map { case (df, cf) =>
+          term -> (scorer.termWeight(df, cf, stats),
+            cs.map(c => (c.qid, c.qidx)).toArray)
+        }
+      }
+    if (plan.isEmpty) return spark.emptyDataset[RunLine]
+    val pBuckets = plan.keys.toSeq
+      .map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+    val posts = index.postingsDecode
+      .where(col("bucket").isin(pBuckets: _*) &&
+        col("term").isin(plan.keys.toSeq: _*))
+      .as[graft.index.PostingRun]
+    val scorerB = scorer
+    val statsB = stats
+    val tombL = tombstonesBc
+    val tie = tieBreaker
+    val partials: Dataset[(String, Long, Int, Float)] = posts.flatMap { run =>
+      val (idf, cs) = plan(run.term)
+      graft.codec.PostingCodec.decodeBlobs(run.ndocs, run.doc_blob,
+          run.tf_blob, run.dl_blob)
+        .flatMap { p =>
+          if (!Searcher.liveDoc(tombL, p.docid)) Iterator.empty
+          else {
+            val s = scorerB.score(p.tf, p.dl, idf, statsB)
+            cs.iterator.map { case (qid, qidx) => (qid, p.docid, qidx, s) }
+          }
+        }
+    }
+    val scored: Dataset[(String, Long, Float)] = partials
+      .groupByKey(t => (t._1, t._2))
+      .mapGroups[(String, Long, Float)] {
+        (key: (String, Long), it: Iterator[(String, Long, Int, Float)]) =>
+        val arr = it.toArray.sortBy(_._3)
+        var max = Float.NegativeInfinity
+        var sum = 0.0f
+        arr.foreach { r => sum += r._4; if (r._4 > max) max = r._4 }
+        (key._1, key._2, max + tie * (sum - max))
+      }
+    collectTopK(scored, k, scorer.name)
+  }
+
+  /** Boosting query (≙ Elasticsearch `boosting`): the positive query
+    * ranks as usual, but documents also matching the negative term keep
+    * their position in the candidate set with their score DEMOTED by
+    * `negativeBoost` (unlike MUST_NOT, which removes them). The negative
+    * postings decode to (qid, docid) pairs and demote via a distributed
+    * left join — no driver-side doc sets.
+    */
+  def searchBoosting(topics: Seq[Topic], negTerms: Seq[(String, String)],
+                     negativeBoost: Float, k: Int = 1000,
+                     scorerName: String = "bm25"): Dataset[RunLine] = {
+    requireDistinctQids(topics)
+    require(negativeBoost > 0.0f && negativeBoost < 1.0f,
+      s"negativeBoost must demote, got $negativeBoost")
+    import spark.implicits._
+    val clauses = topics.flatMap { t =>
+      analyzer.analyze(t.text).zipWithIndex.map { case (term, i) =>
+        WeightedClause(t.qid, i, term, 1.0f)
+      }
+    }
+    val scores = scoredClauses(clauses, k, scorerName)
+    val negByTerm: Map[String, Array[String]] =
+      negTerms.groupBy(_._2).map { case (t, qs) => t -> qs.map(_._1).distinct.toArray }
+    val negBuckets = negByTerm.keys.toSeq
+      .map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+    val negPosts = index.postingsDecode
+      .where(col("bucket").isin(negBuckets: _*) &&
+        col("term").isin(negByTerm.keys.toSeq: _*))
+      .as[graft.index.PostingRun]
+    val negPairs = negPosts.flatMap { run =>
+      val qids = negByTerm(run.term)
+      graft.codec.PostingCodec.decodeBlobs(run.ndocs, run.doc_blob,
+          run.tf_blob, run.dl_blob)
+        .flatMap(p => qids.iterator.map(q => (q, p.docid)))
+    }.toDF("qid", "docid").distinct() // two neg terms ⇒ one demotion, not two rows
+      .withColumn("neg", lit(true))
+    val nb = negativeBoost
+    val demoted = scores.toDF("qid", "docid", "score")
+      .join(negPairs, Seq("qid", "docid"), "left_outer")
+      .select($"qid", $"docid",
+        when($"neg", $"score" * nb).otherwise($"score").as("score"))
+      .as[(String, Long, Float)]
+    collectTopK(demoted, k, Scorer.byName(scorerName).name)
+  }
+
   /** Completion suggester (≙ suggest-as-you-type / a weighted
     * CompletionQuery over the vocabulary): for each (qid, prefix), the
     * top-`topN` indexed terms with that prefix by popularity — collection
