@@ -111,6 +111,13 @@ object SparkEntry {
   /** DisMax tie-breaker (q_dismax_topk): best clause + 0.3 × the rest. */
   val DisMaxTie = 0.3f
 
+  /** Rescore window and rescore-query weight (q_rescore_topk): each
+    * topic's first two terms as an exact proximity phrase, weight 2,
+    * re-sorting only the base top-50.
+    */
+  val RescoreWindow = 50
+  val RescoreWeight = 2.0f
+
   /** Boosting-query negative terms per topic (q_boosting_topk); the 0.5
     * demotion factor is exactly representable, so the engine's Float
     * demote and the oracle's double demote order identically.
@@ -1471,6 +1478,22 @@ object SparkEntry {
     // BM25 sum over the matched clauses, ranks close up
     "q_msm_topk" -> ((s, dir) => {
       Engine.searcher(s, dir).search(topics, TopK, minShouldMatch = MsmMin)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // query rescorer (≙ Elasticsearch rescore, score_mode total): the
+    // base BM25 top-50 window per topic is re-scored as base + 2×(exact
+    // proximity phrase of the topic's first two terms) and re-sorted —
+    // docs outside the window can never jump in
+    "q_rescore_topk" -> ((s, dir) => {
+      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+      val rcs = topics.map { t =>
+        val ts = an.analyze(t.text)
+        graft.search.PhraseClause(t.qid, 0,
+          Seq((ts(0), 0), (ts(1), 1)), 1.0f, 0)
+      }
+      Engine.searcher(s, dir)
+        .searchRescore(topics, rcs, RescoreWindow, RescoreWeight, TopK)
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
@@ -3680,6 +3703,47 @@ object SparkEntry {
          |  FROM hit
          |)
          |SELECT qid, docno, hits, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // rescore replay: base ranking from the shared CTEs, window = rank<50,
+    // proximity phrase freq from raw adjacency, total = base + 2·phrase
+    "q_rescore_topk" -> withCtes(
+      s"""${bm25RankedCtes()}
+         |, rawt AS (SELECT docno,
+         |         list_filter(string_split_regex(lower(content), '\\s+'),
+         |                     x -> x <> '') AS l FROM corpus),
+         |rawpos AS (SELECT docno, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |           FROM rawt),
+         |widf AS (SELECT d.term,
+         |                ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) / ln(2.0) AS w
+         |         FROM df d CROSS JOIN st),
+         |rphr(qid, ta, tb) AS (VALUES
+         |  ('1','hash','join'), ('2','fast','table'),
+         |  ('3','dup','customer'), ('4','slow','query')),
+         |pfreq AS (SELECT p.qid, a.docno, count(*) AS freq
+         |          FROM rphr p
+         |          JOIN rawpos a ON a.term = p.ta
+         |          JOIN rawpos b ON b.docno = a.docno AND b.pos = a.pos + 1
+         |                       AND b.term = p.tb
+         |          GROUP BY 1, 2),
+         |pscore AS (SELECT f.qid, f.docno,
+         |         ((1.2 + 1.0) * f.freq)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.freq)
+         |         * (1.0 + wa.w + wb.w) AS phscore
+         |  FROM pfreq f JOIN dl d USING (docno) CROSS JOIN st
+         |  JOIN rphr p ON p.qid = f.qid
+         |  JOIN widf wa ON wa.term = p.ta
+         |  JOIN widf wb ON wb.term = p.tb),
+         |win AS (SELECT r.qid, r.docno, s.score
+         |        FROM ranked r JOIN scored s USING (qid, docno)
+         |        WHERE r.rank < $RescoreWindow),
+         |resc AS (SELECT w.qid, w.docno,
+         |                w.score + coalesce(2.0 * p.phscore, 0.0) AS score
+         |         FROM win w LEFT JOIN pscore p USING (qid, docno)),
+         |rranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM resc)
+         |SELECT qid, docno, rank FROM rranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
     // dismax replay: per-(doc, term) BM25 partials, then max + tie·rest
     "q_dismax_topk" -> withCtes(

@@ -662,6 +662,45 @@ final class Searcher(val index: BuiltIndex) {
         col("df").cast("long").as("df"), col("rank"))
   }
 
+  /** Query rescorer (≙ Elasticsearch `rescore`, score_mode total): the
+    * cheap base query ranks everything; only its top-`window` docs per
+    * query are re-scored as `base + weight · rescoreScore` and re-sorted
+    * — a doc outside the window can never jump in, which is the point
+    * (the expensive clause runs against a bounded candidate set). Here
+    * the rescorer is a phrase clause batch (the classic "proximity
+    * rescore" pattern). The window lives in the same bounded TopKAgg the
+    * collector uses — never on the driver.
+    */
+  def searchRescore(topics: Seq[Topic], rescoreClauses: Seq[PhraseClause],
+                    window: Int, weight: Float, k: Int = 1000,
+                    scorerName: String = "bm25"): Dataset[RunLine] = {
+    requireDistinctQids(topics)
+    require(k <= window, s"k=$k exceeds the rescore window=$window")
+    import spark.implicits._
+    val clauses = topics.flatMap { t =>
+      analyzer.analyze(t.text).zipWithIndex.map { case (term, i) =>
+        WeightedClause(t.qid, i, term, 1.0f)
+      }
+    }
+    val base = scoredClauses(clauses, window, scorerName)
+    val agg = new TopKAgg(window,
+      implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Float)]]],
+      implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Float)]]])
+    val windowRows: Dataset[(String, Long, Float)] = base
+      .groupByKey(_._1).agg(agg.toColumn)
+      .flatMap { case (qid, hits) => hits.iterator.map(h => (qid, h._1, h._2)) }
+    val ph = scoredClauses(Nil, window, scorerName,
+      phraseClauses = rescoreClauses)
+    val w = weight
+    val rescored = windowRows.toDF("qid", "docid", "score")
+      .join(ph.toDF("qid", "docid", "phscore"), Seq("qid", "docid"), "left_outer")
+      .select($"qid", $"docid",
+        when($"phscore".isNull, $"score")
+          .otherwise($"score" + lit(w) * $"phscore").as("score"))
+      .as[(String, Long, Float)]
+    collectTopK(rescored, k, Scorer.byName(scorerName).name)
+  }
+
   /** DisjunctionMaxQuery: per document the BEST clause score wins, the
     * others contribute `tieBreaker` times their score —
     * `max + tie·(sum − max)` (tie 0 = pure max, tie 1 = the OR sum).

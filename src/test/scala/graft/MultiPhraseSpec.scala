@@ -69,6 +69,33 @@ class MultiPhraseSpec extends AnyFunSuite {
     }
   }
 
+  test("rescore: window docs score base + weight·phrase, others unchanged") {
+    import graft.search.Topic
+    val topic = Topic("r", "quick fox")
+    val base = searcher.search(Seq(topic), 10).collect()
+      .map(l => l.docno -> l.score).toMap
+    val phr = searcher.searchClauses(Nil, 10, phraseClauses =
+        Seq(PhraseClause("r", 0, Seq(("quick", 0), ("fox", 1)), 1.0f)))
+      .collect().map(l => l.docno -> l.score).toMap
+    val got = searcher.searchRescore(Seq(topic),
+        Seq(PhraseClause("r", 0, Seq(("quick", 0), ("fox", 1)), 1.0f)),
+        window = 10, weight = 2.0f, k = 10)
+      .collect()
+    assert(got.map(_.docno).toSet == base.keySet)
+    got.foreach { l =>
+      val expected = base(l.docno) + phr.get(l.docno).map(_ * 2.0f).getOrElse(0.0f)
+      assert(l.score == expected, s"${l.docno}: ${l.score} vs $expected")
+    }
+    // the exact-phrase docs must outrank the phrase-free ones now
+    val phraseDocs = Set("p-1", "p-3")
+    val ranked = got.sortBy(_.rank).map(_.docno)
+    assert(ranked.take(2).toSet == phraseDocs)
+    // k > window is rejected
+    intercept[IllegalArgumentException] {
+      searcher.searchRescore(Seq(topic), Nil, window = 5, weight = 1.0f, k = 10)
+    }
+  }
+
   test("mergeSorted: deduplicating union of sorted arrays") {
     assert(Searcher.mergeSorted(Array(1, 3, 5), Array(2, 3, 6)).toSeq ==
       Seq(1, 2, 3, 5, 6))
