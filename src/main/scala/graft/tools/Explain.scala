@@ -139,6 +139,32 @@ object Explain {
         (new graft.search.Searcher(Engine.pathIndex(spark, sfDir)), 2.0, 0.4)),
       Seq(Topic("m1", "hash join txt")), 20).explain("formatted")
 
+    println("\n========== trigram substring lookup (bucket partition pruning + gram PushedFilters; verify join broadcasts the candidate side) ==========")
+    val gt = Engine.trigramIndex(spark, sfDir)
+    graft.index.TrigramIndex.substringTopK(corp, gt,
+      Seq(("s1", "merge slow")), 20).explain("formatted")
+
+    println("\n========== trigram grep (OR-of-branches in ONE grouped pass over the same pruned gram scan) ==========")
+    graft.index.TrigramIndex.regexTopK(corp, gt,
+      Seq(("g1", "merge (slow|fast)")), 20).explain("formatted")
+
+    println("\n========== dismax (same bucket-pruned decode as flat OR; combiner is the one (qid, docid) agg) ==========")
+    searcher.searchDisMax(Seq(Topic("1", "hash join merge")), 20, 0.3f)
+      .explain("formatted")
+
+    println("\n========== boosting (negative postings decode → distributed left join demote; no driver doc sets) ==========")
+    searcher.searchBoosting(Seq(Topic("1", "hash join merge")),
+      Seq(("1", "slow")), 0.5f, 20).explain("formatted")
+
+    println("\n========== rescore (bounded window agg → left join against the phrase partial stream → bounded top-k) ==========")
+    searcher.searchRescore(Seq(Topic("1", "hash join merge")),
+      Seq(graft.search.PhraseClause("1", 0,
+        Seq(("hash", 0), ("join", 1)), 1.0f)), 50, 2.0f, 20)
+      .explain("formatted")
+
+    println("\n========== span-first (positional postings scan pruned to the span terms' buckets) ==========")
+    searcher.searchSpanFirst(Seq(("f1", "hash", 5)), 20).explain("formatted")
+
     spark.stop()
   }
 }
