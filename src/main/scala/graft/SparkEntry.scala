@@ -111,6 +111,14 @@ object SparkEntry {
   /** DisMax tie-breaker (q_dismax_topk): best clause + 0.3 × the rest. */
   val DisMaxTie = 0.3f
 
+  /** Ordered span-near topics (q_span_near_topk): (qid, first term,
+    * second term, slop).
+    */
+  val SpanNears: Seq[(String, String, String, Int)] = Seq(
+    ("n1", "hash", "join", 2),
+    ("n2", "table", "scan", 1),
+    ("n3", "slow", "window", 3))
+
   /** Rescore window and rescore-query weight (q_rescore_topk): each
     * topic's first two terms as an exact proximity phrase, weight 2,
     * re-sorting only the base top-50.
@@ -1481,6 +1489,15 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // SpanNearQuery(ordered): the faithful NearSpansOrdered walk —
+    // stretch to order, shrink to the closest A before each B, emit
+    // 1/(1+gap) within slop, consume the shrunk A; the oracle replays
+    // the identical walk as a recursive CTE (fuzz-validated against the
+    // engine's algorithm on 500 random position sets)
+    "q_span_near_topk" -> ((s, dir) =>
+      Engine.searcher(s, dir).searchSpanNear(SpanNears, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")),
     // query rescorer (≙ Elasticsearch rescore, score_mode total): the
     // base BM25 top-50 window per topic is re-scored as base + 2×(exact
     // proximity phrase of the topic's first two terms) and re-sorted —
@@ -3703,6 +3720,65 @@ object SparkEntry {
          |  FROM hit
          |)
          |SELECT qid, docno, hits, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // span-near replay: the identical NearSpansOrdered walk as a
+    // recursive CTE (stretch → shrink → emit → consume), scored with the
+    // accumulated two-term weight
+    "q_span_near_topk" -> withCtesRec(
+      s""",
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |rawt AS (SELECT docno,
+         |         list_filter(string_split_regex(lower(content), '\\s+'),
+         |                     x -> x <> '') AS l FROM corpus),
+         |rawpos AS (SELECT docno, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |           FROM rawt),
+         |widf AS (SELECT d.term,
+         |                ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) / ln(2.0) AS w
+         |         FROM df d CROSS JOIN st),
+         |sn(qid, ta, tb, slop) AS (VALUES ${SpanNears
+            .map { case (q, a, b, sl) => s"('$q','$a','$b',$sl)" }.mkString(", ")}),
+         |lap AS (SELECT s.qid, r.docno, list(r.pos ORDER BY r.pos) AS la
+         |        FROM sn s JOIN rawpos r ON r.term = s.ta GROUP BY 1, 2),
+         |lbp AS (SELECT s.qid, r.docno, list(r.pos ORDER BY r.pos) AS lb
+         |        FROM sn s JOIN rawpos r ON r.term = s.tb GROUP BY 1, 2),
+         |initn AS (SELECT a.qid, a.docno, a.la, b.lb, s.slop
+         |          FROM lap a JOIN lbp b USING (qid, docno)
+         |          JOIN sn s ON s.qid = a.qid),
+         |walkn(qid, docno, i, freq, done) AS (
+         |  SELECT qid, docno, 1, CAST(0 AS DOUBLE), FALSE FROM initn
+         |  UNION ALL
+         |  SELECT w.qid, w.docno,
+         |         CASE WHEN w.b IS NULL THEN w.i ELSE w.ai + 1 END,
+         |         w.freq + (CASE WHEN w.b IS NOT NULL AND (w.b - w.la[w.ai] - 1) <= w.slop
+         |                        THEN 1.0 / (1 + (w.b - w.la[w.ai] - 1)) ELSE 0 END),
+         |         (w.b IS NULL) OR (w.ai + 1 > len(w.la))
+         |  FROM (
+         |    SELECT w2.qid, w2.docno, w2.i, w2.freq, i.la, i.slop,
+         |           list_min(list_filter(i.lb, x -> x > i.la[w2.i])) AS b,
+         |           len(list_filter(i.la,
+         |             x -> x < list_min(list_filter(i.lb, x2 -> x2 > i.la[w2.i])))) AS ai
+         |    FROM walkn w2 JOIN initn i USING (qid, docno)
+         |    WHERE NOT w2.done
+         |  ) w
+         |),
+         |sfr AS (SELECT qid, docno, freq FROM walkn WHERE done AND freq > 0),
+         |scoredn AS (
+         |  SELECT f.qid, f.docno,
+         |         ((1.2 + 1.0) * f.freq)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.freq)
+         |         * (1.0 + wa.w + wb.w) AS score
+         |  FROM sfr f JOIN dl d USING (docno) CROSS JOIN st
+         |  JOIN sn s ON s.qid = f.qid
+         |  JOIN widf wa ON wa.term = s.ta
+         |  JOIN widf wb ON wb.term = s.tb),
+         |rankedn AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scoredn)
+         |SELECT qid, docno, rank FROM rankedn WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
     // rescore replay: base ranking from the shared CTEs, window = rank<50,
     // proximity phrase freq from raw adjacency, total = base + 2·phrase

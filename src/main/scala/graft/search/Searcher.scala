@@ -662,6 +662,110 @@ final class Searcher(val index: BuiltIndex) {
         col("df").cast("long").as("df"), col("rank"))
   }
 
+  /** SpanNearQuery(ordered) over two single-term spans — the faithful
+    * NearSpansOrdered enumeration: repeatedly stretch to order (first B
+    * strictly after the current A), shrink to the shortest match (the
+    * LARGEST A before that B), emit slop factor 1/(1+gap) when the gap is
+    * within `slop`, then advance the first span past the shrunk A. Note
+    * the shrink step makes this genuinely different from the sloppy
+    * phrase's event walk: each B pairs with at most its closest A, and
+    * skipped A's are consumed. Scored like phrases: the walk's freq
+    * through the similarity's TF saturation against the accumulated
+    * two-term weight. One bucket-pruned positional scan serves the batch.
+    */
+  def searchSpanNear(spans: Seq[(String, String, String, Int)], k: Int = 1000,
+                     scorerName: String = "bm25"): Dataset[RunLine] = {
+    require(spans.nonEmpty, "searchSpanNear needs at least one span")
+    require(spans.map(_._1).distinct.size == spans.size,
+      "duplicate qids in one span batch")
+    require(spans.forall(_._4 >= 0), "slop must be non-negative")
+    require(spans.forall(s => s._2 != s._3),
+      "ordered near of a repeated term needs repeat-occurrence pinning; unsupported")
+    require(index.cfg.indexPositions,
+      "span queries need a positions-enabled index (IndexConfig.indexPositions)")
+    import spark.implicits._
+    val scorer = Scorer.byName(scorerName)
+    val stats = CollStats(index.stats.max_doc, index.stats.sum_total_term_freq)
+    val terms = spans.flatMap(s => Seq(s._2, s._3)).distinct
+    val buckets = terms.map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+    val dfs: Map[String, (Long, Long)] = index.termStats
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select("term", "df", "cf").as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // span index -> accumulated weight (both terms must be indexed)
+    val spanArr = spans.toArray
+    val weights: Map[Int, Float] = spanArr.zipWithIndex.collect {
+      case ((_, ta, tb, _), si) if dfs.contains(ta) && dfs.contains(tb) =>
+        si -> scorer.phraseWeight(
+          Seq(dfs(ta), dfs(tb)), stats)
+    }.toMap
+    if (weights.isEmpty) return spark.emptyDataset[RunLine]
+    // term -> [(span index, slot 0=A/1=B)]
+    val slots: Map[String, Array[(Int, Int)]] = spanArr.zipWithIndex.toSeq
+      .filter { case (_, si) => weights.contains(si) }
+      .flatMap { case ((_, ta, tb, _), si) => Seq((ta, si, 0), (tb, si, 1)) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(x => (x._2, x._3)).toArray }
+    val sBuckets = slots.keys.toSeq
+      .map(IndexLayout.bucketOf(_, index.cfg.buckets)).distinct
+    val posts = index.postings
+      .where(col("bucket").isin(sBuckets: _*) &&
+        col("term").isin(slots.keys.toSeq: _*))
+      .as[graft.index.PostingRun]
+    val occ: Dataset[(Int, Long, Int, Array[Int], Int)] = posts.flatMap { run =>
+      val ss = slots(run.term)
+      graft.codec.PostingCodec.decodeBlobs(run.ndocs, run.doc_blob,
+          run.tf_blob, run.dl_blob, run.pos_blob)
+        .flatMap { p =>
+          ss.iterator.map { case (si, slot) => (si, p.docid, slot, p.pos, p.dl) }
+        }
+    }
+    val scorerB = scorer
+    val statsB = stats
+    val tombL = tombstonesBc
+    val spanArrB = spanArr
+    val weightsB = weights
+    val scored: Dataset[(String, Long, Float)] = occ
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups[(String, Long, Float)] {
+        (key: (Int, Long), it: Iterator[(Int, Long, Int, Array[Int], Int)]) =>
+        var la: Array[Int] = null
+        var lb: Array[Int] = null
+        var dl = 0
+        it.foreach { r =>
+          if (r._3 == 0) la = r._4 else lb = r._4
+          dl = r._5
+        }
+        if (la == null || lb == null || !Searcher.liveDoc(tombL, key._2))
+          Iterator.empty
+        else {
+          val (qid, _, _, slop) = spanArrB(key._1)
+          var freq = 0.0f
+          var i = 0
+          while (i < la.length) {
+            val a = la(i)
+            // first B strictly after a (stretchToOrder)
+            var bi = java.util.Arrays.binarySearch(lb, a + 1)
+            if (bi < 0) bi = -bi - 1
+            if (bi >= lb.length) { i = la.length } // exhausted: stop
+            else {
+              val b = lb(bi)
+              // shrink: the largest A before b; ai = count of A's < b
+              var ai = java.util.Arrays.binarySearch(la, b)
+              if (ai < 0) ai = -ai - 1
+              val aShrunk = la(ai - 1) // ai ≥ i+1 > 0 since la(i) < b
+              val gap = b - aShrunk - 1
+              if (gap <= slop) freq += 1.0f / (1 + gap)
+              i = ai // advance the first span past the shrunk A
+            }
+          }
+          if (freq == 0.0f) Iterator.empty
+          else Iterator.single((qid, key._2,
+            scorerB.score(freq, dl, weightsB(key._1), statsB)))
+        }
+      }
+    collectTopK(scored, k, scorer.name)
+  }
+
   /** Query rescorer (≙ Elasticsearch `rescore`, score_mode total): the
     * cheap base query ranks everything; only its top-`window` docs per
     * query are re-scored as `base + weight · rescoreScore` and re-sorted

@@ -53,6 +53,56 @@ class SpanCompleteSpec extends AnyFunSuite {
     assert(!got.contains("f3"))
   }
 
+  test("span-near ordered: the NearSpansOrdered walk (stretch/shrink/consume)") {
+    import spark.implicits._
+    // independent brute reimplementation of the walk
+    def walk(la: Seq[Int], lb: Seq[Int], slop: Int): Float = {
+      var freq = 0.0f; var i = 0
+      while (i < la.length) {
+        val a = la(i)
+        val bs = lb.filter(_ > a)
+        if (bs.isEmpty) i = la.length
+        else {
+          val b = bs.min
+          val ai = la.count(_ < b)
+          val gap = b - la(ai - 1) - 1
+          if (gap <= slop) freq += 1.0f / (1 + gap)
+          i = ai
+        }
+      }
+      freq
+    }
+    val docs = Seq(
+      "n-1" -> "alpha beta",                  // gap 0
+      "n-2" -> "alpha x y beta",              // gap 2
+      "n-3" -> "beta alpha",                  // wrong order
+      "n-4" -> "alpha x alpha beta",         // shrink: closest alpha wins
+      "n-5" -> "alpha beta alpha x beta",    // two matches
+      "n-6" -> "alpha x y z w beta")          // gap 4: out of slop 2
+    val dir = TestSpark.tmpDir("spannear")
+    val sr = new Searcher(IndexBuilder.build(docs.toDF("docno", "content"), dir,
+      IndexConfig(analyzer = AnalyzerConfig(), indexPositions = true)))
+    val got = sr.searchSpanNear(Seq(("n", "alpha", "beta", 2)), 10)
+      .collect().map(l => l.docno -> l.score).toMap
+    def positions(c: String, t: String): Seq[Int] =
+      c.split(" ").zipWithIndex.filter(_._1 == t).map(_._2).toSeq
+    val expectFreqs = docs.map { case (d, c) =>
+      d -> walk(positions(c, "alpha"), positions(c, "beta"), 2)
+    }.filter(_._2 > 0).toMap
+    assert(got.keySet == expectFreqs.keySet)
+    // shrink semantics: n-4's match is (alpha@2, beta@3) gap 0 — one match
+    assert(expectFreqs("n-4") == 1.0f)
+    // two matches in n-5: (alpha@0, beta@1) gap 0 → 1, then the walk
+    // consumes alpha@0 and pairs alpha@2 with beta@4 (gap 1) → 1/2
+    assert(expectFreqs("n-5") == 1.5f)
+    // matched sets: wrong order and over-slop gaps excluded
+    assert(!got.contains("n-3") && !got.contains("n-6"))
+    // repeated-term spans are rejected (repeat pinning unsupported)
+    intercept[IllegalArgumentException] {
+      sr.searchSpanNear(Seq(("r", "alpha", "alpha", 1)), 10)
+    }
+  }
+
   test("complete: prefix candidates ranked by cf desc, term asc") {
     // cfs: beta 6, alpha 5, gamma 4, delta 2, epsilon 2
     val rows = searcher.complete(
