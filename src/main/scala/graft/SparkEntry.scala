@@ -1489,6 +1489,18 @@ object SparkEntry {
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    // percolator (≙ Elasticsearch percolate): search inverted — the
+    // topic batch is the REGISTERED query set, a 10% docno slice is the
+    // incoming document stream, and each doc reports the queries whose
+    // matched-clause count reaches minMatch=2; index-free on the doc side
+    // (MemoryIndex-style), the query-term table is the broadcast side
+    "q_percolate" -> ((s, dir) => {
+      val docs = corpus.Corpus.fromDocuments(s, dir)
+        .where(col("docno").endsWith("3"))
+      graft.search.Percolator.percolate(docs, topics,
+          new graft.analysis.Analyzer(Engine.OracleAnalyzer), minMatch = 2)
+        .orderBy("docno", "qid")
+    }),
     // SpanNearQuery(ordered): the faithful NearSpansOrdered walk —
     // stretch to order, shrink to the closest A before each B, emit
     // 1/(1+gap) within slop, consume the shrunk A; the oracle replays
@@ -3721,6 +3733,18 @@ object SparkEntry {
          |)
          |SELECT qid, docno, hits, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // percolator replay: distinct query-term overlap per (doc, query)
+    // over the sliced corpus, gated on the matched-clause floor
+    "q_percolate" -> withCtes(
+      s""",
+         |$TopicsCte,
+         |perc AS (
+         |  SELECT k.docno, t.qid, count(DISTINCT k.term)::BIGINT AS n_matched
+         |  FROM (SELECT DISTINCT docno, term FROM tok WHERE docno LIKE '%3') k
+         |  JOIN (SELECT DISTINCT qid, term FROM topics) t USING (term)
+         |  GROUP BY 1, 2)
+         |SELECT docno, qid, n_matched FROM perc WHERE n_matched >= 2
+         |ORDER BY docno, qid""".stripMargin),
     // span-near replay: the identical NearSpansOrdered walk as a
     // recursive CTE (stretch → shrink → emit → consume), scored with the
     // accumulated two-term weight
