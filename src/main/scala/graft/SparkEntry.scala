@@ -119,6 +119,10 @@ object SparkEntry {
     ("n2", "table", "scan", 1),
     ("n3", "slow", "window", 3))
 
+  /** Point-lookup docnos for the term-vectors gate entry. */
+  val TermVectorDocnos: Seq[String] =
+    Seq("doc-00000003", "doc-00000007", "doc-00000011")
+
   /** Rescore window and rescore-query weight (q_rescore_topk): each
     * topic's first two terms as an exact proximity phrase, weight 2,
     * re-sorting only the base top-50.
@@ -1488,6 +1492,29 @@ object SparkEntry {
       Engine.searcher(s, dir).search(topics, TopK, minShouldMatch = MsmMin)
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
+    }),
+    // code-search grep flagship: trigram substring search composed with
+    // a lang filter and per-repo collapse — "grep for this string, only
+    // en files, one best file per repo" (the Zoekt result shape); filter
+    // and collapse run on the candidate-bounded verified stream
+    "q_grepsearch_topk" -> ((s, dir) =>
+      graft.index.TrigramIndex.grepSearch(
+          corpus.Corpus.fromDocuments(s, dir), Engine.trigramIndex(s, dir),
+          SubstringNeedles, TopK, lang = Some("en"))
+        .orderBy("qid", "rank")),
+    // term vectors (≙ IndexReader.getTermVector): per fixed docno the
+    // full analyzed term vector — term, tf, first position (stop gaps
+    // preserved) — via the same corpus point lookup the feedback path
+    // uses; the oracle recomputes from the raw position stream
+    "q_termvectors" -> ((s, dir) => {
+      import s.implicits._
+      val an = new graft.analysis.Analyzer(Engine.OracleAnalyzer)
+      val content = graft.search.Feedback.contentByDocno(
+        corpus.Corpus.fromDocuments(s, dir), TermVectorDocnos)
+      TermVectorDocnos.flatMap { d =>
+        val (tfs, _) = an.termFreqsWithPositions(content.getOrElse(d, ""))
+        tfs.map { case (t, tf, pos) => (d, t, tf.toLong, pos.min.toLong) }
+      }.toDF("docno", "term", "tf", "first_pos").orderBy("docno", "term")
     }),
     // percolator (≙ Elasticsearch percolate): search inverted — the
     // topic batch is the REGISTERED query set, a 10% docno slice is the
@@ -3733,6 +3760,43 @@ object SparkEntry {
          |)
          |SELECT qid, docno, hits, rank FROM ranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // grep-search replay: contains scan + lang predicate + the same two
+    // windows (per-(qid, repo) winner, then global rank)
+    "q_grepsearch_topk" -> withCtes(
+      s""",
+         |needles(qid, needle) AS (VALUES $SubstringNeedlesSql),
+         |ghit AS (
+         |  SELECT n.qid, c.docno, c.repo,
+         |         CAST((length(c.content) - length(replace(c.content, n.needle, '')))
+         |              / length(n.needle) AS BIGINT) AS hits
+         |  FROM needles n JOIN corpus c
+         |    ON contains(c.content, n.needle) AND c.lang = 'en'
+         |),
+         |gw AS (
+         |  SELECT qid, docno, repo, hits,
+         |         row_number() OVER (PARTITION BY qid, repo ORDER BY hits DESC, docno ASC) AS wr
+         |  FROM ghit WHERE hits > 0),
+         |gr AS (
+         |  SELECT qid, docno, repo, hits,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY hits DESC, docno ASC) - 1) AS rank
+         |  FROM gw WHERE wr = 1)
+         |SELECT qid, docno, repo, hits, rank FROM gr WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // term-vectors replay: tf + min position from the raw stream with
+    // the stop terms removed (their positions stay as gaps)
+    "q_termvectors" -> withCtes(
+      s""",
+         |rawt AS (SELECT docno,
+         |         list_filter(string_split_regex(lower(content), '\\s+'),
+         |                     x -> x <> '') AS l FROM corpus),
+         |rawpos AS (SELECT docno, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |           FROM rawt)
+         |SELECT docno, term, count(*)::BIGINT AS tf, min(pos)::BIGINT AS first_pos
+         |FROM rawpos
+         |WHERE docno IN (${TermVectorDocnos.map(d => s"'$d'").mkString(", ")})
+         |  AND term NOT IN ('a', 'the')
+         |GROUP BY docno, term
+         |ORDER BY docno, term""".stripMargin),
     // percolator replay: distinct query-term overlap per (doc, query)
     // over the sliced corpus, gated on the matched-clause floor
     "q_percolate" -> withCtes(

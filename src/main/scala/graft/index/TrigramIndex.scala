@@ -113,8 +113,21 @@ object TrigramIndex {
     * grams present but never contiguous) die in the verify join.
     */
   def substringTopK(corpus: DataFrame, gramTable: DataFrame,
-                    needles: Seq[(String, String)], k: Int): DataFrame = {
-    require(needles.nonEmpty, "substringTopK needs at least one needle")
+                    needles: Seq[(String, String)], k: Int): DataFrame =
+    verifiedHits(corpus, gramTable, needles)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("qid")
+          .orderBy(desc("hits"), asc("docno"))) - 1)
+      .where(col("rank") < k)
+      .select(col("qid"), col("docno"), col("hits"), col("rank").cast("long").as("rank"))
+
+  /** The shared candidate + verify stage behind [[substringTopK]] and
+    * [[grepSearch]]: (qid, docno, hits > 0) for each needle.
+    */
+  private def verifiedHits(corpus: DataFrame, gramTable: DataFrame,
+                           needles: Seq[(String, String)]): DataFrame = {
+    require(needles.nonEmpty, "substring search needs at least one needle")
     needles.foreach { case (qid, n) =>
       require(n.length >= 3, s"needle for qid=$qid is shorter than a trigram: '$n'")
     }
@@ -140,21 +153,45 @@ object TrigramIndex {
       .where(col("ng") === col("need"))
       .select("qid", "docno", "needle")
 
-    val verified = cands
+    cands
       .join(corpus.select("docno", "content"), Seq("docno"))
       .withColumn("hits",
         ((length(col("content")) -
           length(replace(col("content"), col("needle"), lit("")))) /
           length(col("needle"))).cast("long"))
       .where(col("hits") > 0)
+      .select("qid", "docno", "hits")
+  }
 
-    verified
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("qid")
-          .orderBy(desc("hits"), asc("docno"))) - 1)
+  /** The code-search grep flagship: literal substring search composed
+    * with an attribute filter and per-repo collapse — "grep the corpus
+    * for this string, only `lang` files, one best file per repo" (the
+    * Zoekt result shape). Winner per (qid, repo) = hits desc, docno asc;
+    * final rank over winners the same way. The filter and collapse run on
+    * the candidate-bounded verified stream, never the corpus.
+    */
+  def grepSearch(corpus: DataFrame, gramTable: DataFrame,
+                 needles: Seq[(String, String)], k: Int,
+                 lang: Option[String] = None): DataFrame = {
+    val hits = verifiedHits(corpus, gramTable, needles)
+    val attrs = corpus.select(col("docno"), col("repo"), col("lang"))
+    val filtered = lang match {
+      case Some(l) => hits.join(attrs.where(col("lang") === l), Seq("docno"))
+      case None => hits.join(attrs, Seq("docno"))
+    }
+    val winner = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid", "repo")
+      .orderBy(desc("hits"), asc("docno"))
+    val ranked = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid")
+      .orderBy(desc("hits"), asc("docno"))
+    filtered
+      .withColumn("w", row_number().over(winner))
+      .where(col("w") === 1)
+      .withColumn("rank", row_number().over(ranked) - 1)
       .where(col("rank") < k)
-      .select(col("qid"), col("docno"), col("hits"), col("rank").cast("long").as("rank"))
+      .select(col("qid"), col("docno"), col("repo"), col("hits"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Expand a restricted regex — literal text with non-nested `(a|b|c)`

@@ -125,6 +125,31 @@ class TrigramSpec extends AnyFunSuite {
     assert(!got.exists(t => t._1 == "g1" && t._2 == "d-02"))
   }
 
+  test("grepSearch: lang filter + per-repo collapse over verified hits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val rich = Seq(
+      // (docno, repo, lang, content)
+      ("g-1", "r1", "en", "abc def abc def"), // 2 hits, repo r1 winner
+      ("g-2", "r1", "en", "abc def"),         // 1 hit, shadowed by g-1
+      ("g-3", "r2", "en", "abc def"),         // repo r2 winner
+      ("g-4", "r3", "de", "abc def abc def abc def"), // filtered out by lang
+      ("g-5", "r3", "en", "nothing here"))
+      .toDF("docno", "repo", "lang", "content")
+    val dir = TestSpark.tmpDir("grepsearch")
+    val gt = TrigramIndex.build(rich.select("docno", "content"), dir)
+    val got = TrigramIndex.grepSearch(rich, gt,
+        Seq(("q", "abc def")), k = 10, lang = Some("en"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._4)
+    assert(got.toSeq == Seq(("g-1", "r1", 2L, 0L), ("g-3", "r2", 1L, 1L)))
+    // no lang filter: the de doc wins its repo and the global top spot
+    val all = TrigramIndex.grepSearch(rich, gt,
+        Seq(("q", "abc def")), k = 10)
+      .collect().map(r => (r.getString(1), r.getLong(4))).sortBy(_._2)
+    assert(all.head._1 == "g-4")
+  }
+
   test("fuzz: random corpora and needles match the brute scan") {
     import spark.implicits._
     val rnd = new Random(41)
