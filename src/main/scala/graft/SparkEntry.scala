@@ -53,6 +53,15 @@ object SparkEntry {
   /** Explain gate: score components for each topic's top-5 hits. */
   val ExplainK = 5
 
+  // search_after gate: cursor = the 10th hit, next page of 10.
+  val SearchAfterDepth = 10
+
+  // top_hits gate: best 2 docs per (topic, repo) group.
+  val TopHitsN = 2
+
+  // cardinality gate: HLL precision (2^8 = 256 registers).
+  val HllP = 8
+
   // Composed curation pipeline: quality floor and 90% train split.
   val CurateMinTokens = 5
   val CurateTrainKeep = 18
@@ -361,6 +370,56 @@ object SparkEntry {
       sr.searchFiltered(topics, attrs.where(col("ckey") === "de"), TopK)
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
+    }),
+    // Deep-pagination cursor (≙ Elasticsearch search_after): page 1's last
+    // hit (rank SearchAfterDepth-1) becomes each topic's (score, docno)
+    // cursor and the engine resumes strictly after it — the O(k)-per-page
+    // deep scroll. Ranks restart at 0 within the continuation (ES returns
+    // no global rank); the entry re-adds the depth so the oracle can slice
+    // the full collector ordering directly.
+    "q_search_after" -> ((s, dir) => {
+      val sr = Engine.searcher(s, dir)
+      val cursors = sr.search(topics, SearchAfterDepth).collect()
+        .groupBy(_.qid).map { case (q, hs) =>
+          val last = hs.maxBy(_.rank); q -> (last.score, last.docno)
+        }
+      sr.searchAfter(topics, cursors, SearchAfterDepth)
+        .select(col("qid"), col("docno"),
+          (col("rank") + SearchAfterDepth).cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // Per-group top hits (≙ ES terms agg + top_hits sub-agg): for each
+    // (topic, repo) the best TopHitsN docs by the collector ordering —
+    // the facet drill-down pairing of q_facets; docid asc ≡ docno asc
+    // under the ntile packing, so the oracle replays with a window
+    "q_top_hits" -> ((s, dir) => {
+      val sr = Engine.searcher(s, dir)
+      val keys = sr.collapseKeyTable(corpus.Corpus.fromDocuments(s, dir), "repo")
+      sr.topHits(topics, keys, TopHitsN)
+        .select(col("qid"), col("ckey"), col("docno"),
+          col("hit_rank").cast("long").as("hit_rank"))
+        .orderBy("qid", "ckey", "hit_rank")
+    }),
+    // Function-score retrieval (≙ ES function_score field_value_factor,
+    // modifier log2p, multiply mode): score × log2(1 + length(content)) —
+    // the numeric doc-values boost surface (popularity/recency/quality)
+    "q_function_score_topk" -> ((s, dir) => {
+      val sr = Engine.searcher(s, dir)
+      val factors = sr.factorTable(corpus.Corpus.fromDocuments(s, dir),
+        log2(lit(1.0) + length(col("content"))))
+      sr.searchFunctionScore(topics, factors, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // Approximate distinct count (≙ ES cardinality agg): the deterministic
+    // HyperLogLog register table (p=8) over the index's distinct-term
+    // universe — integer-exact, so the oracle replays the md5 hash split,
+    // bucket extraction and leading-zero rank bit-for-bit; the float
+    // estimate itself is certified in SketchSpec against the exact count
+    "q_cardinality" -> ((s, dir) => {
+      ops.Sketch.hllRegisters(
+          Engine.oracleIndex(s, dir).termStats.select("term"), "term", HllP)
+        .orderBy("bucket")
     }),
     // Code-search end-to-end flagship: an index built with the identifier
     // tokenizer, searched with lang FILTER + repo COLLAPSE composed — the
@@ -2839,6 +2898,61 @@ object SparkEntry {
          |)
          |SELECT qid, docno, rank FROM cranked WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // search_after: cursor = hit 10 of the full collector ordering, so
+    // the continuation page is exactly ranks [10, 20) of the same window
+    "q_search_after" -> withCtes(
+      s"""$Bm25RankedCtes
+         |SELECT qid, docno, rank FROM ranked
+         |WHERE rank >= $SearchAfterDepth
+         |  AND rank < ${2 * SearchAfterDepth}
+         |ORDER BY qid, rank""".stripMargin),
+    // top_hits: per (qid, repo) row_number over the shared scored stream;
+    // docid asc ≡ docno asc (deterministic ntile packing)
+    "q_top_hits" -> withCtes(
+      s"""$Bm25RankedCtes,
+         |th AS (
+         |  SELECT s.qid, c.repo AS ckey, s.docno,
+         |         (row_number() OVER (PARTITION BY s.qid, c.repo
+         |                             ORDER BY s.score DESC, s.docno ASC) - 1) AS hit_rank
+         |  FROM scored s JOIN corpus c USING (docno)
+         |)
+         |SELECT qid, ckey, docno, hit_rank FROM th WHERE hit_rank < $TopHitsN
+         |ORDER BY qid, ckey, hit_rank""".stripMargin),
+    // function_score: the shared BM25 sum × log2(1 + length(content)),
+    // re-ranked — multiply AFTER clause summation, like the engine
+    "q_function_score_topk" -> withCtes(
+      s"""$Bm25RankedCtes,
+         |fscored2 AS (
+         |  SELECT s.qid, s.docno,
+         |         s.score * (ln(1.0 + length(c.content)) / ln(2.0)) AS score
+         |  FROM scored s JOIN corpus c USING (docno)
+         |),
+         |franked2 AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid
+         |                             ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM fscored2
+         |)
+         |SELECT qid, docno, rank FROM franked2 WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // cardinality: the md5-derived HLL register table replayed
+    // bit-for-bit — h1/h2 are the same 32-bit md5 halves as the minhash
+    // oracle, bucket = h1 >> 24, w = (h1 mod 2^24)·2^32 + h2,
+    // rho = 57 - bitlength(w) (the all-zero stream takes 57)
+    "q_cardinality" -> withCtes(
+      s""",
+         |terms AS (SELECT DISTINCT term FROM tok),
+         |h AS (SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT AS h1,
+         |             ('0x' || substr(md5(term), 9, 8))::BIGINT AS h2
+         |      FROM terms),
+         |r AS (SELECT h1 // ${1L << (32 - HllP)} AS bucket,
+         |             (h1 % ${1L << (32 - HllP)}) * 4294967296 + h2 AS w
+         |      FROM h)
+         |SELECT bucket,
+         |       max(CASE WHEN w = 0 THEN ${64 - HllP + 1}
+         |                ELSE ${64 - HllP + 1} - length(bin(w)) END) AS register
+         |FROM r GROUP BY bucket
+         |ORDER BY bucket""".stripMargin),
     // filter: the scored stream restricted to lang='de' docs, re-ranked
     "q_filter_topk" -> withCtes(
       s"""$Bm25RankedCtes,

@@ -3,7 +3,7 @@ package graft.search
 import graft.analysis.Analyzer
 import graft.codec.PostingCodec
 import graft.index.{BuiltIndex, IndexLayout, PostingRun}
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -383,6 +383,127 @@ final class Searcher(val index: BuiltIndex) {
       .join(broadcast(ranked.withColumn("grp", shiftright($"docid", docShift))),
         Seq("docid", "grp"))
       .select($"qid", $"docno", $"rank", $"ckey")
+  }
+
+  /** Deep-pagination cursor (≙ Elasticsearch `search_after` / Lucene
+    * `IndexSearcher.searchAfter(ScoreDoc)`): resume the collector ordering
+    * (score desc, docid asc) strictly AFTER a per-topic cursor — the
+    * stateless deep-paging surface. Page-N-by-prefetch ([[searchPaged]])
+    * re-collects O(N·k) rows; a cursor page stays O(k) however deep, which
+    * is the only viable deep-scroll at 10^12 docs. `cursors` maps qid →
+    * (score, docno) of the last hit already consumed (the RunLine fields a
+    * caller holds); the docno resolves to its docid through the same tiny
+    * point lookup as docno exclusions, and the strict-after predicate is an
+    * in-row filter on the scored stream — no extra shuffle, no driver
+    * state beyond the cursor map. Score equality is exact: the engine's
+    * Float scores are deterministic per (qid, docid), so a cursor captured
+    * from a previous page reproduces its position bit-for-bit. Topics
+    * without a cursor start from rank 0. Returned ranks are 0-based within
+    * the continuation (like Elasticsearch, which returns no global rank).
+    */
+  def searchAfter(topics: Seq[Topic], cursors: Map[String, (Float, String)],
+                  k: Int = 1000, scorerName: String = "bm25"): Dataset[RunLine] = {
+    requireDistinctQids(topics)
+    import spark.implicits._
+    val docnos = cursors.values.map(_._2).toSeq.distinct
+    val ids: Map[String, Long] =
+      if (docnos.isEmpty) Map.empty
+      else index.docs.where(col("docno").isin(docnos: _*))
+        .select("docno", "docid").as[(String, Long)].collect().toMap
+    val cur: Map[String, (Float, Long)] = cursors.map { case (q, (sc, dn)) =>
+      q -> (sc, ids.getOrElse(dn,
+        throw new IllegalArgumentException(s"cursor docno not in index: $dn")))
+    }
+    val curB = spark.sparkContext.broadcast(cur)
+    val scored = scoredTopics(topics, scorerName)
+      .filter { t =>
+        curB.value.get(t._1).forall { case (cs, cd) =>
+          t._3 < cs || (t._3 == cs && t._2 > cd)
+        }
+      }
+    collectTopK(scored, k, Scorer.byName(scorerName).name)
+  }
+
+  /** Per-group top hits (≙ Elasticsearch `terms` aggregation with a
+    * `top_hits` sub-aggregation / Lucene grouping's TopGroups): for each
+    * (topic, attribute value) the best `n` matching documents by the
+    * collector ordering (score desc, docid asc). Where [[searchCollapsed]]
+    * keeps one winner per key inside a single global top-k,
+    * topHits returns a bounded hit list under EVERY key — the "best
+    * examples per repository / per language" drill-down a search UI pairs
+    * with [[facetCounts]]. `keys` is a (docid, ckey) table from
+    * [[collapseKeyTable]]. The per-(qid, ckey) heap is bounded
+    * ([[TopKAgg]] over a composite group key, map-side partials), so the
+    * shuffle moves ≤ n rows per group per partition; the docno attach
+    * broadcasts the n×|groups| hit list — bounded for the facet-shaped key
+    * cardinalities this surface serves (drop the broadcast hint if a key
+    * column has unbounded cardinality; the grp equi-join stays correct).
+    * Docs without a key row are omitted, like Lucene facets. Returns
+    * (qid, ckey, docno, hit_rank) with hit_rank 0-based within the group.
+    */
+  def topHits(topics: Seq[Topic], keys: DataFrame, n: Int = 3,
+              scorerName: String = "bm25"): DataFrame = {
+    requireDistinctQids(topics)
+    import spark.implicits._
+    val agg = new TopKAgg(n, implicitly[Encoder[Seq[(Long, Float)]]],
+      implicitly[Encoder[Seq[(Long, Float)]]])
+    val keyed = scoredTopics(topics, scorerName).toDF("qid", "docid", "score")
+      .join(keys.select($"docid", $"ckey"), Seq("docid"))
+      .select(concat($"qid", lit("\u0000"), $"ckey").as("gk"),
+        $"docid", $"score")
+      .as[(String, Long, Float)]
+    val top = keyed.groupByKey(_._1).agg(agg.toColumn)
+    val ranked = top.flatMap { case (gk, hits) =>
+      val i = gk.indexOf('\u0000')
+      val (qid, ckey) = (gk.substring(0, i), gk.substring(i + 1))
+      hits.iterator.zipWithIndex.map { case ((docid, _), r) =>
+        (qid, ckey, docid, r.toLong)
+      }
+    }.toDF("qid", "ckey", "docid", "hit_rank")
+    val docShift = index.cfg.groupShift + index.cfg.mergeShift
+    index.docs.select($"docid", $"docno", $"grp")
+      .join(broadcast(ranked.withColumn("grp", shiftright($"docid", docShift))),
+        Seq("docid", "grp"))
+      .select($"qid", $"ckey", $"docno", $"hit_rank")
+  }
+
+  /** Per-document numeric boost table for [[searchFunctionScore]]: index
+    * docids joined once with a factor expression over the corpus — the
+    * Spark analog of indexing a NumericDocValues field. Like
+    * [[collapseKeyTable]]: build once per corpus, persist grp-partitioned
+    * next to the index at scale so the per-query join is co-located.
+    */
+  def factorTable(corpus: DataFrame, factor: Column): DataFrame =
+    index.docs.select(col("docid"), col("docno"))
+      .join(corpus.select(col("docno"), factor.cast("float").as("factor")),
+        Seq("docno"))
+      .select(col("docid"), col("factor"))
+
+  /** Function-score retrieval (≙ Elasticsearch `function_score` with a
+    * `field_value_factor` in multiply mode / Lucene's
+    * FunctionScoreQuery(query, DoubleValuesSource)): each candidate's
+    * query score is multiplied by a per-document factor from `factors`
+    * (a (docid, factor: Float) table, see [[factorTable]]) — the
+    * popularity/recency/quality boost surface. Docs without a factor row
+    * keep `missing` (multiplicative identity 1 by default, like
+    * field_value_factor's `missing`). The multiply happens AFTER clause
+    * summation in Float, mirroring FunctionScoreQuery's boosting of the
+    * completed inner score; the join adds one bounded exchange over the
+    * candidate stream (candidates are bounded by the query terms'
+    * postings, never the corpus).
+    */
+  def searchFunctionScore(topics: Seq[Topic], factors: DataFrame,
+                          k: Int = 1000, scorerName: String = "bm25",
+                          missing: Float = 1.0f): Dataset[RunLine] = {
+    requireDistinctQids(topics)
+    import spark.implicits._
+    val boosted = scoredTopics(topics, scorerName).toDF("qid", "docid", "score")
+      .join(factors.select($"docid", $"factor".cast("float").as("factor")),
+        Seq("docid"), "left")
+      .select($"qid", $"docid",
+        ($"score" * coalesce($"factor", lit(missing))).cast("float").as("score"))
+      .as[(String, Long, Float)]
+    collectTopK(boosted, k, Scorer.byName(scorerName).name)
   }
 
   /** Conjunctive variant: only docs containing every analyzed query term. */
