@@ -69,13 +69,22 @@ object ScalingCluster {
     val mult = args.lift(2).map(_.toInt).getOrElse(8)
     val coresPer = args.lift(3).map(_.toInt).getOrElse(8)
     val cores = workers * coresPer
-    val classesDir = "/root/repo/target/scala-2.13/classes"
+    // GRAFT_SHUFFLE_PARTITIONS pins BOTH legs of a strong-scaling pair to
+    // one decomposition (fixed task count; the narrow leg just queues
+    // deeper). Without it, cores×4 gives each leg its natural width —
+    // which at slice scale makes the wide leg pay 2-3× the per-task fixed
+    // overhead and understates scaling (pair2 quad #1: task CPU 101→155 s
+    // for identical work at 8 vs 32 partitions).
+    val shufParts = sys.env.get("GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(cores * 4)
+    val classesDir = sys.env.getOrElse("GRAFT_CLASSES",
+      "/root/repo/target/scala-2.13/classes")
     val spark = SparkSession.builder()
       .master(s"local-cluster[$workers,$coresPer,16384]")
       .appName(s"graft-cluster-w$workers")
       .config("spark.executor.memory", "12g")
       .config("spark.executor.extraClassPath", classesDir)
-      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
+      .config("spark.sql.shuffle.partitions", shufParts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.locality.wait", "0s")
