@@ -62,6 +62,10 @@ object SparkEntry {
   // cardinality gate: HLL precision (2^8 = 256 registers).
   val HllP = 8
 
+  // count-min gate: 4 rows × 256 columns.
+  val CmsD = 4
+  val CmsW = 256
+
   // Composed curation pipeline: quality floor and 90% train split.
   val CurateMinTokens = 5
   val CurateTrainKeep = 18
@@ -420,6 +424,17 @@ object SparkEntry {
       ops.Sketch.hllRegisters(
           Engine.oracleIndex(s, dir).termStats.select("term"), "term", HllP)
         .orderBy("bucket")
+    }),
+    // Count-min sketch over the collection's term-frequency distribution
+    // (term weighted by cf from the index term stats): the d×w counter
+    // table replayed integer-exactly — the heavy-hitter / frequency-
+    // capping primitive; estimates are one-sided (≥ true cf), certified
+    // in SketchSpec
+    "q_cms" -> ((s, dir) => {
+      ops.Sketch.cmsCounts(
+          Engine.oracleIndex(s, dir).termStats.select("term", "cf"),
+          "term", "cf", CmsD, CmsW)
+        .orderBy("row", "col")
     }),
     // Code-search end-to-end flagship: an index built with the identifier
     // tokenizer, searched with lang FILTER + repo COLLAPSE composed — the
@@ -855,52 +870,27 @@ object SparkEntry {
     // monolithic build (StreamingSpec), so the ranks hash-match the exact
     // same DuckDB oracle as q_bm25_topk
     "q_stream_topk" -> ((s, dir) => {
-      val safeSf = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-      // corpus CONTENT fingerprint in the root path (keys + content, unlike
-      // IndexBuilder's keys-only scheme) so a regenerated fixture — even one
-      // with identical docnos but changed text — can never serve stale
-      // streamed batches
-      val fp = streaming.StreamFixtures.fingerprint(
-        corpus.Corpus.fromDocuments(s, dir), Seq(col("docno"), col("content")))
-      val root = s"${Engine.workDir}/stream_${safeSf}_$fp"
-      val conf = s.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-      val ingested =
-        try { streaming.StreamingIngest.openUnion(s, root).dirs.size >= 2 }
-        catch { case _: Exception => false }
-      if (!ingested) {
-        fs.delete(new org.apache.hadoop.fs.Path(root), true)
-        val src = s"$root/src"
-        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
-        val c = corpus.Corpus.fromDocuments(s, dir).select(col("docno"), col("content"))
-        // Split by docno RANGE (not hash): batch 0 holds the low docnos and
-        // becomes the lower docid epoch, so cross-batch docid order stays
-        // ≡ docno order and the engine's (score, docid) tie-break keeps
-        // matching the oracle's (score, docno) — a hash split would
-        // interleave docnos across epochs and flip tied ranks.
-        import s.implicits._
-        // Split point = the smallest docno of range-partition 1 of 2 — a
-        // distributed range split (no driver-side collect of the key set;
-        // any docno-range boundary works, batches only need docno order).
-        val mid = c.select($"docno").as[String]
-          .repartitionByRange(2, col("docno"))
-          .mapPartitions { it =>
-            if (org.apache.spark.TaskContext.getPartitionId() == 1)
-              it.reduceOption((a, b) => if (a <= b) a else b).iterator
-            else Iterator.empty
-          }.collect().headOption.getOrElse("")
-        streaming.StreamFixtures.writeOrderedBatches(s, src,
-          Seq(c.where(col("docno") < mid), c.where(col("docno") >= mid)))
-        streaming.StreamFixtures.withShufflePartitions(s, 8) {
-          streaming.StreamingIngest.start(s, src, root,
-            graft.index.IndexConfig(analyzer = Engine.OracleAnalyzer))
-            .awaitTermination()
-        }
-      }
-      val union = streaming.StreamingIngest.openUnion(s, root)
+      val union = streamedUnion(s, dir)
       new graft.search.Searcher(union).search(topics, TopK)
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
+    }),
+    // streaming/incremental cardinality: one HLL register table PER INGEST
+    // EPOCH (each delta index's term universe), merged by elementwise max —
+    // must equal the batch register table over everything streamed, which
+    // is exactly what the oracle recomputes from the raw corpus. Certifies
+    // the sketch's segment-mergeability end-to-end: at 10^12 docs each
+    // micro-batch ships a 2^p-row sketch and the union never rescans.
+    "q_stream_cardinality" -> ((s, dir) => {
+      val union = streamedUnion(s, dir)
+      union.dirs.map { d =>
+          ops.Sketch.hllRegisters(
+            s.read.parquet(s"$d/${graft.index.IndexLayout.TermStatsDir}")
+              .select("term"), "term", HllP)
+        }
+        .reduce(_ union _)
+        .groupBy("bucket").agg(max("register").as("register"))
+        .orderBy("bucket")
     }),
     // streaming stateful exact dedup: batch 0 streams the corpus, batch 1
     // streams dup-prefixed copies of the even docs (dropped by STATE),
@@ -1774,6 +1764,56 @@ object SparkEntry {
     * re-checks the fingerprint (cheap one-row agg), so an edited corpus
     * invalidates the cache even within one JVM.
     */
+  /** The shared streamed-ingest fixture (q_stream_topk,
+    * q_stream_cardinality): the corpus split into two docno-RANGE batches
+    * and ingested as delta indexes, cached under a content-fingerprinted
+    * root. Range (not hash) split: batch 0 holds the low docnos and
+    * becomes the lower docid epoch, so cross-batch docid order stays ≡
+    * docno order and the engine's (score, docid) tie-break keeps matching
+    * the oracle's (score, docno) — a hash split would interleave docnos
+    * across epochs and flip tied ranks.
+    */
+  private def streamedUnion(s: SparkSession, dir: String): graft.streaming.UnionIndex = {
+    val safeSf = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    // corpus CONTENT fingerprint in the root path (keys + content, unlike
+    // IndexBuilder's keys-only scheme) so a regenerated fixture — even one
+    // with identical docnos but changed text — can never serve stale
+    // streamed batches
+    val fp = streaming.StreamFixtures.fingerprint(
+      corpus.Corpus.fromDocuments(s, dir), Seq(col("docno"), col("content")))
+    val root = s"${Engine.workDir}/stream_${safeSf}_$fp"
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val ingested =
+      try { streaming.StreamingIngest.openUnion(s, root).dirs.size >= 2 }
+      catch { case _: Exception => false }
+    if (!ingested) {
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val src = s"$root/src"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      val c = corpus.Corpus.fromDocuments(s, dir).select(col("docno"), col("content"))
+      import s.implicits._
+      // Split point = the smallest docno of range-partition 1 of 2 — a
+      // distributed range split (no driver-side collect of the key set;
+      // any docno-range boundary works, batches only need docno order).
+      val mid = c.select($"docno").as[String]
+        .repartitionByRange(2, col("docno"))
+        .mapPartitions { it =>
+          if (org.apache.spark.TaskContext.getPartitionId() == 1)
+            it.reduceOption((a, b) => if (a <= b) a else b).iterator
+          else Iterator.empty
+        }.collect().headOption.getOrElse("")
+      streaming.StreamFixtures.writeOrderedBatches(s, src,
+        Seq(c.where(col("docno") < mid), c.where(col("docno") >= mid)))
+      streaming.StreamFixtures.withShufflePartitions(s, 8) {
+        streaming.StreamingIngest.start(s, src, root,
+          graft.index.IndexConfig(analyzer = Engine.OracleAnalyzer))
+          .awaitTermination()
+      }
+    }
+    streaming.StreamingIngest.openUnion(s, root)
+  }
+
   private def neardupPipeline(s: SparkSession,
                               dir: String): (DataFrame, DataFrame) = {
     // deliberately NO in-JVM memo of DataFrames: a dir-keyed memo would
@@ -2935,6 +2975,40 @@ object SparkEntry {
          |)
          |SELECT qid, docno, rank FROM franked2 WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
+    // streaming cardinality: per-epoch register tables merged by max must
+    // equal the batch replay over everything streamed — the oracle IS the
+    // batch replay (same SQL as q_cardinality; the streamed fixture holds
+    // exactly the corpus, split in two)
+    "q_stream_cardinality" -> withCtes(
+      s""",
+         |terms AS (SELECT DISTINCT term FROM tok),
+         |h AS (SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT AS h1,
+         |             ('0x' || substr(md5(term), 9, 8))::BIGINT AS h2
+         |      FROM terms),
+         |r AS (SELECT h1 // ${1L << (32 - HllP)} AS bucket,
+         |             (h1 % ${1L << (32 - HllP)}) * 4294967296 + h2 AS w
+         |      FROM h)
+         |SELECT bucket,
+         |       max(CASE WHEN w = 0 THEN ${64 - HllP + 1}
+         |                ELSE ${64 - HllP + 1} - length(bin(w)) END) AS register
+         |FROM r GROUP BY bucket
+         |ORDER BY bucket""".stripMargin),
+    // count-min: one row per term occurrence (tok) is the cf weighting;
+    // the d×w counter table replayed with the same md5("i:term") column
+    // hash, integer-exact
+    "q_cms" -> withCtes(
+      s""",
+         |cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+         |cells AS (
+         |  SELECT idx.i AS row,
+         |         ('0x' || substr(md5(cast(idx.i AS varchar) || ':' || term), 1, 8))::BIGINT
+         |           % $CmsW AS col,
+         |         cf
+         |  FROM cf CROSS JOIN (SELECT unnest(range(0, $CmsD)) AS i) idx
+         |)
+         |SELECT row, col, sum(cf) AS cnt FROM cells
+         |GROUP BY row, col
+         |ORDER BY row, col""".stripMargin),
     // cardinality: the md5-derived HLL register table replayed
     // bit-for-bit — h1/h2 are the same 32-bit md5 halves as the minhash
     // oracle, bucket = h1 >> 24, w = (h1 mod 2^24)·2^32 + h2,

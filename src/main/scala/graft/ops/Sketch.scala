@@ -46,6 +46,52 @@ object Sketch {
       .groupBy("bucket").agg(max("rho").as("register"))
   }
 
+  /** Count-min sketch (Cormode-Muthukrishnan 2005) for point frequency
+    * estimation — the heavy-hitter / frequency-capping primitive a
+    * training pipeline runs where an exact per-key count would shuffle the
+    * whole key universe: `d`×`w` integer counters, one map-side-combinable
+    * agg, output ≤ d·w rows regardless of input size, mergeable across
+    * segments by elementwise SUM (the linearity that makes micro-batch
+    * ingest additive). Estimates are one-sided: est(v) ≥ true(v) always,
+    * and exceeds it only by colliding mass (≤ e·N/w with probability
+    * 1−e^−d).
+    *
+    * Determinism contract (oracle-replayable): counter row i ∈ [0, d);
+    * column = first-8-hex-chars of md5("i:value") mod w — integer-exact
+    * end to end.
+    */
+  def cmsCounts(values: DataFrame, valueCol: String, weightCol: String,
+                d: Int = 4, w: Int = 256): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    val rows = values.select(col(valueCol).as("v"),
+        col(weightCol).cast("long").as("wt"))
+      .withColumn("row", explode(array((0 until d).map(lit): _*)))
+    val cell = pmod(
+      conv(substring(md5(concat(col("row").cast("string"), lit(":"), col("v"))),
+        1, 8), 16, 10).cast("long"),
+      lit(w.toLong))
+    rows.select(col("row").cast("long").as("row"), cell.as("col"), col("wt"))
+      .groupBy("row", "col").agg(sum("wt").as("cnt"))
+  }
+
+  /** Point estimate from a collected sketch: min over the d counters the
+    * value hashes to (absent cells are 0). `sketch` is the ≤ d·w-row
+    * output of [[cmsCounts]] — driver-sized by construction.
+    */
+  def cmsEstimate(sketch: DataFrame, value: String, d: Int = 4,
+                  w: Int = 256): Long = {
+    val cells = sketch.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until d).map { i =>
+      val hex = md.digest(s"$i:$value".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      md.reset()
+      val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      cells.getOrElse((i.toLong, h % w), 0L)
+    }.min
+  }
+
   /** The HLL estimate from a register table (≤ 2^p rows, collected — the
     * sketch is driver-sized by construction): alpha_m · m² / Σ 2^(−reg),
     * with the standard small-range linear-counting correction when the raw

@@ -62,6 +62,38 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(est - 40) / 40.0 < 0.15, s"estimate $est")
   }
 
+  test("count-min estimates are one-sided and exact for isolated keys") {
+    import spark.implicits._
+    // skewed truth: key-i has weight i
+    val truth = (1 to 300).map(i => (s"key-$i", i.toLong))
+    val sketch = Sketch.cmsCounts(truth.toDF("v", "wt"), "v", "wt", 4, 256)
+    val cells = sketch.collect()
+    assert(cells.length <= 4 * 256)
+    val total = truth.map(_._2).sum
+    truth.foreach { case (v, t) =>
+      val est = Sketch.cmsEstimate(sketch, v, 4, 256)
+      assert(est >= t, s"$v: est $est < true $t") // one-sided, always
+      // colliding mass is bounded by the sketch's whole budget
+      assert(est <= t + total, s"$v: est $est")
+    }
+    // an unseen key can only read colliding mass, never invent a row
+    assert(Sketch.cmsEstimate(sketch, "never-seen-xyz", 4, 256) <
+      truth.map(_._2).max * 4)
+  }
+
+  test("count-min sketches merge by elementwise sum (linearity)") {
+    import spark.implicits._
+    val a = (1 to 200).map(i => (s"m-$i", (i % 7 + 1).toLong))
+    val b = (100 to 280).map(i => (s"m-$i", (i % 5 + 1).toLong))
+    def cells(rows: Seq[(String, Long)]): Map[(Long, Long), Long] =
+      Sketch.cmsCounts(rows.toDF("v", "wt"), "v", "wt", 4, 64).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (ca, cb, cab) = (cells(a), cells(b), cells(a ++ b))
+    val summed = (ca.keySet ++ cb.keySet).map(k =>
+      k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+    assert(cab == summed)
+  }
+
   test("registers merge by elementwise max (segment-unionable)") {
     val a = (1 to 2000).map(i => s"left-$i")
     val b = (1 to 2000).map(i => s"right-$i")
