@@ -436,6 +436,18 @@ object SparkEntry {
           "term", "cf", CmsD, CmsW)
         .orderBy("row", "col")
     }),
+    // cardinality nested under date_histogram (≙ ES daily-uniques): one
+    // independent HLL sketch of user_id per day over the events table —
+    // distinct users per day at 100 TB without shuffling the (day, user)
+    // universe; integer-exact register replay per bucket
+    "q_daily_uniques" -> ((s, dir) => {
+      ops.Sketch.hllRegistersBy(
+          s.read.parquet(s"$dir/events.parquet")
+            .select(unix_timestamp(date_trunc("day", col("ts"))).as("day_ts"),
+              col("user_id")),
+          Seq("day_ts"), "user_id", HllP)
+        .orderBy("day_ts", "bucket")
+    }),
     // Code-search end-to-end flagship: an index built with the identifier
     // tokenizer, searched with lang FILTER + repo COLLAPSE composed — the
     // north rule's (repo, path, commit, lang, content) query shape in one
@@ -2993,6 +3005,23 @@ object SparkEntry {
          |                ELSE ${64 - HllP + 1} - length(bin(w)) END) AS register
          |FROM r GROUP BY bucket
          |ORDER BY bucket""".stripMargin),
+    // daily uniques: the per-day HLL register replay — same md5
+    // construction keyed by the day bucket; user_id hashes via its
+    // canonical integer rendering
+    "q_daily_uniques" ->
+      s"""WITH h AS (
+         |  SELECT epoch(date_trunc('day', ts))::BIGINT AS day_ts,
+         |         ('0x' || substr(md5(cast(user_id AS varchar)), 1, 8))::BIGINT AS h1,
+         |         ('0x' || substr(md5(cast(user_id AS varchar)), 9, 8))::BIGINT AS h2
+         |  FROM events),
+         |r AS (SELECT day_ts, h1 // ${1L << (32 - HllP)} AS bucket,
+         |             (h1 % ${1L << (32 - HllP)}) * 4294967296 + h2 AS w
+         |      FROM h)
+         |SELECT day_ts, bucket,
+         |       max(CASE WHEN w = 0 THEN ${64 - HllP + 1}
+         |                ELSE ${64 - HllP + 1} - length(bin(w)) END) AS register
+         |FROM r GROUP BY day_ts, bucket
+         |ORDER BY day_ts, bucket""".stripMargin,
     // count-min: one row per term occurrence (tok) is the cf weighting;
     // the d×w counter table replayed with the same md5("i:term") column
     // hash, integer-exact

@@ -31,9 +31,19 @@ object Sketch {
     * buckets are simply absent (their register is 0 by convention —
     * [[hllEstimate]] accounts for them).
     */
-  def hllRegisters(values: DataFrame, valueCol: String, p: Int = 8): DataFrame = {
+  def hllRegisters(values: DataFrame, valueCol: String, p: Int = 8): DataFrame =
+    hllRegistersBy(values, Nil, valueCol, p)
+
+  /** Grouped register tables — one independent sketch per key combination
+    * (≙ a cardinality agg nested under date_histogram/terms buckets):
+    * same single map-side-combinable agg, output ≤ 2^p rows PER GROUP.
+    * Non-string values hash via their canonical string rendering (cast),
+    * which DuckDB/Spark agree on for integers.
+    */
+  def hllRegistersBy(values: DataFrame, groupCols: Seq[String],
+                     valueCol: String, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
-    val v: Column = col(valueCol)
+    val v: Column = col(valueCol).cast("string")
     val h1 = conv(substring(md5(v), 1, 8), 16, 10).cast("long")
     val h2 = conv(substring(md5(v), 9, 8), 16, 10).cast("long")
     val bucket = shiftright(h1, 32 - p)
@@ -42,8 +52,10 @@ object Sketch {
     val width = 64 - p
     val rho = when(w === 0, lit(width + 1))
       .otherwise(lit(width + 1) - length(bin(w)))
-    values.select(bucket.as("bucket"), rho.cast("long").as("rho"))
-      .groupBy("bucket").agg(max("rho").as("register"))
+    values.select(groupCols.map(col) ++
+        Seq(bucket.as("bucket"), rho.cast("long").as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rho").as("register"))
   }
 
   /** Count-min sketch (Cormode-Muthukrishnan 2005) for point frequency

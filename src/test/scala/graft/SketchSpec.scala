@@ -62,6 +62,17 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(est - 40) / 40.0 < 0.15, s"estimate $est")
   }
 
+  test("grouped registers ≡ one independent sketch per group") {
+    import spark.implicits._
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", s"u-${i % 700}"))
+    val grouped = Sketch.hllRegistersBy(rows.toDF("g", "v"), Seq("g"), "v", P)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val perGroup = rows.groupBy(_._1).flatMap { case (g, vs) =>
+      registers(vs.map(_._2)).map { case (b, reg) => (g, b) -> reg }
+    }
+    assert(grouped == perGroup)
+  }
+
   test("count-min estimates are one-sided and exact for isolated keys") {
     import spark.implicits._
     // skewed truth: key-i has weight i
