@@ -105,6 +105,18 @@ object Engine {
       IndexConfig(analyzer = CodeAnalyzer,
         rangePartitions = OracleRangePartitions), "code")
 
+  /** 2-shingle analysis (≙ Elasticsearch `index_phrases` / a ShingleFilter
+    * field): unigrams + word bigrams in one postings space — exact phrase
+    * lookups become single-term reads.
+    */
+  val ShingleAnalyzer: AnalyzerConfig =
+    AnalyzerConfig(stopWords = Set("a", "the"), shingleSize = 2)
+
+  def shingleIndex(spark: SparkSession, sfDir: String): BuiltIndex =
+    indexFor(spark, sfDir,
+      IndexConfig(analyzer = ShingleAnalyzer,
+        rangePartitions = OracleRangePartitions), "shingle")
+
   /** Trigram substring index ([[graft.index.TrigramIndex]], Zoekt-style)
     * over the raw corpus content — built once per corpus under the work
     * dir, resumed from its checkpoint manifest afterwards like every

@@ -628,6 +628,17 @@ object SparkEntry {
         .select(col("term"), col("df").cast("long").as("df"))
         .orderBy("term")
     }),
+    // 2-shingle index df (≙ ShingleFilter outputUnigrams / ES
+    // index_phrases): bigram-term document frequencies from an index whose
+    // analyzer interleaves word bigrams with the unigrams — exact phrases
+    // become single-term postings reads; unigram rows stay covered by
+    // q_df, so the gate selects the shingle rows (term contains a space)
+    "q_shingle_df" -> ((s, dir) => {
+      Engine.shingleIndex(s, dir).termStats
+        .where(col("term").contains(" "))
+        .select(col("term"), col("df").cast("long").as("df"))
+        .orderBy("term")
+    }),
     // ClassicTokenizer over the corpus + a fixed enrichment suffix that
     // fires every alternation branch; output = (docno, pos, term), exactly
     // replayed by the oracle's RE2 run of the same ordered pattern
@@ -2802,6 +2813,25 @@ object SparkEntry {
     "q_tf" -> withCtes(
       """SELECT term, docno, count(*)::BIGINT AS tf
         |FROM tok GROUP BY term, docno ORDER BY term, docno""".stripMargin),
+    // shingle gate: word bigrams over the post-stop token lists (no filler
+    // tokens — shingles join consecutive SURVIVING terms, the documented
+    // deviation), df per bigram; same list machinery as the minhash CTEs
+    "q_shingle_df" -> withCtes(
+      """,
+        |shl AS (
+        |  SELECT docno,
+        |         list_filter(string_split_regex(lower(content), '\s+'),
+        |                     t -> t <> '' AND t NOT IN ('a', 'the')) AS toks
+        |  FROM corpus
+        |),
+        |big AS (
+        |  SELECT DISTINCT docno,
+        |         unnest(list_transform(range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i + 1])) AS term
+        |  FROM shl WHERE len(toks) >= 2
+        |)
+        |SELECT term, count(*)::BIGINT AS df FROM big
+        |GROUP BY term ORDER BY term""".stripMargin),
     // fold gate: tokens from the folded lowered enriched content; the fold
     // expression is GENERATED from the same table the engine folds with
     "q_fold_df" ->

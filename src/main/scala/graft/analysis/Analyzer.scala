@@ -8,16 +8,18 @@ final case class AnalyzerConfig(
     tokenizer: String = "whitespace",
     stopWords: Set[String] = Set.empty,
     stemmer: String = "none",
-    foldAscii: Boolean = false // ≙ ASCIIFoldingFilter (AsciiFold subset)
+    foldAscii: Boolean = false, // ≙ ASCIIFoldingFilter (AsciiFold subset)
+    shingleSize: Int = 1 // ≙ ShingleFilter(n, outputUnigrams) when > 1
 ) {
   /** Stable id used in index manifests so a config change invalidates
-    * checkpointed stages. (`fold=1` appended only when enabled, so every
-    * pre-existing checkpointed index id is unchanged.)
+    * checkpointed stages. (`fold=1`/`sh=n` appended only when enabled, so
+    * every pre-existing checkpointed index id is unchanged.)
     */
   def id: String = {
     val stop = if (stopWords.isEmpty) "-" else stopWords.toSeq.sorted.mkString(",")
     val fold = if (foldAscii) ";fold=1" else ""
-    s"tok=$tokenizer;stop=${Integer.toHexString(stop.hashCode)};stem=$stemmer$fold"
+    val sh = if (shingleSize > 1) s";sh=$shingleSize" else ""
+    s"tok=$tokenizer;stop=${Integer.toHexString(stop.hashCode)};stem=$stemmer$fold$sh"
   }
 }
 
@@ -69,6 +71,36 @@ final class Analyzer(val cfg: AnalyzerConfig) extends Serializable {
         out += (if (stemming) stemmer.stem(low) else low)
       }
     }
+    val base = out.result()
+    if (cfg.shingleSize <= 1) base else shingled(base)
+  }
+
+  /** Word n-gram shingling over the post-stop term stream (≙ Lucene's
+    * ShingleFilter with outputUnigrams=true / Elasticsearch's
+    * `index_phrases` 2-shingle field — the index-time phrase-speed trade):
+    * at each term emit the unigram, then the space-joined n-gram starting
+    * there, Lucene's emission order. One documented deviation: no "_"
+    * filler tokens at stop-removed positions — shingles join consecutive
+    * SURVIVING terms, so a shingle can span a removed stopword
+    * (ShingleSpec locks this). Shingles count toward doc length exactly
+    * like Lucene (FieldInvertState.getLength counts every emitted token,
+    * position-increment-0 ones included).
+    */
+  private def shingled(base: Array[String]): Array[String] = {
+    val n = cfg.shingleSize
+    val out = Array.newBuilder[String]
+    out.sizeHint(2 * base.length)
+    var i = 0
+    while (i < base.length) {
+      out += base(i)
+      if (i + n <= base.length) {
+        val sb = new java.lang.StringBuilder(base(i))
+        var j = i + 1
+        while (j < i + n) { sb.append(' ').append(base(j)); j += 1 }
+        out += sb.toString
+      }
+      i += 1
+    }
     out.result()
   }
 
@@ -95,7 +127,27 @@ final class Analyzer(val cfg: AnalyzerConfig) extends Serializable {
       }
       pos += 1
     }
-    out.result()
+    val base = out.result()
+    if (cfg.shingleSize <= 1) base
+    else {
+      // a shingle sits at its FIRST token's position (posIncrement 0
+      // after the unigram), like ShingleFilter
+      val n = cfg.shingleSize
+      val sh = Array.newBuilder[(String, Int)]
+      sh.sizeHint(2 * base.length)
+      var i = 0
+      while (i < base.length) {
+        sh += base(i)
+        if (i + n <= base.length) {
+          val sb = new java.lang.StringBuilder(base(i)._1)
+          var j = i + 1
+          while (j < i + n) { sb.append(' ').append(base(j)._1); j += 1 }
+          sh += ((sb.toString, base(i)._2))
+        }
+        i += 1
+      }
+      sh.result()
+    }
   }
 
   /** (term, tf, positions) triples for one document plus its doc length —

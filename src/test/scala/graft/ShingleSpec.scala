@@ -1,0 +1,78 @@
+package graft
+
+import graft.analysis.{Analyzer, AnalyzerConfig}
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search.{Searcher, Topic, WeightedClause}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Index-time word shingles (AnalyzerConfig.shingleSize ≙ ShingleFilter
+  * with outputUnigrams / Elasticsearch index_phrases): emission order,
+  * positions, the documented no-filler deviation, and the phrase-speed
+  * equivalence the feature exists for — an exact phrase answered by ONE
+  * shingle-term postings read ranks the same docs a positional phrase
+  * query walks positions for.
+  */
+class ShingleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val an2 = new Analyzer(
+    AnalyzerConfig(stopWords = Set("a", "the"), shingleSize = 2))
+
+  test("interleaved emission: unigram then the shingle starting there") {
+    assert(an2.analyze("x y z").toSeq ==
+      Seq("x", "x y", "y", "y z", "z"))
+    assert(an2.analyze("solo").toSeq == Seq("solo"))
+    assert(an2.analyze("").toSeq == Seq.empty)
+  }
+
+  test("no filler tokens: shingles join consecutive surviving terms") {
+    // "the" is stopped; the shingle spans it (documented deviation from
+    // ShingleFilter's "_" fillers)
+    assert(an2.analyze("x the y").toSeq == Seq("x", "x y", "y"))
+  }
+
+  test("a shingle sits at its first token's position") {
+    // positions still count the stopped token (StopFilter gap semantics)
+    assert(an2.analyzeWithPositions("x the y").toSeq ==
+      Seq(("x", 0), ("x y", 0), ("y", 2)))
+  }
+
+  test("trigram shingles compose the same way") {
+    val an3 = new Analyzer(AnalyzerConfig(shingleSize = 3))
+    assert(an3.analyze("p q r s").toSeq ==
+      Seq("p", "p q r", "q", "q r s", "r", "s"))
+  }
+
+  test("exact phrase via one shingle term ≡ the positional phrase query") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d-1", "hash join wins"), ("d-2", "join hash loses"),
+      ("d-3", "hash hash join"), ("d-4", "hash and join"),
+      ("d-5", "other words"))
+    val corpus = docs.toDF("docno", "content")
+    val shIdx = IndexBuilder.build(corpus, TestSpark.tmpDir("shingle_idx"),
+      IndexConfig(analyzer = AnalyzerConfig(shingleSize = 2)))
+    val posIdx = IndexBuilder.build(corpus, TestSpark.tmpDir("shingle_pos"),
+      IndexConfig(indexPositions = true))
+    // single-term read of the shingle "hash join"
+    val viaShingle = new Searcher(shIdx)
+      .searchClauses(Seq(WeightedClause("1", 0, "hash join", 1.0f)), 10)
+      .collect().map(_.docno).toSet
+    // the positional phrase walk over the plain index
+    val viaPhrase = new Searcher(posIdx)
+      .searchQuery(Seq(Topic("1", "\"hash join\"")), 10)
+      .collect().map(_.docno).toSet
+    assert(viaShingle == Set("d-1", "d-3"))
+    assert(viaShingle == viaPhrase)
+  }
+
+  test("shingles count toward doc length like every emitted token") {
+    import spark.implicits._
+    val idx = IndexBuilder.build(
+      Seq(("d-1", "x y z")).toDF("docno", "content"),
+      TestSpark.tmpDir("shingle_dl"),
+      IndexConfig(analyzer = AnalyzerConfig(shingleSize = 2)))
+    val dl = idx.docs.select("dl").collect().map(_.getInt(0)).toSeq
+    assert(dl == Seq(5)) // x, "x y", y, "y z", z
+  }
+}
