@@ -639,6 +639,17 @@ object SparkEntry {
         .select(col("term"), col("df").cast("long").as("df"))
         .orderBy("term")
     }),
+    // ES index_phrases rewrite: an exact 2-word phrase runs as ONE term
+    // lookup on the shingle index — no positional decode, no per-doc
+    // co-group shuffle; scored with the bigram term's own stats (the
+    // documented ES trade vs the positional phrase weight). Oracle
+    // replays BM25 over the interleaved unigram+bigram token stream.
+    "q_phrase_shingle_topk" -> ((s, dir) => {
+      new graft.search.Searcher(Engine.shingleIndex(s, dir))
+        .searchPhraseShingle(Seq("1" -> "hash join", "2" -> "table scan"), TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     // ClassicTokenizer over the corpus + a fixed enrichment suffix that
     // fires every alternation branch; output = (docno, pos, term), exactly
     // replayed by the oracle's RE2 run of the same ordered pattern
@@ -2832,6 +2843,51 @@ object SparkEntry {
         |)
         |SELECT term, count(*)::BIGINT AS df FROM big
         |GROUP BY term ORDER BY term""".stripMargin),
+    // shingle-rewritten phrase gate: BM25 over the shingle FIELD's stats —
+    // tf/df of the bigram term, dl/sumttf counting every emitted token
+    // (unigrams AND shingles), N = corpus size; ranks replayed exactly
+    "q_phrase_shingle_topk" -> withCtes(
+      s""",
+         |shl AS (
+         |  SELECT docno,
+         |         list_filter(string_split_regex(lower(content), '\\s+'),
+         |                     t -> t <> '' AND t NOT IN ('a', 'the')) AS toks
+         |  FROM corpus
+         |),
+         |uni AS (SELECT docno, unnest(toks) AS term FROM shl),
+         |big AS (
+         |  SELECT docno,
+         |         unnest(list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i + 1])) AS term
+         |  FROM shl WHERE len(toks) >= 2
+         |),
+         |shtok AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+         |phq(qid, term) AS (VALUES ('1', 'hash join'), ('2', 'table scan')),
+         |tf AS (SELECT docno, term, count(*) AS tf FROM shtok
+         |       WHERE term IN (SELECT term FROM phq) GROUP BY docno, term),
+         |dl AS (SELECT docno, count(*) AS dl FROM shtok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM shtok
+         |       WHERE term IN (SELECT term FROM phq) GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM shtok) AS sumttf),
+         |scored AS (
+         |  SELECT q.qid, f.docno,
+         |         ((1.2 + 1.0) * f.tf)
+         |           / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.tf)
+         |           * (ln(1.0 + (st.n - v.df + 0.5) / (v.df + 0.5)) / ln(2.0)) AS score
+         |  FROM phq q
+         |  JOIN tf f ON f.term = q.term
+         |  JOIN dl d ON d.docno = f.docno
+         |  JOIN df v ON v.term = q.term
+         |  CROSS JOIN st
+         |),
+         |ranked AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scored
+         |)
+         |SELECT qid, docno, rank FROM ranked WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
     // fold gate: tokens from the folded lowered enriched content; the fold
     // expression is GENERATED from the same table the engine folds with
     "q_fold_df" ->

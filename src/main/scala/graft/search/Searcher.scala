@@ -144,6 +144,38 @@ final class Searcher(val index: BuiltIndex) {
       minShouldMatch = minShouldMatch)
   }
 
+  /** Phrase-via-shingles rewrite (≙ Elasticsearch `index_phrases` /
+    * MatchPhraseQuery routed to a 2-shingle subfield): on an index whose
+    * analyzer interleaves word n-shingles ([[graft.analysis.AnalyzerConfig
+    * .shingleSize]] > 1), an exact phrase of exactly n surviving words
+    * rewrites to a SINGLE term query on the shingle term — no positional
+    * decode and no per-document co-group: the read is one bucket-pruned,
+    * position-column-free postings scan feeding the ordinary top-k
+    * collector, which is the whole point of paying for shingles at index
+    * time. Scored as a TermQuery with the shingle term's own statistics
+    * (bigram df/cf, shingle-field doc length) — exactly ES's documented
+    * trade: the hit set is the exact-phrase hit set under this field's
+    * shingle semantics, while scores use the shingle field's stats rather
+    * than the positional phrase weight. `phrases` carries raw phrase text
+    * (no query syntax); phrases that don't analyze to exactly one shingle
+    * must take the positional path, so that misuse fails loudly here.
+    */
+  def searchPhraseShingle(phrases: Seq[(String, String)], k: Int = 1000,
+                          scorerName: String = "bm25"): Dataset[RunLine] = {
+    requireDistinctQids(phrases.map(p => Topic(p._1, p._2)))
+    val n = index.cfg.analyzer.shingleSize
+    require(n > 1,
+      "phrase-shingle rewrite needs a shingle-enabled index (AnalyzerConfig.shingleSize > 1)")
+    val clauses = phrases.map { case (qid, text) =>
+      val shingles = analyzer.analyze(text).filter(_.contains(' '))
+      require(shingles.length == 1,
+        s"phrase '$text' must analyze to exactly one $n-shingle (got " +
+          s"${shingles.length}); longer phrases need the positional path")
+      WeightedClause(qid, 0, shingles.head, 1.0f)
+    }
+    searchClauses(clauses, k, scorerName)
+  }
+
   /** Per-hit scoring breakdown (≙ IndexSearcher.explain, the debugging
     * surface SearchFiles-style tools print): for each topic's top-`k`
     * documents, one row per MATCHING query term with the integer scoring

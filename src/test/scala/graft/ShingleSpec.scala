@@ -66,6 +66,53 @@ class ShingleSpec extends AnyFunSuite {
     assert(viaShingle == viaPhrase)
   }
 
+  test("searchPhraseShingle: the rewrite IS the single-term read") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d-1", "hash join wins"), ("d-2", "join hash loses"),
+      ("d-3", "hash hash join hash join"), ("d-4", "other words"))
+    val shIdx = IndexBuilder.build(docs.toDF("docno", "content"),
+      TestSpark.tmpDir("shingle_rw"),
+      IndexConfig(analyzer = AnalyzerConfig(shingleSize = 2)))
+    val sr = new Searcher(shIdx)
+    val viaApi = sr.searchPhraseShingle(Seq("1" -> "hash join"), 10).collect()
+    val viaTerm = sr
+      .searchClauses(Seq(WeightedClause("1", 0, "hash join", 1.0f)), 10)
+      .collect()
+    // bit-identical RunLines: same docs, same ranks, same Float scores
+    assert(viaApi.toSeq.map(r => (r.docno, r.rank, r.score)) ==
+      viaTerm.toSeq.map(r => (r.docno, r.rank, r.score)))
+    // d-3 has tf=2 of the bigram (overlapping "hash hash join hash join"
+    // emits "hash join" at positions 1 and 3) and outranks d-1's tf=1...
+    assert(viaApi.map(_.docno).toSeq == Seq("d-3", "d-1"))
+    // ...and ineligible phrases fail loudly instead of degrading
+    intercept[IllegalArgumentException] {
+      sr.searchPhraseShingle(Seq("1" -> "hash join wins"), 10)
+    }
+    intercept[IllegalArgumentException] {
+      sr.searchPhraseShingle(Seq("1" -> "solo"), 10)
+    }
+  }
+
+  test("shingle rewrite reads no position columns") {
+    import spark.implicits._
+    val shIdx = IndexBuilder.build(
+      Seq(("d-1", "hash join")).toDF("docno", "content"),
+      TestSpark.tmpDir("shingle_prune"),
+      IndexConfig(analyzer = AnalyzerConfig(shingleSize = 2)))
+    // ReadSchema of every scan (the pruned views alias pos_blob to an
+    // empty literal, so the plan STRING legitimately contains the name —
+    // what must not contain it is what the parquet scan actually reads)
+    val scans = new Searcher(shIdx)
+      .searchPhraseShingle(Seq("1" -> "hash join"), 10)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach(f => assert(!f.contains("pos_blob"),
+      "the whole point of the rewrite: no positional decode\n" + f))
+  }
+
   test("shingles count toward doc length like every emitted token") {
     import spark.implicits._
     val idx = IndexBuilder.build(
