@@ -129,6 +129,17 @@ object Engine {
       graft.index.TrigramIndex.build(Corpus.fromDocuments(spark, sfDir),
         s"$workDir/trigram_${safeSf(sfDir)}"))
 
+  /** Index-time sort projection on `path` ([[graft.index.SortedDocs]],
+    * ≙ Lucene index sorting / ES index.sort.field) — built once per
+    * corpus under the work dir, resumed from its checkpoint manifest.
+    */
+  private val sortedDocsCache = TrieMap[String, graft.index.SortedDocs.Table]()
+
+  def sortedDocs(spark: SparkSession, sfDir: String): graft.index.SortedDocs.Table =
+    sortedDocsCache.getOrElseUpdate(sfDir,
+      graft.index.SortedDocs.build(Corpus.fromDocuments(spark, sfDir), "path",
+        s"$workDir/sorted_path_${safeSf(sfDir)}"))
+
   /** The PATH field indexed as its own field index (code-tokenized path
     * segments), for multi-field retrieval: same corpus + same range
     * fan-out as [[codeIndex]], so the deterministic docid packing (a

@@ -1545,6 +1545,22 @@ object SparkEntry {
     // as a distinct-per-doc sliding-window unnest over raw content
     "q_trigram_df" -> ((s, dir) =>
       graft.index.TrigramIndex.gramDf(Engine.trigramIndex(s, dir))),
+    // index-time sorting (Lucene setIndexSort / ES index.sort.field): the
+    // sorted sibling projection answers "first k docs by path" from a
+    // partition PREFIX — qid 1 match-all (one partition read at gate
+    // scale), qid 2 filtered to docs matching 'hash' (the prefix widens
+    // only until k survivors); oracle replays both as ORDER BY ... LIMIT
+    "q_index_sorted" -> ((s, dir) => {
+      import s.implicits._
+      val sd = Engine.sortedDocs(s, dir)
+      val all = sd.topByKey(TopK)
+      val filt = sd.topByKey(TopK,
+        filterDocnos = Some(Engine.searcher(s, dir).termDocnos("hash")))
+      val rows =
+        all.zipWithIndex.map { case ((p, d), i) => ("1", d, p, i.toLong) } ++
+        filt.zipWithIndex.map { case ((p, d), i) => ("2", d, p, i.toLong) }
+      rows.toDF("qid", "docno", "path", "rank").orderBy("qid", "rank")
+    }),
     // literal substring top-k THROUGH the trigram index: candidates =
     // docs posting every distinct trigram of the needle (bucket-pruned,
     // gram-pushed lookup), verified + occurrence-counted on content with
@@ -2843,6 +2859,21 @@ object SparkEntry {
         |)
         |SELECT term, count(*)::BIGINT AS df FROM big
         |GROUP BY term ORDER BY term""".stripMargin),
+    // index-sorted prefix gate: both qids are pure ORDER BY (path, docno)
+    // LIMIT k — qid 2 over the term-'hash' match set
+    "q_index_sorted" -> withCtes(
+      s""",
+         |m AS (SELECT DISTINCT docno FROM tok WHERE term = 'hash'),
+         |a AS (SELECT '1' AS qid, docno, path,
+         |        (row_number() OVER (ORDER BY path, docno) - 1) AS rank
+         |      FROM corpus),
+         |b AS (SELECT '2' AS qid, c.docno, c.path,
+         |        (row_number() OVER (ORDER BY c.path, c.docno) - 1) AS rank
+         |      FROM corpus c JOIN m USING (docno))
+         |SELECT qid, docno, path, rank::BIGINT AS rank FROM a WHERE rank < $TopK
+         |UNION ALL
+         |SELECT qid, docno, path, rank::BIGINT AS rank FROM b WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
     // shingle-rewritten phrase gate: BM25 over the shingle FIELD's stats —
     // tf/df of the bigram term, dl/sumttf counting every emitted token
     // (unigrams AND shingles), N = corpus size; ranks replayed exactly

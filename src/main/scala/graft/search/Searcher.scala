@@ -362,6 +362,34 @@ final class Searcher(val index: BuiltIndex) {
       .groupBy("qid", "ckey").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Docnos of the documents matching one analyzed term — the candidate
+    * surface index-sorted prefix scans ([[graft.index.SortedDocs]]) and
+    * other docno-keyed structures filter on: one bucket-pruned docid-run
+    * decode plus the DPP docno attach (only the docid ranges containing
+    * matches are read from the doc table).
+    */
+  def termDocnos(text: String): DataFrame = {
+    import spark.implicits._
+    val terms = analyzer.analyze(text).distinct.toSeq
+    require(terms.size == 1, s"termDocnos expects one analyzed term, got $terms")
+    val term = terms.head
+    val tombL = tombstonesBc
+    val matched = index.postingsMatch
+      .where(col("bucket") === IndexLayout.bucketOf(term, index.cfg.buckets) &&
+        col("term") === term)
+      .as[PostingRun]
+      .flatMap { run =>
+        PostingCodec.decodeDocids(run.ndocs, run.doc_blob)
+          .filter(d => Searcher.liveDoc(tombL, d))
+      }
+      .toDF("docid")
+    val docShift = index.cfg.groupShift + index.cfg.mergeShift
+    index.docs.select($"docid", $"docno", $"grp")
+      .join(matched.withColumn("grp", shiftright($"docid", docShift)),
+        Seq("docid", "grp"))
+      .select($"docno")
+  }
+
   /** Sorted retrieval (≙ Lucene's TopFieldCollector with
     * Sort(SortField.STRING asc) and trackScores=false): the top-k MATCHING
     * documents per topic ordered by a doc-values attribute, docid-asc
