@@ -1684,6 +1684,32 @@ object SparkEntry {
     // date-histogram aggregation (≙ Elasticsearch date_histogram with a
     // terms sub-aggregation): hourly buckets × event type over the events
     // table — count plus order-free exact extremes (no float sums)
+    // composite aggregation (≙ ES `composite` + after_key): three chained
+    // pages of 7 buckets over sources (event_type, day) — each page is an
+    // independent job whose after-predicate filters rows BEFORE the agg;
+    // driver state per page = the page itself. Oracle replays the pages
+    // as the row_number()-sliced full bucket list (pages chain
+    // deterministically, so the slices ARE the pages).
+    "q_composite" -> ((s, dir) => {
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      val aggs = Seq(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+      var after: Option[Seq[Any]] = None
+      val rows = Seq.newBuilder[(Long, String, String, Long, Double)]
+      for (p <- 0 until CompositePages) {
+        val page = ops.CompositeAgg
+          .page(ev, Seq("event_type", "day"), aggs, CompositePageSize, after)
+          .collect()
+        if (page.nonEmpty)
+          after = Some(Seq(page.last.getString(0), page.last.getString(1)))
+        page.foreach(r => rows += ((p.toLong, r.getString(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))))
+      }
+      rows.result().toDF("page", "event_type", "day", "n_events", "max_value")
+        .orderBy("page", "event_type", "day")
+    }),
     "q_date_histogram" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(date_trunc("hour", col("ts")).as("bkt"), col("event_type"))
@@ -2142,6 +2168,10 @@ object SparkEntry {
   val UpdateDocno = "doc-00000012"
   val UpdateContent = "hash hash hash hash join join join join " +
     "merge merge merge merge updated"
+
+  /** Composite-aggregation paging fixture: page size and page count. */
+  val CompositePageSize = 7
+  val CompositePages = 3
 
   /** Chunking fixture: 32-token windows every 24 tokens (8-token overlap). */
   val ChunkSize = 32
@@ -4340,6 +4370,19 @@ object SparkEntry {
          |ORDER BY qid, rank""".stripMargin),
     // date-histogram replay: hour truncation in the shared UTC frame,
     // epoch seconds keep the bucket key integer
+    // composite pages = deterministic row_number slices of the full
+    // key-ordered bucket list
+    "q_composite" ->
+      s"""WITH g AS (
+         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         |         count(*)::BIGINT AS n_events, max(value) AS max_value
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (ORDER BY event_type, day) - 1 AS rn
+         |      FROM g)
+         |SELECT CAST(rn // $CompositePageSize AS BIGINT) AS page, event_type,
+         |       day, n_events, max_value
+         |FROM r WHERE rn < ${CompositePages * CompositePageSize}
+         |ORDER BY page, event_type, day""".stripMargin,
     "q_date_histogram" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS bucket_ts,
         |       event_type, count(*)::BIGINT AS n_events,
