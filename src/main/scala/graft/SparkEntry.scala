@@ -132,6 +132,15 @@ object SparkEntry {
     ("n2", "table", "scan", 1),
     ("n3", "slow", "window", 3))
 
+  /** Unordered span-near topics (q_span_unordered_topk): term pairs given
+    * AGAINST their dominant text order, so the unordered walk's extra
+    * matches are what the entry certifies.
+    */
+  val SpanNearsU: Seq[(String, String, String, Int)] = Seq(
+    ("u1", "join", "hash", 2),
+    ("u2", "scan", "table", 1),
+    ("u3", "window", "slow", 3))
+
   /** Point-lookup docnos for the term-vectors gate entry. */
   val TermVectorDocnos: Seq[String] =
     Seq("doc-00000003", "doc-00000007", "doc-00000011")
@@ -790,6 +799,17 @@ object SparkEntry {
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       ops.Knn.bruteForceTopK(emb, q, 10)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    // pre-filtered kNN (≙ ES knn + filter): label = 2 restricts candidates
+    // BEFORE the search, so each query still gets k passing neighbors; the
+    // predicate pushes to the parquet scan
+    "q_knn_filtered" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ops.Knn.filteredTopK(emb, q, 10, col("label") === 2)
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
@@ -1634,6 +1654,13 @@ object SparkEntry {
     // engine's algorithm on 500 random position sets)
     "q_span_near_topk" -> ((s, dir) =>
       Engine.searcher(s, dir).searchSpanNear(SpanNears, TopK)
+        .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")),
+    // UNordered span-near (SpanNearQuery inOrder=false): min-start-advance
+    // walk, match when maxEnd − minStart − totalLength ≤ slop, slop factor
+    // 1/(1 + startDiff) — the oracle replays the walk as a recursive CTE
+    "q_span_unordered_topk" -> ((s, dir) =>
+      Engine.searcher(s, dir).searchSpanNear(SpanNearsU, TopK, ordered = false)
         .select(col("qid"), col("docno"), col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")),
     // query rescorer (≙ Elasticsearch rescore, score_mode total): the
@@ -3657,6 +3684,22 @@ object SparkEntry {
          |       (cumb // $PackSeqLen)::BIGINT AS chunk,
          |       (cumb % $PackSeqLen)::BIGINT AS chunk_offset
          |FROM cum ORDER BY docno""".stripMargin,
+    "q_knn_filtered" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |         list_cosine_similarity(q.qv, e.embedding) AS cos
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.qid AND e.label = 2
+        |),
+        |ranked AS (
+        |  SELECT qid, vec_id,
+        |         (row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) - 1) AS rank
+        |  FROM scored
+        |)
+        |SELECT qid, vec_id, rank FROM ranked WHERE rank < 10
+        |ORDER BY qid, rank""".stripMargin,
     "q_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
         |           FROM embeddings WHERE vec_id < 5),
@@ -4231,6 +4274,61 @@ object SparkEntry {
          |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
          |  FROM scoredn)
          |SELECT qid, docno, rank FROM rankedn WHERE rank < $TopK
+         |ORDER BY qid, rank""".stripMargin),
+    // unordered span-near replay: two-cursor min-start walk as a recursive
+    // CTE — each visited state contributes 1/(1+|pa−pb|) when
+    // |pa−pb| − 1 ≤ slop, then the min-start cursor advances
+    "q_span_unordered_topk" -> withCtesRec(
+      s""",
+         |dl AS (SELECT docno, count(*) AS dl FROM tok GROUP BY docno),
+         |df AS (SELECT term, count(DISTINCT docno) AS df FROM tok GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM corpus) AS n,
+         |              (SELECT count(*) FROM tok) AS sumttf),
+         |rawt AS (SELECT docno,
+         |         list_filter(string_split_regex(lower(content), '\\s+'),
+         |                     x -> x <> '') AS l FROM corpus),
+         |rawpos AS (SELECT docno, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |           FROM rawt),
+         |widf AS (SELECT d.term,
+         |                ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) / ln(2.0) AS w
+         |         FROM df d CROSS JOIN st),
+         |snu(qid, ta, tb, slop) AS (VALUES ${SpanNearsU
+            .map { case (q, a, b, sl) => s"('$q','$a','$b',$sl)" }.mkString(", ")}),
+         |lau AS (SELECT s.qid, r.docno, list(r.pos ORDER BY r.pos) AS la
+         |        FROM snu s JOIN rawpos r ON r.term = s.ta GROUP BY 1, 2),
+         |lbu AS (SELECT s.qid, r.docno, list(r.pos ORDER BY r.pos) AS lb
+         |        FROM snu s JOIN rawpos r ON r.term = s.tb GROUP BY 1, 2),
+         |initu AS (SELECT a.qid, a.docno, a.la, b.lb, s.slop
+         |          FROM lau a JOIN lbu b USING (qid, docno)
+         |          JOIN snu s ON s.qid = a.qid),
+         |walku(qid, docno, i, j, freq, done) AS (
+         |  SELECT qid, docno, 1, 1, CAST(0 AS DOUBLE), FALSE FROM initu
+         |  UNION ALL
+         |  SELECT w.qid, w.docno,
+         |    CASE WHEN i.la[w.i] <= i.lb[w.j] THEN w.i + 1 ELSE w.i END,
+         |    CASE WHEN i.la[w.i] <= i.lb[w.j] THEN w.j ELSE w.j + 1 END,
+         |    w.freq + CASE WHEN abs(i.la[w.i] - i.lb[w.j]) - 1 <= i.slop
+         |                  THEN 1.0 / (1 + abs(i.la[w.i] - i.lb[w.j])) ELSE 0 END,
+         |    CASE WHEN i.la[w.i] <= i.lb[w.j] THEN w.i + 1 > len(i.la)
+         |         ELSE w.j + 1 > len(i.lb) END
+         |  FROM walku w JOIN initu i USING (qid, docno)
+         |  WHERE NOT w.done
+         |),
+         |sfu AS (SELECT qid, docno, freq FROM walku WHERE done AND freq > 0),
+         |scoredu AS (
+         |  SELECT f.qid, f.docno,
+         |         ((1.2 + 1.0) * f.freq)
+         |         / (1.2 * (1.0 - 0.75 + 0.75 * (d.dl / (st.sumttf / CAST(st.n AS DOUBLE)))) + f.freq)
+         |         * (1.0 + wa.w + wb.w) AS score
+         |  FROM sfu f JOIN dl d USING (docno) CROSS JOIN st
+         |  JOIN snu s ON s.qid = f.qid
+         |  JOIN widf wa ON wa.term = s.ta
+         |  JOIN widf wb ON wb.term = s.tb),
+         |rankedu AS (
+         |  SELECT qid, docno,
+         |         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno ASC) - 1) AS rank
+         |  FROM scoredu)
+         |SELECT qid, docno, rank FROM rankedu WHERE rank < $TopK
          |ORDER BY qid, rank""".stripMargin),
     // rescore replay: base ranking from the shared CTEs, window = rank<50,
     // proximity phrase freq from raw adjacency, total = base + 2·phrase

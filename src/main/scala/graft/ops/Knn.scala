@@ -82,6 +82,19 @@ object Knn {
     rankTopK(scored, k)
   }
 
+  /** Pre-filtered exact kNN (≙ Elasticsearch `knn` with `filter`): the
+    * predicate restricts the candidate set BEFORE the search, so every
+    * query still gets k passing neighbors — unlike post-filtering a
+    * finished top-k, which can return fewer than k (or none) for
+    * selective filters. `keep` is a plain column predicate, so it pushes
+    * to the parquet scan and the norm arithmetic is never spent on
+    * filtered-out vectors. Composes identically with [[lshTopK]]
+    * (`lshTopK(vectors.where(keep), …)`) for the approximate path.
+    */
+  def filteredTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                   keep: Column): DataFrame =
+    bruteForceTopK(vectors.where(keep), queries, k)
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * md5-derived uniform in [-1, 1). Pure column expression.
     */

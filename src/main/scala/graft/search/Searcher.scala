@@ -843,25 +843,35 @@ final class Searcher(val index: BuiltIndex) {
         col("df").cast("long").as("df"), col("rank"))
   }
 
-  /** SpanNearQuery(ordered) over two single-term spans — the faithful
-    * NearSpansOrdered enumeration: repeatedly stretch to order (first B
-    * strictly after the current A), shrink to the shortest match (the
-    * LARGEST A before that B), emit slop factor 1/(1+gap) when the gap is
-    * within `slop`, then advance the first span past the shrunk A. Note
-    * the shrink step makes this genuinely different from the sloppy
-    * phrase's event walk: each B pairs with at most its closest A, and
-    * skipped A's are consumed. Scored like phrases: the walk's freq
-    * through the similarity's TF saturation against the accumulated
-    * two-term weight. One bucket-pruned positional scan serves the batch.
+  /** SpanNearQuery over two single-term spans, both directions.
+    *
+    * `ordered = true` is the faithful NearSpansOrdered enumeration:
+    * repeatedly stretch to order (first B strictly after the current A),
+    * shrink to the shortest match (the LARGEST A before that B), emit
+    * slop factor 1/(1+gap) when the gap is within `slop`, then advance
+    * the first span past the shrunk A. Note the shrink step makes this
+    * genuinely different from the sloppy phrase's event walk: each B
+    * pairs with at most its closest A, and skipped A's are consumed.
+    *
+    * `ordered = false` is the faithful NearSpansUnordered enumeration:
+    * visit every cursor state reachable by advancing the min-start span,
+    * match when maxEnd − minStart − totalSpanLength ≤ slop, slop factor
+    * from width() = the start-position difference (Lucene's unordered
+    * width, distinct from the ordered walk's gap).
+    *
+    * Scored like phrases: the walk's freq through the similarity's TF
+    * saturation against the accumulated two-term weight. One
+    * bucket-pruned positional scan serves the batch.
     */
   def searchSpanNear(spans: Seq[(String, String, String, Int)], k: Int = 1000,
-                     scorerName: String = "bm25"): Dataset[RunLine] = {
+                     scorerName: String = "bm25",
+                     ordered: Boolean = true): Dataset[RunLine] = {
     require(spans.nonEmpty, "searchSpanNear needs at least one span")
     require(spans.map(_._1).distinct.size == spans.size,
       "duplicate qids in one span batch")
     require(spans.forall(_._4 >= 0), "slop must be non-negative")
     require(spans.forall(s => s._2 != s._3),
-      "ordered near of a repeated term needs repeat-occurrence pinning; unsupported")
+      "span near of a repeated term needs repeat-occurrence pinning; unsupported")
     require(index.cfg.indexPositions,
       "span queries need a positions-enabled index (IndexConfig.indexPositions)")
     import spark.implicits._
@@ -905,6 +915,7 @@ final class Searcher(val index: BuiltIndex) {
     val tombL = tombstonesBc
     val spanArrB = spanArr
     val weightsB = weights
+    val orderedB = ordered
     val scored: Dataset[(String, Long, Float)] = occ
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups[(String, Long, Float)] {
@@ -921,22 +932,41 @@ final class Searcher(val index: BuiltIndex) {
         else {
           val (qid, _, _, slop) = spanArrB(key._1)
           var freq = 0.0f
-          var i = 0
-          while (i < la.length) {
-            val a = la(i)
-            // first B strictly after a (stretchToOrder)
-            var bi = java.util.Arrays.binarySearch(lb, a + 1)
-            if (bi < 0) bi = -bi - 1
-            if (bi >= lb.length) { i = la.length } // exhausted: stop
-            else {
-              val b = lb(bi)
-              // shrink: the largest A before b; ai = count of A's < b
-              var ai = java.util.Arrays.binarySearch(la, b)
-              if (ai < 0) ai = -ai - 1
-              val aShrunk = la(ai - 1) // ai ≥ i+1 > 0 since la(i) < b
-              val gap = b - aShrunk - 1
-              if (gap <= slop) freq += 1.0f / (1 + gap)
-              i = ai // advance the first span past the shrunk A
+          if (orderedB) {
+            var i = 0
+            while (i < la.length) {
+              val a = la(i)
+              // first B strictly after a (stretchToOrder)
+              var bi = java.util.Arrays.binarySearch(lb, a + 1)
+              if (bi < 0) bi = -bi - 1
+              if (bi >= lb.length) { i = la.length } // exhausted: stop
+              else {
+                val b = lb(bi)
+                // shrink: the largest A before b; ai = count of A's < b
+                var ai = java.util.Arrays.binarySearch(la, b)
+                if (ai < 0) ai = -ai - 1
+                val aShrunk = la(ai - 1) // ai ≥ i+1 > 0 since la(i) < b
+                val gap = b - aShrunk - 1
+                if (gap <= slop) freq += 1.0f / (1 + gap)
+                i = ai // advance the first span past the shrunk A
+              }
+            }
+          } else {
+            // NearSpansUnordered: visit every state reachable by advancing
+            // the min-start span; a state matches when maxEnd − minStart −
+            // totalSpanLength ≤ slop (⇔ width − 1 ≤ slop for single-term
+            // spans), contributing the slop factor of width() = the START
+            // position difference — NOT the ordered walk's gap (Lucene's
+            // ordered width is lastStart − firstEnd; the asymmetry is the
+            // reference behavior, spec-locked)
+            var i = 0
+            var j = 0
+            while (i < la.length && j < lb.length) {
+              val pa = la(i)
+              val pb = lb(j)
+              val width = math.abs(pa - pb)
+              if (width - 1 <= slop) freq += 1.0f / (1 + width)
+              if (pa <= pb) i += 1 else j += 1
             }
           }
           if (freq == 0.0f) Iterator.empty

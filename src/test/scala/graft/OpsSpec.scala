@@ -167,6 +167,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L, 4L, 2L, 3L)) // by cosine to (1,0,0)
   }
 
+  test("filtered knn: pre-filter guarantees k passing neighbors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f, 0.0f), 1), // best unfiltered neighbor
+      (2L, Array(0.0f, 1.0f, 0.0f), 2),
+      (3L, Array(-1.0f, 0.0f, 0.0f), 2),
+      (4L, Array(0.5f, 0.5f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val q = vecs.where($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    // pre-filter: label-2 only — vec 1 never enters, and the query still
+    // gets k=3 passing neighbors (post-filtering brute@3 would return 2)
+    val got = Knn.filteredTopK(vecs, q, 3, $"label" === 2).orderBy("rank")
+      .collect().map(_.getLong(1))
+    assert(got.toSeq == Seq(4L, 2L, 3L))
+  }
+
   test("lsh knn: deterministic and high recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") < 10)

@@ -103,6 +103,49 @@ class SpanCompleteSpec extends AnyFunSuite {
     }
   }
 
+  test("span-near unordered: the NearSpansUnordered walk (min-start advance)") {
+    import spark.implicits._
+    // independent brute reimplementation: every min-start-advance state,
+    // match when |pa−pb| − 1 ≤ slop, slop factor 1/(1+|pa−pb|)
+    def walkU(la: Seq[Int], lb: Seq[Int], slop: Int): Float = {
+      var freq = 0.0f; var i = 0; var j = 0
+      while (i < la.length && j < lb.length) {
+        val w = math.abs(la(i) - lb(j))
+        if (w - 1 <= slop) freq += 1.0f / (1 + w)
+        if (la(i) <= lb(j)) i += 1 else j += 1
+      }
+      freq
+    }
+    val docs = Seq(
+      "u-1" -> "alpha beta",                 // forward, width 1 → 1/2
+      "u-2" -> "beta alpha",                 // REVERSED still matches → 1/2
+      "u-3" -> "beta x y alpha",             // width 3, slop 2: width−1=2 ok → 1/4
+      "u-4" -> "alpha x y z beta",           // width 4: out of slop 2
+      "u-5" -> "alpha beta alpha",           // states (0,1),(2,1) → 1/2 + 1/2
+      "u-6" -> "alpha")                      // no beta
+    val dir = TestSpark.tmpDir("spannearu")
+    val sr = new Searcher(IndexBuilder.build(docs.toDF("docno", "content"), dir,
+      IndexConfig(analyzer = AnalyzerConfig(), indexPositions = true)))
+    val got = sr.searchSpanNear(Seq(("u", "alpha", "beta", 2)), 10,
+        ordered = false)
+      .collect().map(l => l.docno -> l.score).toMap
+    def positions(c: String, t: String): Seq[Int] =
+      c.split(" ").zipWithIndex.filter(_._1 == t).map(_._2).toSeq
+    val expectFreqs = docs.map { case (d, c) =>
+      d -> walkU(positions(c, "alpha"), positions(c, "beta"), 2)
+    }.filter(_._2 > 0).toMap
+    assert(got.keySet == expectFreqs.keySet)
+    assert(expectFreqs("u-1") == 0.5f && expectFreqs("u-2") == 0.5f)
+    assert(expectFreqs("u-3") == 0.25f)
+    assert(expectFreqs("u-5") == 1.0f)
+    assert(!got.contains("u-4") && !got.contains("u-6"))
+    // the ordered walk on the same corpus misses the reversed docs — the
+    // direction asymmetry IS the feature distinction
+    val ord = sr.searchSpanNear(Seq(("o", "alpha", "beta", 2)), 10)
+      .collect().map(_.docno).toSet
+    assert(!ord.contains("u-2") && !ord.contains("u-3"))
+  }
+
   test("complete: prefix candidates ranked by cf desc, term asc") {
     // cfs: beta 6, alpha 5, gamma 4, delta 2, epsilon 2
     val rows = searcher.complete(
