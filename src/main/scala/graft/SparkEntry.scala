@@ -1737,6 +1737,19 @@ object SparkEntry {
       rows.result().toDF("page", "event_type", "day", "n_events", "max_value")
         .orderBy("page", "event_type", "day")
     }),
+    // pipeline aggregations (≙ ES derivative / cumulative_sum / moving_fn
+    // shift-0) over a daily event histogram: the pipeline pass operates on
+    // the bucket LIST (already reduced), like ES — one window pass, the
+    // parent agg's exchange is the only data shuffle
+    "q_pipeline_agg" -> ((s, dir) => {
+      val daily = s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      ops.PipelineAgg.over(daily, "day", "n_events", MovingWindow)
+        .select(col("day"), col("n_events"), col("deriv"),
+          col("cum").cast("long").as("cum"), col("mavg"))
+        .orderBy("day")
+    }),
     "q_date_histogram" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(date_trunc("hour", col("ts")).as("bkt"), col("event_type"))
@@ -2199,6 +2212,9 @@ object SparkEntry {
   /** Composite-aggregation paging fixture: page size and page count. */
   val CompositePageSize = 7
   val CompositePages = 3
+
+  /** Pipeline-aggregation moving-average window (trailing, exclusive). */
+  val MovingWindow = 3
 
   /** Chunking fixture: 32-token windows every 24 tokens (8-token overlap). */
   val ChunkSize = 32
@@ -4481,6 +4497,19 @@ object SparkEntry {
          |       day, n_events, max_value
          |FROM r WHERE rn < ${CompositePages * CompositePageSize}
          |ORDER BY page, event_type, day""".stripMargin,
+    // pipeline-agg replay: identical window frames (lag; unbounded-to-
+    // current sum; trailing-exclusive avg) over the daily bucket list
+    "q_pipeline_agg" ->
+      s"""WITH daily AS (
+         |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n_events
+         |  FROM events GROUP BY 1)
+         |SELECT day, n_events,
+         |       n_events - lag(n_events) OVER (ORDER BY day) AS deriv,
+         |       CAST(sum(n_events) OVER (ORDER BY day
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |       avg(n_events) OVER (ORDER BY day
+         |         ROWS BETWEEN $MovingWindow PRECEDING AND 1 PRECEDING) AS mavg
+         |FROM daily ORDER BY day""".stripMargin,
     "q_date_histogram" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS bucket_ts,
         |       event_type, count(*)::BIGINT AS n_events,
