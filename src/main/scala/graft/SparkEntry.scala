@@ -1472,6 +1472,15 @@ object SparkEntry {
         .suggest(SuggestInputs, maxEdits = 2, topN = 3)
         .orderBy("q", "rank")
     }),
+    // phrase suggester (≙ ES phrase suggester: direct_generator candidates
+    // × stupid_backoff bigram LM over the 2-shingle field): top whole-
+    // phrase corrections — the collocation LM, not per-slot frequency,
+    // decides the winner; oracle replays candidates, backoff and ranks
+    "q_phrase_suggest" -> ((s, dir) => {
+      Engine.searcher(s, dir)
+        .phraseSuggest(PhraseSuggestInputs, Engine.shingleIndex(s, dir))
+        .orderBy("qid", "rank")
+    }),
     // Query-time synonym groups (≙ Lucene SynonymQuery): each topic keeps
     // its bag-of-words term clauses and adds ONE synonym group that scores
     // as a single pseudo-term — member tfs SUM per doc, saturated once by
@@ -2199,6 +2208,13 @@ object SparkEntry {
     */
   val SuggestInputs: Seq[String] =
     Seq("tabel", "qurey", "hashh", "custmer", "windoww", "merge")
+
+  /** Phrase-suggester inputs (q_phrase_suggest): two-word phrases with
+    * misspelled members; the bigram LM must prefer the corpus collocation
+    * over the per-slot frequency order.
+    */
+  val PhraseSuggestInputs: Seq[(String, String)] =
+    Seq(("s1", "hsah join"), ("s2", "tabel scann"))
 
   /** Document-update fixture (q_update_topk): the docno whose content is
     * replaced, and the fixed replacement text — high-tf topic-1 terms in a
@@ -5434,6 +5450,51 @@ object SparkEntry {
          |SELECT q, term AS suggestion, d::BIGINT AS dist, df::BIGINT AS df,
          |       (rn - 1)::BIGINT AS rank
          |FROM ranked WHERE rn <= 3 ORDER BY q, rank""".stripMargin),
+    // phrase-suggester replay: per-slot candidate top-3 by the
+    // DirectSpellChecker order, 2-word sequences scored
+    // log2(cf1/T) + log2(c12/cf1 | 0.4·cf2/T), ranked per input
+    "q_phrase_suggest" -> withCtes(
+      s""",
+         |voc AS (SELECT term, count(DISTINCT docno) AS df, count(*) AS cf
+         |        FROM tok GROUP BY term),
+         |tot AS (SELECT count(*) AS t FROM tok),
+         |inp(qid, slot, w) AS (VALUES ${PhraseSuggestInputs.flatMap {
+             case (q, text) => text.split(" ").zipWithIndex.map {
+               case (w, i) => s"('$q', $i, '$w')" }
+           }.mkString(", ")}),
+         |ci AS (SELECT i.qid, i.slot, v.term, v.df, v.cf,
+         |         row_number() OVER (PARTITION BY i.qid, i.slot
+         |           ORDER BY levenshtein(v.term, i.w) ASC, v.df DESC,
+         |                    v.term ASC) AS rn
+         |       FROM inp i JOIN voc v ON levenshtein(v.term, i.w) <= 2),
+         |cnd AS (SELECT * FROM ci WHERE rn <= 3),
+         |shl2 AS (
+         |  SELECT docno,
+         |         list_filter(string_split_regex(lower(content), '\\s+'),
+         |                     t -> t <> '' AND t NOT IN ('a', 'the')) AS toks
+         |  FROM corpus
+         |),
+         |bgc AS (SELECT term, count(*) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(toks)),
+         |           i -> toks[i] || ' ' || toks[i + 1])) AS term
+         |    FROM shl2 WHERE len(toks) >= 2) GROUP BY term),
+         |seqs AS (SELECT a.qid, a.term AS w1, b.term AS w2,
+         |                a.cf AS cf1, b.cf AS cf2
+         |         FROM cnd a JOIN cnd b
+         |           ON b.qid = a.qid AND a.slot = 0 AND b.slot = 1),
+         |scoredps AS (SELECT s.qid, s.w1 || ' ' || s.w2 AS suggestion,
+         |    log2(s.cf1 / CAST(t.t AS DOUBLE))
+         |    + CASE WHEN bg.c IS NOT NULL
+         |           THEN log2(bg.c / CAST(s.cf1 AS DOUBLE))
+         |           ELSE log2(0.4 * s.cf2 / CAST(t.t AS DOUBLE)) END AS score
+         |  FROM seqs s CROSS JOIN tot t
+         |  LEFT JOIN bgc bg ON bg.term = s.w1 || ' ' || s.w2),
+         |rankedps AS (SELECT qid, suggestion,
+         |    (row_number() OVER (PARTITION BY qid
+         |       ORDER BY score DESC, suggestion ASC) - 1) AS rank
+         |  FROM scoredps)
+         |SELECT qid, suggestion, rank FROM rankedps WHERE rank < 3
+         |ORDER BY qid, rank""".stripMargin),
     // blended-frequency fuzzy replay: expansion = levenshtein ≤ N over the
     // vocabulary (well under maxExpansions=50 here), ONE idf from the max
     // df across the expansion, per-term boost 1 − d/min(|q|,|t|), a doc

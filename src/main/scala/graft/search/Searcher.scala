@@ -843,6 +843,103 @@ final class Searcher(val index: BuiltIndex) {
         col("df").cast("long").as("df"), col("rank"))
   }
 
+  /** Phrase suggester (≙ Elasticsearch's phrase suggester with a
+    * direct_generator and stupid_backoff smoothing over a 2-shingle
+    * field): per input SLOT, candidate terms within `maxEdits` of the
+    * input term from the pruned vocabulary — top `perSlot` by
+    * DirectSpellChecker's (dist asc, df desc, term asc) order, the input
+    * term itself naturally first at dist 0 when indexed. Candidate
+    * SEQUENCES (the per-slot cartesian product, ≤ perSlot^slots — bounded
+    * exactly like ES's per-shard candidate generation) are scored with
+    * the stupid-backoff bigram LM:
+    *   score = log₂ P(w₁) + Σᵢ log₂ P(wᵢ | wᵢ₋₁)
+    *   P(w)   = cf(w) / T
+    *   P(w|v) = cf("v w") / cf(v) when the shingle index knows the
+    *            bigram, else discount · cf(w) / T
+    * where bigram cfs come from `shingleIdx`'s term_stats — the 2-shingle
+    * field IS ES's prerequisite for this suggester — and unigram cf / T
+    * from this index. Returns (qid, suggestion, rank), top `topN` per
+    * input by (score desc, suggestion asc). All index traffic is
+    * bucket-pruned point lookups; the combinatorics stay on the driver.
+    */
+  def phraseSuggest(inputs: Seq[(String, String)], shingleIdx: BuiltIndex,
+                    maxEdits: Int = 2, perSlot: Int = 3, topN: Int = 3,
+                    discount: Double = 0.4): DataFrame = {
+    requireDistinctQids(inputs.map(p => Topic(p._1, p._2)))
+    require(shingleIdx.cfg.analyzer.shingleSize == 2,
+      "phraseSuggest needs a 2-shingle index for the bigram LM")
+    import spark.implicits._
+    val slots: Seq[(String, Array[String])] =
+      inputs.map { case (qid, text) => qid -> analyzer.analyze(text) }
+    slots.foreach { case (qid, ts) =>
+      require(ts.length >= 2 && ts.length <= 4,
+        s"phraseSuggest input '$qid' must analyze to 2-4 terms, got ${ts.length}")
+    }
+    val inTerms = slots.flatMap(_._2).distinct
+    // one length-banded vocab scan serves every slot's candidate set
+    val lens = inTerms.map(_.length)
+    val cands = index.vocab
+      .where(col("len") >= lens.min - maxEdits &&
+        col("len") <= lens.max + maxEdits)
+      .join(broadcast(inTerms.toDF("q")),
+        abs(col("len") - length(col("q"))) <= maxEdits &&
+          levenshtein(col("term"), col("q")) <= maxEdits)
+      .select(col("q"), col("term"),
+        levenshtein(col("term"), col("q")).as("dist"))
+      .distinct()
+    val ranked: Map[String, Seq[(String, Long)]] = index.termStats
+      .select(col("term"), col("df"), col("cf"))
+      .join(broadcast(cands), Seq("term"))
+      .select("q", "term", "dist", "df", "cf")
+      .as[(String, String, Int, Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (q, rows) =>
+        q -> rows.sortBy(r => (r._3, -r._4, r._2)).take(perSlot)
+          .map(r => (r._2, r._5)).toSeq
+      }
+    val totalT = index.stats.sum_total_term_freq.toDouble
+    // all candidate sequences, driver-side (≤ perSlot^slots per input)
+    val seqs: Seq[(String, Seq[String])] = slots.flatMap { case (qid, ts) =>
+      val perSlotCands: Seq[Seq[String]] =
+        ts.toSeq.map(t => ranked.getOrElse(t, Seq.empty).map(_._1))
+      if (perSlotCands.exists(_.isEmpty)) Seq.empty
+      else perSlotCands.foldLeft(Seq(Seq.empty[String])) { (acc, cs) =>
+        acc.flatMap(prefix => cs.map(prefix :+ _))
+      }.map(qid -> _)
+    }
+    if (seqs.isEmpty)
+      return Seq.empty[(String, String, Long)].toDF("qid", "suggestion", "rank")
+    val uniCf: Map[String, Long] =
+      ranked.values.flatten.toMap
+    // bigram collection frequencies: one bucket-pruned point lookup on the
+    // shingle index for every adjacent pair any sequence uses
+    val pairs = seqs.flatMap { case (_, ws) =>
+      ws.sliding(2).map(p => p.head + " " + p(1))
+    }.distinct
+    val pairBuckets =
+      pairs.map(IndexLayout.bucketOf(_, shingleIdx.cfg.buckets)).distinct
+    val bigCf: Map[String, Long] = shingleIdx.termStats
+      .where(col("bucket").isin(pairBuckets: _*) && col("term").isin(pairs: _*))
+      .select("term", "cf").as[(String, Long)].collect().toMap
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    val scoredRows = seqs.map { case (qid, ws) =>
+      var score = log2(uniCf(ws.head) / totalT)
+      ws.sliding(2).foreach { p =>
+        val big = bigCf.get(p.head + " " + p(1))
+        score += (big match {
+          case Some(c12) => log2(c12.toDouble / uniCf(p.head))
+          case None => log2(discount * uniCf(p(1)) / totalT)
+        })
+      }
+      (qid, ws.mkString(" "), score)
+    }
+    scoredRows.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(topN).zipWithIndex
+        .map { case ((_, sug, _), i) => (qid, sug, i.toLong) }
+    }.toDF("qid", "suggestion", "rank")
+  }
+
   /** SpanNearQuery over two single-term spans, both directions.
     *
     * `ordered = true` is the faithful NearSpansOrdered enumeration:
