@@ -165,6 +165,40 @@ object Explain {
     println("\n========== span-first (positional postings scan pruned to the span terms' buckets) ==========")
     searcher.searchSpanFirst(Seq(("f1", "hash", 5)), 20).explain("formatted")
 
+    println("\n========== shingle-rewritten phrase (ONE bigram-term bucket-pruned scan; ReadSchema must NOT contain pos_blob) ==========")
+    new graft.search.Searcher(Engine.shingleIndex(spark, sfDir))
+      .searchPhraseShingle(Seq("1" -> "hash join"), 20).explain("formatted")
+
+    println("\n========== composite-agg page 2 (after-key filter BEFORE the aggregate; one agg exchange) ==========")
+    graft.ops.CompositeAgg.page(
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value")),
+      Seq("event_type", "day"),
+      Seq(count(lit(1)).as("n_events")), 7,
+      Some(Seq("click", "2026-01-01"))).explain("formatted")
+
+    println("\n========== pipeline aggs (window pass over the ALREADY-REDUCED bucket list — the single-partition window is bounded by construction) ==========")
+    graft.ops.PipelineAgg.over(
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events")),
+      "day", "n_events", 3).explain("formatted")
+
+    println("\n========== filtered kNN (label predicate in PushedFilters of the embeddings scan, BEFORE the norm arithmetic) ==========")
+    val embf = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.ops.Knn.filteredTopK(embf,
+      embf.where(col("vec_id") === 1).limit(1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      5, col("label") === 2).explain("formatted")
+
+    println("\n========== index-sorted prefix batch (closed-range sp partition predicate; sort+limit over ONE slice) ==========")
+    val sd = Engine.sortedDocs(spark, sfDir)
+    sd.data.where(col("sp") >= 0 && col("sp") <= 0)
+      .select(col("skey"), col("docno"))
+      .orderBy(col("skey").asc, col("docno").asc).limit(20)
+      .explain("formatted")
+
     spark.stop()
   }
 }
