@@ -1746,6 +1746,25 @@ object SparkEntry {
       rows.result().toDF("page", "event_type", "day", "n_events", "max_value")
         .orderBy("page", "event_type", "day")
     }),
+    // rare-terms aggregation (≙ ES rare_terms: the long-tail inverse of
+    // the terms agg): vocabulary terms with df ≤ max_doc_count, straight
+    // off the term_stats surface — no token rescan
+    "q_rare_terms" -> ((s, dir) => {
+      Engine.searcher(s, dir).index.termStats
+        .where(col("df") <= RareMaxDf)
+        .select(col("term"), col("df").cast("long").as("df"))
+        .orderBy("term")
+    }),
+    // numeric histogram aggregation (≙ ES histogram, interval 50): bucket
+    // key = floor(value/interval)·interval — identical IEEE ops on both
+    // sides, so min/max/count replay exactly
+    "q_histogram" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy((floor(col("value") / HistInterval) * HistInterval).as("bkt"))
+        .agg(count(lit(1)).as("n"), min("value").as("min_v"),
+          max("value").as("max_v"))
+        .orderBy("bkt")
+    }),
     // pipeline aggregations (≙ ES derivative / cumulative_sum / moving_fn
     // shift-0) over a daily event histogram: the pipeline pass operates on
     // the bucket LIST (already reduced), like ES — one window pass, the
@@ -2231,6 +2250,10 @@ object SparkEntry {
 
   /** Pipeline-aggregation moving-average window (trailing, exclusive). */
   val MovingWindow = 3
+
+  /** rare_terms max_doc_count and histogram interval fixtures. */
+  val RareMaxDf = 2
+  val HistInterval = 50
 
   /** Chunking fixture: 32-token windows every 24 tokens (8-token overlap). */
   val ChunkSize = 32
@@ -4513,6 +4536,16 @@ object SparkEntry {
          |       day, n_events, max_value
          |FROM r WHERE rn < ${CompositePages * CompositePageSize}
          |ORDER BY page, event_type, day""".stripMargin,
+    // rare-terms replay: the df table's long tail
+    "q_rare_terms" -> withCtes(
+      s"""SELECT term, count(DISTINCT docno)::BIGINT AS df FROM tok
+         |GROUP BY term HAVING count(DISTINCT docno) <= $RareMaxDf
+         |ORDER BY term""".stripMargin),
+    // histogram replay: identical floor-bucket keys, order-free aggregates
+    "q_histogram" ->
+      s"""SELECT floor(value / $HistInterval) * $HistInterval AS bkt,
+         |       count(*)::BIGINT AS n, min(value) AS min_v, max(value) AS max_v
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // pipeline-agg replay: identical window frames (lag; unbounded-to-
     // current sum; trailing-exclusive avg) over the daily bucket list
     "q_pipeline_agg" ->
