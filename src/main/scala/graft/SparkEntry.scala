@@ -42,6 +42,7 @@ object SparkEntry {
   // Curation-op gate parameters: a ~10% stable sample, and 512-token
   // packed sequences (small enough that sf0.01 docs span chunk boundaries).
   val SampleSalt = "s1"
+  val WeightedSalt = "ws1"
   val SampleBuckets = 20
   val SampleKeep = 2
   val PackSeqLen = 512
@@ -1344,6 +1345,14 @@ object SparkEntry {
     }),
     // training-pipeline op: deterministic md5-bucket sampling (stable
     // keep/buckets holdout split; shuffle-free pure expressions)
+    // weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // md5-seeded u, key ln(u)/w with w = content length — heavier docs win
+    // proportionally; the top-k is a distributed bounded selection
+    "q_weighted_sample" -> ((s, dir) => {
+      ops.Curation.weightedSample(corpus.Corpus.fromDocuments(s, dir),
+        length(col("content")), WeightedSalt, TopK)
+        .orderBy("rank")
+    }),
     "q_sample" -> ((s, dir) => {
       ops.Curation.hashSample(corpus.Corpus.fromDocuments(s, dir),
           SampleSalt, SampleBuckets, SampleKeep)
@@ -1745,6 +1754,14 @@ object SparkEntry {
       }
       rows.result().toDF("page", "event_type", "day", "n_events", "max_value")
         .orderBy("page", "event_type", "day")
+    }),
+    // adjacency-matrix aggregation (≙ ES adjacency_matrix): doc counts
+    // for each named term filter and each pairwise intersection; the
+    // oracle replays singles and upper-triangle pairs off the token table
+    "q_adjacency" -> ((s, dir) => {
+      Engine.searcher(s, dir).adjacencyMatrix(AdjFilters)
+        .select(col("key"), col("n_docs").cast("long").as("n_docs"))
+        .orderBy("key")
     }),
     // rare-terms aggregation (≙ ES rare_terms: the long-tail inverse of
     // the terms agg): vocabulary terms with df ≤ max_doc_count, straight
@@ -2254,6 +2271,10 @@ object SparkEntry {
   /** rare_terms max_doc_count and histogram interval fixtures. */
   val RareMaxDf = 2
   val HistInterval = 50
+
+  /** adjacency_matrix named filters (name -> single-term filter text). */
+  val AdjFilters: Seq[(String, String)] =
+    Seq(("a", "hash"), ("b", "join"), ("c", "merge"))
 
   /** Chunking fixture: 32-token windows every 24 tokens (8-token overlap). */
   val ChunkSize = 32
@@ -3493,6 +3514,21 @@ object SparkEntry {
         |       min(docno) AS first_docno
         |FROM corpus GROUP BY sha256(content) HAVING count(*) > 1
         |ORDER BY sha""".stripMargin),
+    // A-ES replay: u from the same 13-hex-digit md5 prefix (exact in a
+    // double), key ln(u)/length(content), top-k by key desc / docno asc
+    "q_weighted_sample" ->
+      s"""WITH $CorpusCte,
+         |keyed AS (
+         |  SELECT docno, length(content)::DOUBLE AS w,
+         |         ln((('0x' || substr(md5('$WeightedSalt:' || docno), 1, 13))::BIGINT)
+         |            / 4503599627370496.0) / length(content)::DOUBLE AS skey
+         |  FROM corpus WHERE length(content) > 0),
+         |rankedws AS (
+         |  SELECT docno, w,
+         |         (row_number() OVER (ORDER BY skey DESC, docno ASC) - 1) AS rank
+         |  FROM keyed)
+         |SELECT docno, w, rank::BIGINT AS rank FROM rankedws
+         |WHERE rank < $TopK ORDER BY rank""".stripMargin,
     "q_sample" ->
       s"""WITH $CorpusCte
          |SELECT docno,
@@ -4536,6 +4572,18 @@ object SparkEntry {
          |       day, n_events, max_value
          |FROM r WHERE rn < ${CompositePages * CompositePageSize}
          |ORDER BY page, event_type, day""".stripMargin,
+    // adjacency-matrix replay: singles + upper-triangle pair intersections
+    "q_adjacency" -> withCtes(
+      s""",
+         |flt(name, term) AS (VALUES ${AdjFilters
+           .map { case (n, t) => s"('$n','$t')" }.mkString(", ")}),
+         |m AS (SELECT DISTINCT f.name, k.docno
+         |      FROM flt f JOIN tok k ON k.term = f.term)
+         |SELECT CASE WHEN a.name = b.name THEN a.name
+         |            ELSE a.name || '&' || b.name END AS key,
+         |       count(*)::BIGINT AS n_docs
+         |FROM m a JOIN m b ON b.docno = a.docno AND a.name <= b.name
+         |GROUP BY 1 ORDER BY key""".stripMargin),
     // rare-terms replay: the df table's long tail
     "q_rare_terms" -> withCtes(
       s"""SELECT term, count(DISTINCT docno)::BIGINT AS df FROM tok

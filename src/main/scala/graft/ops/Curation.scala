@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for a training-data pipeline: deterministic
@@ -95,6 +95,35 @@ object Curation {
       .select(col("docno"), col("w").as("n_tokens"),
         floor(col("cum_before") / lit(seqLen.toLong)).cast("long").as("chunk"),
         (col("cum_before") % seqLen).as("chunk_offset"))
+  }
+
+  /** Deterministic weighted sampling without replacement (the
+    * Efraimidis–Spirakis A-ES scheme — the standard one-pass distributed
+    * weighted draw): each row draws u = md5-uniform(salt:docno) ∈ [0,1)
+    * and keys ln(u)/w; the k LARGEST keys are exactly a weighted sample
+    * without replacement (ln(u)/w orders like u^(1/w)). Heavier rows win
+    * proportionally more often, the draw replays from (salt, docno, w)
+    * alone, and the top-k plans as TakeOrderedAndProject — a distributed
+    * bounded selection, never a global sort. Non-positive weights are
+    * excluded (A-ES is undefined there). Output (docno, w, rank 0..k-1).
+    */
+  def weightedSample(corpus: DataFrame, weightCol: Column, salt: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    // 13 hex digits = 52 bits — exact in a double
+    val u = (conv(substring(md5(concat_ws(":", lit(salt), col("docno"))),
+      1, 13), 16, 10).cast("double") / lit(4503599627370496.0))
+    val keyed = corpus
+      .select(col("docno"), weightCol.cast("double").as("w"))
+      .where(weightCol.cast("double") > 0)
+      .withColumn("skey", log(u) / col("w"))
+      .orderBy(col("skey").desc, col("docno").asc)
+      .limit(k)
+    // rank over ≤ k rows — bounded by construction
+    keyed.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("skey").desc, col("docno").asc)).cast("long") - 1)
+      .select(col("docno"), col("w"), col("rank"))
   }
 
   /** Deterministic stratified sampling: per group (stratum), keep the `n`

@@ -843,6 +843,52 @@ final class Searcher(val index: BuiltIndex) {
         col("df").cast("long").as("df"), col("rank"))
   }
 
+  /** Adjacency-matrix aggregation (≙ ES `adjacency_matrix`): given named
+    * single-term filters, document counts for every filter and every
+    * pairwise intersection (key `a&b`, names in ascending order) — the
+    * co-occurrence matrix behind graph-style dashboards. One
+    * bucket-pruned docid-run decode feeds a self-join of the tiny
+    * (name, docid) match stream on docid (upper triangle kept, self-pairs
+    * are the singles) and one count aggregation; per-doc fan-out is
+    * bounded by |filters|², which ES bounds identically (filter count is
+    * a request-size constant, not data).
+    */
+  def adjacencyMatrix(filters: Seq[(String, String)]): DataFrame = {
+    require(filters.nonEmpty, "adjacencyMatrix needs at least one filter")
+    require(filters.map(_._1).distinct.size == filters.size,
+      "duplicate filter names")
+    require(filters.forall(!_._1.contains("&")), "'&' is the key separator")
+    import spark.implicits._
+    val termsByName: Seq[(String, String)] = filters.map { case (n, text) =>
+      val ts = analyzer.analyze(text).distinct
+      require(ts.length == 1, s"filter '$n' must analyze to one term, got ${ts.toSeq}")
+      (n, ts.head)
+    }
+    val byTerm: Map[String, Array[String]] = termsByName.groupBy(_._2)
+      .map { case (t, xs) => t -> xs.map(_._1).toArray }
+    val buckets =
+      byTerm.keySet.map(IndexLayout.bucketOf(_, index.cfg.buckets)).toSeq
+    val bc = spark.sparkContext.broadcast(byTerm)
+    val tombL = tombstonesBc
+    val matched = index.postingsMatch
+      .where(col("bucket").isin(buckets: _*) &&
+        col("term").isin(byTerm.keys.toSeq: _*))
+      .as[PostingRun]
+      .flatMap { run =>
+        val names = bc.value(run.term)
+        PostingCodec.decodeDocids(run.ndocs, run.doc_blob)
+          .filter(d => Searcher.liveDoc(tombL, d))
+          .flatMap(d => names.iterator.map(n => (n, d)))
+      }
+      .toDF("name", "docid").distinct()
+    matched.as("a")
+      .join(matched.as("b"),
+        col("a.docid") === col("b.docid") && col("a.name") <= col("b.name"))
+      .select(when(col("a.name") === col("b.name"), col("a.name"))
+        .otherwise(concat(col("a.name"), lit("&"), col("b.name"))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Phrase suggester (≙ Elasticsearch's phrase suggester with a
     * direct_generator and stupid_backoff smoothing over a 2-shingle
     * field): per input SLOT, candidate terms within `maxEdits` of the

@@ -68,4 +68,22 @@ class FacetSpec extends AnyFunSuite {
       Seq(Topic("1", "")), keys).collect()
     assert(empty.isEmpty)
   }
+
+  test("adjacency matrix: singles + upper-triangle intersections, brute-force identical") {
+    val got = searcher.adjacencyMatrix(
+        Seq(("a", "alpha"), ("b", "gamma"), ("c", "epsilon")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // alpha: f-01 f-02 f-06; gamma: f-02 f-04; epsilon: f-05 f-06
+    assert(got == Map(
+      "a" -> 3L, "b" -> 2L, "c" -> 2L,
+      "a&b" -> 1L, // f-02
+      "a&c" -> 1L  // f-06; gamma∩epsilon empty → no "b&c" bucket, like ES
+    ))
+    intercept[IllegalArgumentException] {
+      searcher.adjacencyMatrix(Seq(("x&y", "alpha")))
+    }
+    intercept[IllegalArgumentException] {
+      searcher.adjacencyMatrix(Seq(("a", "alpha beta")))
+    }
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.analysis.{Analyzer, AnalyzerConfig}
-import graft.ops.{Decontaminate, Dedup, Knn, Repetition, Scrub, TextQuality}
+import graft.ops.{Curation, Decontaminate, Dedup, Knn, Repetition, Scrub, TextQuality}
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -165,6 +165,32 @@ class OpsSpec extends AnyFunSuite {
     val got = Knn.bruteForceTopK(vecs, q, 4).orderBy("rank")
       .collect().map(r => r.getLong(1))
     assert(got.toSeq == Seq(1L, 4L, 2L, 3L)) // by cosine to (1,0,0)
+  }
+
+  test("weighted sample: A-ES keys replay and favor heavy rows") {
+    import spark.implicits._
+    val corpus = (1 to 200).map { i =>
+      (f"w-$i%03d", "x" * (if (i <= 20) 500 else 5)) // 20 heavy docs
+    }.toDF("docno", "content")
+    val got = Curation.weightedSample(corpus,
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("content")), "t1", 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // brute replay of the exact key math
+    def u(docno: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t1:$docno".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(13), 16) / 4503599627370496.0
+    }
+    val brute = (1 to 200).map { i =>
+      val d = f"w-$i%03d"; val w = if (i <= 20) 500.0 else 5.0
+      (d, w, math.log(u(d)) / w)
+    }.sortBy(t => (-t._3, t._1)).take(10)
+      .zipWithIndex.map { case ((d, w, _), r) => (d, w, r.toLong) }
+    assert(got.toSeq == brute)
+    // the 100x weight skew should dominate the draw
+    assert(got.count(_._2 == 500.0) >= 8)
   }
 
   test("filtered knn: pre-filter guarantees k passing neighbors") {
