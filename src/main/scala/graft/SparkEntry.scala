@@ -1345,6 +1345,11 @@ object SparkEntry {
     }),
     // training-pipeline op: deterministic md5-bucket sampling (stable
     // keep/buckets holdout split; shuffle-free pure expressions)
+    "q_sample" -> ((s, dir) => {
+      ops.Curation.hashSample(corpus.Corpus.fromDocuments(s, dir),
+          SampleSalt, SampleBuckets, SampleKeep)
+        .orderBy("docno")
+    }),
     // weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     // md5-seeded u, key ln(u)/w with w = content length — heavier docs win
     // proportionally; the top-k is a distributed bounded selection
@@ -1352,11 +1357,6 @@ object SparkEntry {
       ops.Curation.weightedSample(corpus.Corpus.fromDocuments(s, dir),
         length(col("content")), WeightedSalt, TopK)
         .orderBy("rank")
-    }),
-    "q_sample" -> ((s, dir) => {
-      ops.Curation.hashSample(corpus.Corpus.fromDocuments(s, dir),
-          SampleSalt, SampleBuckets, SampleKeep)
-        .orderBy("docno")
     }),
     // training-pipeline op: stratified per-group sampling — the n smallest
     // md5(salt:docno) per lang, via a bounded-heap aggregator (map-side
@@ -1743,7 +1743,9 @@ object SparkEntry {
       val aggs = Seq(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
       var after: Option[Seq[Any]] = None
       val rows = Seq.newBuilder[(Long, String, String, Long, Double)]
-      for (p <- 0 until CompositePages) {
+      var p = 0
+      var exhausted = false
+      while (p < CompositePages && !exhausted) {
         val page = ops.CompositeAgg
           .page(ev, Seq("event_type", "day"), aggs, CompositePageSize, after)
           .collect()
@@ -1751,6 +1753,10 @@ object SparkEntry {
           after = Some(Seq(page.last.getString(0), page.last.getString(1)))
         page.foreach(r => rows += ((p.toLong, r.getString(0), r.getString(1),
           r.getLong(2), r.getDouble(3))))
+        // a short page means the bucket list is exhausted — don't issue
+        // aggregate jobs that are guaranteed empty
+        exhausted = page.length < CompositePageSize
+        p += 1
       }
       rows.result().toDF("page", "event_type", "day", "n_events", "max_value")
         .orderBy("page", "event_type", "day")

@@ -44,8 +44,12 @@ object SortedDocs {
   private val Stage = "sorted_docs"
 
   final case class Table(data: DataFrame, bounds: DataFrame) {
-    /** Partitions actually opened by the last [[topByKey]] call — the
-      * early-termination observable specs assert on.
+    /** Partitions ATTEMPTED (included in issued slices) by the last
+      * [[topByKey]] call — the early-termination observable specs assert
+      * on. An upper bound on partitions actually needed: the final slice
+      * may satisfy `k` before its last partition. Guarded by [[topByKey]]
+      * being synchronized — Engine caches one Table per corpus, so
+      * unsynchronized concurrent calls would clobber each other's value.
       */
     @volatile var lastPartsScanned: Int = 0
 
@@ -57,45 +61,51 @@ object SortedDocs {
       * the filter yields `k` survivors.
       */
     def topByKey(k: Int, asc: Boolean = true,
-                 filterDocnos: Option[DataFrame] = None): Seq[(String, String)] = {
+                 filterDocnos: Option[DataFrame] = None): Seq[(String, String)] =
+      synchronized {
       require(k > 0, "k must be positive")
-      val spark = data.sparkSession
-      // non-empty partitions in scan order, from the tiny bounds table
-      val sps = bounds.where(col("cnt") > 0).select("sp")
-        .collect().map(_.getInt(0)).sorted
-      val order = if (asc) sps else sps.reverse
-      val acc = Vector.newBuilder[(String, String)]
-      var have = 0
-      var idx = 0
-      var batch = 1
-      while (idx < order.length && have < k) {
-        val slice = order.slice(idx, idx + batch)
-        idx += slice.length
-        batch *= 2
-        // slice is contiguous in scan order; a closed range prunes the
-        // same partitions as isin() with O(1) predicate literals
-        val lo = slice.min
-        val hi = slice.max
-        val rows0 = data.where(col("sp") >= lo && col("sp") <= hi)
-          .select(col("skey"), col("docno"))
-        val rows = filterDocnos match {
-          case None => rows0
-          case Some(f) => rows0.join(f.select("docno"), Seq("docno"), "left_semi")
+      // materialize the filter ONCE — the doubling loop re-joins it every
+      // batch, and an expensive filter plan (a postings decode + doc
+      // attach) must not re-execute per iteration
+      val filt = filterDocnos.map(_.select("docno").persist())
+      try {
+        // non-empty partitions in scan order, from the tiny bounds table
+        val sps = bounds.where(col("cnt") > 0).select("sp")
+          .collect().map(_.getInt(0)).sorted
+        val order = if (asc) sps else sps.reverse
+        val acc = Vector.newBuilder[(String, String)]
+        var have = 0
+        var idx = 0
+        var batch = 1
+        while (idx < order.length && have < k) {
+          val slice = order.slice(idx, idx + batch)
+          idx += slice.length
+          batch *= 2
+          // slice is contiguous in scan order; a closed range prunes the
+          // same partitions as isin() with O(1) predicate literals
+          val lo = slice.min
+          val hi = slice.max
+          val rows0 = data.where(col("sp") >= lo && col("sp") <= hi)
             .select(col("skey"), col("docno"))
+          val rows = filt match {
+            case None => rows0
+            case Some(f) => rows0.join(f, Seq("docno"), "left_semi")
+              .select(col("skey"), col("docno"))
+          }
+          val got = rows
+            .orderBy(if (asc) col("skey").asc else col("skey").desc,
+              if (asc) col("docno").asc else col("docno").desc)
+            .limit(k - have)
+            .collect()
+          // every row in this slice precedes every row in later slices
+          // (range-disjoint cuts on the full (skey, docno) tuple), so
+          // appending keeps the global order
+          got.foreach(r => acc += ((r.getString(0), r.getString(1))))
+          have += got.length
         }
-        val got = rows
-          .orderBy(if (asc) col("skey").asc else col("skey").desc,
-            if (asc) col("docno").asc else col("docno").desc)
-          .limit(k - have)
-          .collect()
-        // every row in this slice precedes every row in later slices
-        // (range-disjoint cuts on the full (skey, docno) tuple), so
-        // appending keeps the global order
-        got.foreach(r => acc += ((r.getString(0), r.getString(1))))
-        have += got.length
-      }
-      lastPartsScanned = idx
-      acc.result()
+        lastPartsScanned = idx
+        acc.result()
+      } finally filt.foreach(_.unpersist(blocking = false))
     }
   }
 

@@ -115,7 +115,7 @@ object Curation {
       1, 13), 16, 10).cast("double") / lit(4503599627370496.0))
     val keyed = corpus
       .select(col("docno"), weightCol.cast("double").as("w"))
-      .where(weightCol.cast("double") > 0)
+      .where(col("w") > 0) // on the projected alias: weightCol evaluates once
       .withColumn("skey", log(u) / col("w"))
       .orderBy(col("skey").desc, col("docno").asc)
       .limit(k)

@@ -911,6 +911,7 @@ final class Searcher(val index: BuiltIndex) {
   def phraseSuggest(inputs: Seq[(String, String)], shingleIdx: BuiltIndex,
                     maxEdits: Int = 2, perSlot: Int = 3, topN: Int = 3,
                     discount: Double = 0.4): DataFrame = {
+    require(inputs.nonEmpty, "phraseSuggest needs at least one input")
     requireDistinctQids(inputs.map(p => Topic(p._1, p._2)))
     require(shingleIdx.cfg.analyzer.shingleSize == 2,
       "phraseSuggest needs a 2-shingle index for the bigram LM")
