@@ -121,6 +121,14 @@ object Engine {
     * over the raw corpus content — built once per corpus under the work
     * dir, resumed from its checkpoint manifest afterwards like every
     * other index surface.
+    *
+    * CACHING CONTRACT (ADVICE r5): like every Engine-level memo (index
+    * handles, searchers, [[sortedDocs]]) this in-JVM cache checks the
+    * corpus fingerprint only on FIRST access per JVM — fixture dirs are
+    * immutable for the life of a driver/bench/test process. A workflow
+    * that regenerates a fixture at the same path mid-JVM must start a new
+    * process (exactly what the external driver does); the on-disk
+    * checkpoint's fingerprint still protects every cross-process reuse.
     */
   private val trigramCache = TrieMap[String, org.apache.spark.sql.DataFrame]()
 
@@ -214,6 +222,16 @@ object Engine {
   def fqcnIndex(spark: SparkSession, sfDir: String): BuiltIndex =
     indexFor(spark, sfDir, IndexConfig(analyzer = FqcnAnalyzer), "fqcn")
 
+  /** Searcher over the oracle index, memoized per corpus dir (r6
+    * optimization): a Searcher carries only immutable per-index state —
+    * the analyzer and the term→(df, cf) stats memo — so sharing one
+    * instance across entries lets repeated topics skip the tiny
+    * term_stats lookup job instead of paying it once per entry. Indexes
+    * with overlays/deltas (delete, update, union) still construct their
+    * own Searcher on their own handle.
+    */
+  private val searcherCache = TrieMap[String, Searcher]()
+
   def searcher(spark: SparkSession, sfDir: String): Searcher =
-    new Searcher(oracleIndex(spark, sfDir))
+    searcherCache.getOrElseUpdate(sfDir, new Searcher(oracleIndex(spark, sfDir)))
 }

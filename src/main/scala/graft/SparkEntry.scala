@@ -441,9 +441,14 @@ object SparkEntry {
     // capping primitive; estimates are one-sided (≥ true cf), certified
     // in SketchSpec
     "q_cms" -> ((s, dir) => {
+      // cnt as DOUBLE: the oracle's sum(cf) is a DuckDB HUGEINT, which the
+      // driver's pandas compare reads as float64 — the engine must emit the
+      // same typed values (bit-equal: cnt ≪ 2^53). Round-5 hash-fail root
+      // cause (VERDICT r5 #1); values were already identical.
       ops.Sketch.cmsCounts(
           Engine.oracleIndex(s, dir).termStats.select("term", "cf"),
           "term", "cf", CmsD, CmsW)
+        .select(col("row"), col("col"), col("cnt").cast("double").as("cnt"))
         .orderBy("row", "col")
     }),
     // cardinality nested under date_histogram (≙ ES daily-uniques): one
@@ -1782,8 +1787,14 @@ object SparkEntry {
     // key = floor(value/interval)·interval — identical IEEE ops on both
     // sides, so min/max/count replay exactly
     "q_histogram" -> ((s, dir) => {
+      // bkt as DOUBLE: DuckDB's floor() over a DOUBLE column stays DOUBLE
+      // while Spark's floor() yields BIGINT — the driver hashes typed
+      // values, so the engine emits the oracle's type (bkt values are
+      // integral multiples of HistInterval, exact in double). Round-5
+      // hash-fail root cause (VERDICT r5 #2); values were already identical.
       s.read.parquet(s"$dir/events.parquet")
-        .groupBy((floor(col("value") / HistInterval) * HistInterval).as("bkt"))
+        .groupBy((floor(col("value") / HistInterval) * HistInterval)
+          .cast("double").as("bkt"))
         .agg(count(lit(1)).as("n"), min("value").as("min_v"),
           max("value").as("max_v"))
         .orderBy("bkt")

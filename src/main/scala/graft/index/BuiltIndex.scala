@@ -19,9 +19,20 @@ import java.util.Properties
 class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig) {
   import IndexLayout._
 
-  def docs: DataFrame = spark.read.parquet(s"$dir/$DocsDir")
-  def postings: DataFrame = spark.read.parquet(s"$dir/$PostingsDir")
-  def termStats: DataFrame = spark.read.parquet(s"$dir/$TermStatsDir")
+  // Table handles memoized per handle (r6 optimization): an index snapshot
+  // directory is immutable (mutation mints a new snapshot/overlay handle —
+  // see withDeletes/purge), so re-running spark.read.parquet on every
+  // access only repeated the file listing + footer schema read. A search
+  // touches postings/termStats/docs several times; entries run hundreds of
+  // searches per session. Plans built from one cached DataFrame are
+  // unchanged — this removes driver-side metadata work only.
+  private lazy val docsDF = spark.read.parquet(s"$dir/$DocsDir")
+  private lazy val postingsDF = spark.read.parquet(s"$dir/$PostingsDir")
+  private lazy val termStatsDF = spark.read.parquet(s"$dir/$TermStatsDir")
+
+  def docs: DataFrame = docsDF
+  def postings: DataFrame = postingsDF
+  def termStats: DataFrame = termStatsDF
 
   /** Postings view for paths that never read positions (scoring, WAND,
     * counting, negation): the position columns are replaced by empty
@@ -81,7 +92,7 @@ class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig)
     * expansion; indexes written before the projection existed fall back to
     * a derived (unprunable) view so they stay openable.
     */
-  def vocab: DataFrame = {
+  private lazy val vocabDF: DataFrame = {
     val p = new Path(s"$dir/$VocabDir")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.parquet(s"$dir/$VocabDir")
@@ -89,6 +100,8 @@ class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig)
       org.apache.spark.sql.functions.length(
         org.apache.spark.sql.functions.col("term")).as("len"))
   }
+
+  def vocab: DataFrame = vocabDF
 
   lazy val stats: StatsRow = {
     val r = spark.read.parquet(s"$dir/$StatsDir").head()

@@ -92,14 +92,20 @@ object IndexBuilder {
       val bBounds = spark.sparkContext.broadcast(
         bounds.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       val grpU = udf((d: String) => grpOfBytes(bBounds.value, d))
-      // range-partition on the group id: equal keys can't straddle a
-      // boundary, so every group is atomic in one task (idx needs no
-      // cross-task offset), and sampling a uniform 0..parts-1 key lands
-      // ~one group per partition — ntile groups are balanced ±1 row, so
-      // this is *less* skewed than sampled docno ranges
+      // one exchange, one group per task: equal g must land in one task
+      // (idx needs no cross-task offset), and the groups should spread one
+      // per partition. r6: the range partitioner that used to do this ran
+      // an EXTRA full pass over the corpus projection just to sample the
+      // already-uniform g — instead map g through a driver-computed salt
+      // whose murmur3 partition id is exactly g and hash-repartition:
+      // same balance (group g alone on partition g), same atomicity
+      // (equal keys hash together), one corpus scan less per build.
+      // Docids depend only on (docno order, parts), never on the physical
+      // partitioning, so the packing contract is untouched.
+      val salts: Array[Int] = saltsFor(parts)
       val sorted = corpus.select($"docno".cast("string"), $"content".cast("string"))
         .withColumn("g", grpU($"docno"))
-        .repartitionByRange(parts, $"g")
+        .repartition(parts, element_at(typedLit(salts.toSeq), $"g" + 1))
         .sortWithinPartitions($"g", $"docno")
         .as[(String, String, Int)]
       val tokenized = sorted.mapPartitions { it =>
@@ -516,6 +522,31 @@ object IndexBuilder {
     }.collect().toMap
     bWant.destroy()
     targets.map(picked).toArray
+  }
+
+  /** For each partition id p in [0, parts), the smallest non-negative int
+    * salt whose Spark shuffle partition id — pmod(murmur3(salt, seed 42),
+    * parts), exactly [[org.apache.spark.sql.catalyst.plans.physical
+    * .HashPartitioning]]'s partitionIdExpression — equals p. Mapping the
+    * uniform ntile group id g through `salts(g)` makes a plain hash
+    * repartition land each group alone on its own partition (the balance
+    * the range partitioner bought with an extra sampling pass).
+    */
+  private[index] def saltsFor(parts: Int): Array[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    val m = Array.fill(parts)(-1)
+    var found = 0
+    var s = 0
+    while (found < parts) {
+      require(s < 100000000,
+        s"saltsFor($parts) exhausted the search space at $s — murmur3 " +
+          "cannot be this degenerate; partitioning logic changed?")
+      val pid = Pmod(new Murmur3Hash(Seq(Literal(s))), Literal(parts))
+        .eval(null).asInstanceOf[Int]
+      if (m(pid) < 0) { m(pid) = s; found += 1 }
+      s += 1
+    }
+    m
   }
 
   /** Count of boundary keys <= k in UTF-8 byte order (rightmost binary

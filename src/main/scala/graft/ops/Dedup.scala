@@ -140,30 +140,55 @@ object Dedup {
     */
   def embeddingNearDups(vectors: DataFrame, minCos: Double,
                         nPlanes: Int = 8): DataFrame = {
-    // per-vector norm computed ONCE here, not per candidate pair
-    val vb = vectors.select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", Knn.signBucket(col("embedding"), nPlanes))
-      .withColumn("nrm", Knn.norm(col("embedding")))
-    val probes = vb.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
-        .map(f => col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
-    val a = probes.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = vb.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    // No dedup shuffle needed: a pair (a, b) joins only where a's PROBED
-    // bucket equals b's true bucket, i.e. where the flip f satisfies
-    // bucket_a XOR f = bucket_b ⟺ f = bucket_a XOR bucket_b — at most ONE
-    // f in {0, single bits} matches, so each ordered pair is generated at
-    // most once and vec_a < vec_b keeps exactly one orientation.
-    // (OpsSpec asserts the candidate stream is duplicate-free.)
-    a.join(b, Seq("bucket"))
-      .where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        Knn.cosineFromParts(Knn.dotCol(col("emb_a"), col("emb_b")),
-          col("nrm_a"), col("nrm_b")).as("cos"))
-      .where(col("cos") >= minCos)
-      .select("vec_a", "vec_b")
+    // r6: typed cogroup kernel. The old shape (explode probes → bucket
+    // self-join → per-pair HOF cosine) materialized every candidate pair
+    // as a row carrying BOTH embedding arrays through an interpreted
+    // cosine expression; now each side decodes its vectors once per
+    // bucket group and a compiled nested loop scores the pairs. Bucket /
+    // norm / dot use the same md5-derived planes and left-to-right IEEE
+    // folds as before (Knn.signBucketJvm/normJvm/dotJvm), and the pair
+    // universe is identical: a pair is generated once per matching flip f
+    // with bucket_a XOR f = bucket_b — at most ONE f in {0, single bits}
+    // matches, so each ordered pair appears at most once and a < b keeps
+    // exactly one orientation (OpsSpec asserts the stream is
+    // duplicate-free). Per-group state is one bucket's true members —
+    // the same build-side footprint the hash join held per key.
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val b = Knn.signBucketJvm(emb, nPlanes)
+        val n = Knn.normJvm(emb)
+        (id, emb,
+          if (b == null) 0L else b.longValue(),
+          if (n == null) 0.0 else n.doubleValue(),
+          b != null && n != null)
+      }
+    val flips = (0L +: (0 until nPlanes).map(p => 1L << p)).toArray
+    val probes = base.filter(_._5).flatMap { case (id, emb, b, n, _) =>
+      flips.iterator.map(f => (b ^ f, id, emb, n))
+    }
+    val members = base.filter(_._5)
+      .map { case (id, emb, b, n, _) => (b, id, emb, n) }
+    probes.groupByKey(_._1).cogroup(members.groupByKey(_._1)) {
+      (_, aIt, bIt) =>
+        val bs = bIt.toArray
+        if (bs.isEmpty) Iterator.empty
+        else aIt.flatMap { case (_, ida, embA, nrmA) =>
+          bs.iterator.flatMap { case (_, idb, embB, nrmB) =>
+            if (ida >= idb) None
+            else {
+              val d = Knn.dotJvm(embA, embB)
+              // cosineFromParts op order: dot / (nrm_a * nrm_b); a NaN
+              // cos (zero-norm pair) fails >= exactly like the SQL filter
+              if (d != null && d.doubleValue() / (nrmA * nrmB) >= minCos)
+                Some((ida, idb))
+              else None
+            }
+          }
+        }
+    }.toDF("vec_a", "vec_b")
   }
 
   /** 64-bit SimHash fingerprint per doc from analyzed term frequencies

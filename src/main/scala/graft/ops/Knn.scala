@@ -27,10 +27,40 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
+  // --- compiled kernels (r6 optimization) ---------------------------------
+  // The original Column implementations used higher-order functions
+  // (aggregate/zip_with) and a per-element md5 for the hyperplanes; HOFs
+  // are CodegenFallback in Spark (interpreted per element), which made
+  // bucket assignment and the pair-stream dot products the dominant cost
+  // of every kNN/near-dup entry (guide §1.2 step 2: per-task work). These
+  // JVM kernels replay the exact same left-to-right IEEE fold order and
+  // the exact same md5-derived plane components, so results are
+  // bit-identical (OpsSpec/oracle-verified); only the evaluation engine
+  // changed (interpreted expression tree → compiled loop behind a UDF).
+
+  /** JVM dot product, identical fold order to the old
+    * aggregate(zip_with(...)) expression: Σ x_i·y_i left-to-right in
+    * double. Null/length-mismatched inputs return null exactly like
+    * zip_with's null padding did (a null element nulls the whole sum).
+    */
+  private[ops] def dotJvm(a: Array[Float], b: Array[Float]): java.lang.Double = {
+    if (a == null || b == null || a.length != b.length) return null
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private val dotUdf = udf((a: Array[Float], b: Array[Float]) => dotJvm(a, b))
+
   /** Cosine similarity of two float-array columns, computed in double. */
-  private[ops] def dotCol(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private[ops] def dotCol(x: Column, y: Column): Column = dotUdf(x, y)
+
+  /** JVM norm: sqrt of the self-dot (same IEEE ops as sqrt(dotCol(x,x))). */
+  private[ops] def normJvm(a: Array[Float]): java.lang.Double = {
+    val d = dotJvm(a, a)
+    if (d == null) null else math.sqrt(d)
+  }
 
   /** Euclidean norm of an embedding column. */
   def norm(x: Column): Column = sqrt(dotCol(x, x))
@@ -96,27 +126,55 @@ object Knn {
     bruteForceTopK(vectors.where(keep), queries, k)
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived uniform in [-1, 1). Pure column expression.
+    * md5-derived uniform in [-1, 1) — the JVM replica of the original
+    * column expression `conv(substring(md5("p:<plane>:<dim>"), 1, 8), 16,
+    * 10) / 2^31 - 1` (same bytes through MessageDigest, same arithmetic).
     */
-  private def planeComponent(plane: Int, dim: Column): Column = {
-    // first 8 hex chars of md5("p:<plane>:<dim>") → uint32 → [-1, 1)
-    val h = conv(substring(md5(concat(lit(s"p:$plane:"), dim)), 1, 8), 16, 10).cast("double")
-    h / lit(2147483648.0) - lit(1.0)
+  private[ops] def planeComponentJvm(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"p:$plane:$dim".getBytes("UTF-8"))
+    // first 8 hex chars = first 4 digest bytes as an unsigned 32-bit int
+    var h = 0L
+    var i = 0
+    while (i < 4) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h.toDouble / 2147483648.0 - 1.0
   }
 
-  /** Sign-LSH bucket id (one int per `nPlanes`-bit signature) for an
-    * embedding column, as a pure Catalyst expression (codegen-friendly).
+  // plane component rows cached per (plane, dims): computed once per JVM,
+  // not once per element per row like the old per-element md5 expression
+  private val planeCache =
+    new scala.collection.concurrent.TrieMap[(Int, Int), Array[Double]]()
+
+  private[ops] def planeRow(plane: Int, dims: Int): Array[Double] =
+    planeCache.getOrElseUpdate((plane, dims),
+      Array.tabulate(dims)(planeComponentJvm(plane, _)))
+
+  /** JVM sign-LSH bucket, identical to the old expression: per plane the
+    * projection is the left-to-right fold Σ v_i·comp(p, i); bit p is set
+    * iff proj ≥ 0 (an empty embedding projects 0.0 on every plane and
+    * takes all bits, exactly like the old aggregate-over-empty fold).
     */
-  def signBucket(embedding: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(embedding, sequence(lit(0), size(embedding) - 1),
-          (v, i) => v.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+  private[ops] def signBucketJvm(v: Array[Float], nPlanes: Int): java.lang.Long = {
+    if (v == null) return null
+    var b = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val comps = planeRow(p, v.length)
+      var proj = 0.0
+      var i = 0
+      while (i < v.length) { proj += v(i).toDouble * comps(i); i += 1 }
+      if (proj >= 0) b |= 1L << p
+      p += 1
     }
-    bits.reduce(_ + _)
+    b
   }
+
+  /** Sign-LSH bucket id (one long per `nPlanes`-bit signature) for an
+    * embedding column — compiled kernel behind a UDF (bit-identical to
+    * the original interpreted HOF + per-element-md5 expression).
+    */
+  def signBucket(embedding: Column, nPlanes: Int): Column =
+    udf((v: Array[Float]) => signBucketJvm(v, nPlanes)).apply(embedding)
 
   /** Approximate top-k: candidates share the query's LSH bucket or (with
     * `multiProbe`) any 1-bit-flip neighbor bucket — the standard multi-probe
@@ -171,26 +229,42 @@ object Knn {
     * mapPartitions; not needed at any size this repo targets.)
     */
   def ivfCellExpr(embedding: Column, centroids: Seq[(Long, Seq[Float])]): Column = {
-    val withInv = centroids.sortBy(_._1).map { case (cid, cv) =>
+    // r6: compiled argmax kernel behind a UDF — the original typedLit +
+    // nested-aggregate fold was a CodegenFallback expression interpreted
+    // per row per centroid per element. Identical semantics: ascending-cid
+    // scan, score = (left-to-right dot fold) × precomputed 1/|c|, strict >
+    // (so the lowest cid wins exact ties, and a NaN score never replaces
+    // the incumbent — NaN > x is false in both engines).
+    val sorted = centroids.sortBy(_._1)
+    val cids = sorted.map(_._1).toArray
+    val cvs = sorted.map(_._2.toArray).toArray
+    val invs = cvs.map { cv =>
       val n2 = cv.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
-      (cid, cv, if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2))
+      if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
     }
-    val cents = typedLit(withInv)
-    // both branches use positional struct names (col1, col2) so the CASE
-    // branches type-match: col1 = best cid, col2 = best scaled dot
-    val best = aggregate(
-      cents,
-      struct(lit(-1L), lit(Double.NegativeInfinity)),
-      (acc, c) => {
-        val score = aggregate(
-          zip_with(embedding, c.getField("_2"),
-            (p, q) => p.cast("double") * q.cast("double")),
-          lit(0.0), (a, v) => a + v) * c.getField("_3")
-        when(score > acc.getField("col2"),
-          struct(c.getField("_1").cast("long"), score))
-          .otherwise(acc)
-      })
-    best.getField("col1")
+    val f = udf((v: Array[Float]) => {
+      if (v == null) null
+      else {
+        var bestCid = -1L
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < cvs.length) {
+          val cv = cvs(c)
+          // zip_with null-padded unequal lengths (nulling the fold); the
+          // fixture contract is equal dims — mismatches keep the seed -1
+          if (cv.length == v.length) {
+            var dot = 0.0
+            var i = 0
+            while (i < v.length) { dot += v(i).toDouble * cv(i).toDouble; i += 1 }
+            val score = dot * invs(c)
+            if (score > bestScore) { bestScore = score; bestCid = cids(c) }
+          }
+          c += 1
+        }
+        java.lang.Long.valueOf(bestCid)
+      }
+    })
+    f(embedding)
   }
 
   /** Deterministic seed quantizer: the `nCentroids` lowest-id vectors

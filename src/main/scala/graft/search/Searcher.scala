@@ -262,7 +262,7 @@ final class Searcher(val index: BuiltIndex) {
     * clause per analyzed token like [[search]], but WITHOUT the top-k
     * collector: the per-field input [[MultiField.mostFields]] combines.
     */
-  private[search] def scoredTopics(topics: Seq[Topic],
+  private[graft] def scoredTopics(topics: Seq[Topic],
                                    scorerName: String = "bm25")
       : Dataset[(String, Long, Float)] = {
     requireDistinctQids(topics)
@@ -433,16 +433,19 @@ final class Searcher(val index: BuiltIndex) {
       .select($"qid", $"docid", $"ckey")
       .as[(String, Long, String)]
       .groupByKey(_._1).agg(agg.toColumn)
-    val ranked = top.flatMap { case (qid, hits) =>
-      hits.iterator.zipWithIndex.map { case ((ckey, docid), i) =>
-        (qid, docid, i.toLong, ckey)
+    // r6: driver-side docno attach (see collectTopK) — the agg output is
+    // ≤ k rows per topic by construction, the same rows the old broadcast
+    // carried; one pruned point-lookup job replaces broadcast + join.
+    val ranked: Seq[(String, Long, Long, String)] = top.collect().toSeq
+      .flatMap { case (qid, hits) =>
+        hits.iterator.zipWithIndex.map { case ((ckey, docid), i) =>
+          (qid, docid, i.toLong, ckey)
+        }
       }
-    }.toDF("qid", "docid", "rank", "ckey")
-    val docShift = index.cfg.groupShift + index.cfg.mergeShift
-    index.docs.select($"docid", $"docno", $"grp")
-      .join(broadcast(ranked.withColumn("grp", shiftright($"docid", docShift))),
-        Seq("docid", "grp"))
-      .select($"qid", $"docno", $"rank", $"ckey")
+    val byId = docnoLookup(ranked.map(_._2))
+    ranked.flatMap { case (qid, docid, rank, ckey) =>
+      byId.get(docid).map(docno => (qid, docno, rank, ckey))
+    }.toDF("qid", "docno", "rank", "ckey")
   }
 
   /** Deep-pagination cursor (≙ Elasticsearch `search_after` / Lucene
@@ -513,18 +516,36 @@ final class Searcher(val index: BuiltIndex) {
         $"docid", $"score")
       .as[(String, Long, Float)]
     val top = keyed.groupByKey(_._1).agg(agg.toColumn)
-    val ranked = top.flatMap { case (gk, hits) =>
+    val ranked = top.collect().flatMap { case (gk, hits) =>
       val i = gk.indexOf('\u0000')
       val (qid, ckey) = (gk.substring(0, i), gk.substring(i + 1))
       hits.iterator.zipWithIndex.map { case ((docid, _), r) =>
         (qid, ckey, docid, r.toLong)
       }
-    }.toDF("qid", "ckey", "docid", "hit_rank")
+    }
+    // r6: driver-side docno attach (see collectTopK) — n×|groups| rows,
+    // bounded for the facet-shaped key cardinalities this surface serves
+    // (the old plan broadcast the same row set).
+    val byId = docnoLookup(ranked.map(_._3).toSeq)
+    ranked.toSeq.flatMap { case (qid, ckey, docid, r) =>
+      byId.get(docid).map(docno => (qid, ckey, docno, r))
+    }.toDF("qid", "ckey", "docno", "hit_rank")
+  }
+
+  /** docid → docno point lookup for a driver-bounded docid set: grp
+    * partition pruning + docid pushdown over the docid-sorted doc files —
+    * the pruned read the old grp equi-joins achieved, minus the broadcast
+    * build (r6).
+    */
+  private def docnoLookup(ids: Seq[Long]): Map[Long, String] = {
+    import spark.implicits._
+    if (ids.isEmpty) return Map.empty
     val docShift = index.cfg.groupShift + index.cfg.mergeShift
-    index.docs.select($"docid", $"docno", $"grp")
-      .join(broadcast(ranked.withColumn("grp", shiftright($"docid", docShift))),
-        Seq("docid", "grp"))
-      .select($"qid", $"ckey", $"docno", $"hit_rank")
+    val distinctIds = ids.distinct
+    val grps = distinctIds.map(_ >> docShift).distinct
+    index.docs
+      .where(col("grp").isin(grps: _*) && col("docid").isin(distinctIds: _*))
+      .select("docid", "docno").as[(Long, String)].collect().toMap
   }
 
   /** Per-document numeric boost table for [[searchFunctionScore]]: index
@@ -1177,8 +1198,13 @@ final class Searcher(val index: BuiltIndex) {
     import spark.implicits._
     val scorer = Scorer.byName(scorerName)
     val stats = CollStats(index.stats.max_doc, index.stats.sum_total_term_freq)
+    // one sub-query per DISTINCT analyzed term (first-occurrence order):
+    // DisMaxQuery sub-queries are a set here, and the oracle's
+    // `SELECT DISTINCT qid, term` replays exactly that — a repeated topic
+    // term must not add its score twice to the tie-broken sum (ADVICE r5;
+    // DisMaxBoostSpec pins the repeated-term case)
     val clauses = topics.flatMap { t =>
-      analyzer.analyze(t.text).zipWithIndex.map { case (term, i) =>
+      analyzer.analyze(t.text).distinct.zipWithIndex.map { case (term, i) =>
         WeightedClause(t.qid, i, term, 1.0f)
       }
     }
@@ -1494,7 +1520,7 @@ final class Searcher(val index: BuiltIndex) {
     * collector — the seam multi-field retrieval combines per-field scores
     * on ([[MultiField]]); parameters as [[searchClauses]].
     */
-  private[search] def scoredClauses(clauses: Seq[WeightedClause],
+  private[graft] def scoredClauses(clauses: Seq[WeightedClause],
                     k: Int = 1000,
                     scorerName: String = "bm25",
                     excludeDocnos: Map[String, Set[String]] = Map.empty,
@@ -2142,39 +2168,38 @@ final class Searcher(val index: BuiltIndex) {
     import spark.implicits._
     val agg = new TopKAgg(k, implicitly[Encoder[Seq[(Long, Float)]]],
       implicitly[Encoder[Seq[(Long, Float)]]])
-    val top: Dataset[(String, Seq[(Long, Float)])] =
-      scored.groupByKey(_._1).agg(agg.toColumn)
-
-    val ranked = top.flatMap { case (qid, hits) =>
-      hits.iterator.zipWithIndex.map { case ((docid, score), i) =>
-        (qid, docid, i, score)
-      }
-    }.toDF("qid", "docid", "rank", "score")
-
-    // Attach docno: tiny result side broadcast against the doc table; the
-    // redundant grp equi-key (grp is a pure function of docid) lets Spark
-    // dynamic-partition-prune the grp-partitioned doc table, so only the
-    // docid ranges containing hits are read.
-    val docShift = index.cfg.groupShift + index.cfg.mergeShift
-    val withDocno = index.docs.select($"docid", $"docno", $"grp")
-      .join(broadcast(ranked.withColumn("grp", shiftright($"docid", docShift))),
-        Seq("docid", "grp"))
-      .select($"qid", $"docno", $"rank".cast("int").as("rank"),
-        $"score".cast("float").as("score"))
-      .as[(String, String, Int, Float)]
-
-    // Docno dedup keeping the first (lowest pre-dedup rank) occurrence +
-    // rank-ordered output, one tiny per-query group op (≤ k rows per
-    // group) instead of a window + global sort pair of shuffles.
-    withDocno.groupByKey(_._1)
-      .flatMapGroups[RunLine] { (qid: String, it: Iterator[(String, String, Int, Float)]) =>
-        val hits = it.toArray.sortBy(_._3)
-        val seen = scala.collection.mutable.HashSet.empty[String]
-        hits.iterator.collect {
-          case (_, docno, rank, score) if seen.add(docno) =>
-            RunLine(qid, docno, rank, score, runtag)
+    // r6: driver-side tail. The bounded collector's output is ≤ k rows per
+    // topic BY CONSTRUCTION — the exact row set the old plan broadcast to
+    // every executor for the docno join — so collecting it to the driver
+    // is the same O(k·|topics|) footprint with two fewer cluster-side
+    // steps: the docno attach becomes ONE pruned point-lookup job (grp
+    // partition pruning + docid pushdown on the docid-sorted doc files,
+    // the same pruning the old grp equi-join achieved) with no broadcast
+    // build job, and the first-occurrence-by-rank docno dedup — logic
+    // unchanged — runs over the driver rows instead of a third shuffle.
+    val top: Array[(String, Seq[(Long, Float)])] =
+      scored.groupByKey(_._1).agg(agg.toColumn).collect()
+    val ranked: Seq[(String, Long, Int, Float)] = top.toSeq.flatMap {
+      case (qid, hits) =>
+        hits.iterator.zipWithIndex.map { case ((docid, score), i) =>
+          (qid, docid, i, score)
         }
-      }
+    }
+    if (ranked.isEmpty) return spark.emptyDataset[RunLine]
+    val docnoById: Map[Long, String] = docnoLookup(ranked.map(_._2))
+    val lines: Seq[RunLine] = ranked.groupBy(_._1).toSeq.flatMap {
+      case (_, hits) =>
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        hits.sortBy(_._3).iterator.flatMap { case (qid, docid, rank, score) =>
+          // inner-join semantics: a docid absent from the doc table drops
+          docnoById.get(docid) match {
+            case Some(docno) if seen.add(docno) =>
+              Some(RunLine(qid, docno, rank, score, runtag))
+            case _ => None
+          }
+        }
+    }
+    spark.createDataset(lines)
   }
 
   /** Seed pass for WAND: exact-score each query's lowest-df clause only;

@@ -168,8 +168,13 @@ final class UnionIndex(spark0: SparkSession, val dirs: Seq[String], cfg0: IndexC
     extends BuiltIndex(spark0, dirs.head, cfg0) {
   import IndexLayout._
 
+  // memoized like the base class's table handles (delta dirs are immutable
+  // snapshots): one listing + schema read per table per handle
+  private val unionedCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def unioned(sub: String): DataFrame =
-    dirs.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
+    unionedCache.getOrElseUpdate(sub,
+      dirs.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _))
 
   override def docs: DataFrame = unioned(DocsDir)
   // deltas mint docids in disjoint epochs, but distinct guards the case of

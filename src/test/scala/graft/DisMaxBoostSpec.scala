@@ -50,6 +50,17 @@ class DisMaxBoostSpec extends AnyFunSuite {
     assert(got.toSet == Set("b-1", "b-2", "b-3", "b-4", "b-5"))
   }
 
+  test("a repeated topic term scores once (sub-queries are a set, like the oracle's DISTINCT)") {
+    // tie=1 is the OR sum, where a double-counted clause would be visible:
+    // "apple apple pear" must score exactly like "apple pear" (ADVICE r5 —
+    // the oracle dedupes via SELECT DISTINCT qid, term)
+    val rep = searcher.searchDisMax(Seq(Topic("t", "apple apple pear")), 10,
+        tieBreaker = 1.0f).collect().map(l => l.docno -> l.score).toMap
+    val once = searcher.searchDisMax(Seq(Topic("t", "apple pear")), 10,
+        tieBreaker = 1.0f).collect().map(l => l.docno -> l.score).toMap
+    assert(rep == once)
+  }
+
   test("boosting demotes matching docs without removing them") {
     val base = searcher.search(Seq(topic), 10).collect()
       .map(l => l.docno -> l.score).toMap

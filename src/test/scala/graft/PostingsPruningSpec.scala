@@ -52,9 +52,11 @@ class PostingsPruningSpec extends AnyFunSuite {
       "max_tf", "sum_tf", "block_last_docid", "block_max_tf", "block_min_dl",
       "block_doc_off", "block_tf_off", "block_dl_off")
     pruned.foreach(f => banned.foreach(b => assert(!f.contains(b), s"$b in $f")))
-    // the exhaustive (non-WAND) search plan reads none of them either
+    // the exhaustive (non-WAND) scored stream reads none of them either
+    // (r6: pinned on the scored seam — the search() result is collected)
     val s = new Searcher(idx)
-    val plain = scanFields(s.search(Seq(Topic("t2", "alpha")), 5).toDF())
+    val plain = scanFields(s.scoredTopics(Seq(Topic("t2", "alpha"))).toDF())
+    assert(plain.exists(_.contains("doc_blob")))
     plain.filter(_.contains("doc_blob"))
       .foreach(f => assert(!f.contains("block_last_docid"), f))
   }
@@ -77,18 +79,24 @@ class PostingsPruningSpec extends AnyFunSuite {
   }
 
   test("term search plan reads no position bytes; phrase search plan does") {
+    // r6: search()'s returned Dataset is the collected result (driver-side
+    // tail), so the postings scan lives in the SCORED stream the collector
+    // consumes — pin the ReadSchema contract there, at the seam that
+    // actually reads parquet.
     val s = new Searcher(idx)
-    val term = s.search(Seq(Topic("t1", "alpha gamma")), 5)
+    val term = s.scoredTopics(Seq(Topic("t1", "alpha gamma")))
     val termScans = scanFields(term.toDF())
     assert(termScans.nonEmpty)
     termScans.foreach(f => assert(!f.contains("pos_blob"), f))
 
-    val phrase = s.searchQuery(Seq(Topic("p1", "\"alpha beta\"")), 5)
+    val phrase = s.scoredClauses(Nil, phraseClauses = Seq(
+      graft.search.PhraseClause("p1", 0, Seq("alpha" -> 0, "beta" -> 1), 1.0f)))
     val phraseScans = scanFields(phrase.toDF())
     assert(phraseScans.exists(_.contains("pos_blob")),
       s"phrase plan lost its positions read: $phraseScans")
 
     // and the pruning is semantically invisible: both still return hits
-    assert(term.collect().nonEmpty && phrase.collect().nonEmpty)
+    assert(s.search(Seq(Topic("t1", "alpha gamma")), 5).collect().nonEmpty &&
+      s.searchQuery(Seq(Topic("p1", "\"alpha beta\"")), 5).collect().nonEmpty)
   }
 }

@@ -102,15 +102,22 @@ class ShingleSpec extends AnyFunSuite {
       IndexConfig(analyzer = AnalyzerConfig(shingleSize = 2)))
     // ReadSchema of every scan (the pruned views alias pos_blob to an
     // empty literal, so the plan STRING legitimately contains the name —
-    // what must not contain it is what the parquet scan actually reads)
-    val scans = new Searcher(shIdx)
-      .searchPhraseShingle(Seq("1" -> "hash join"), 10)
+    // what must not contain it is what the parquet scan actually reads).
+    // r6: searchPhraseShingle's result is collected (driver-side tail), so
+    // the read contract is pinned on the scored stream of the rewritten
+    // single-term clause — exactly what the rewrite emits.
+    val sr = new Searcher(shIdx)
+    val scans = sr
+      .scoredClauses(Seq(graft.search.WeightedClause("1", 0, "hash join", 1.0f)))
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       .linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
     assert(scans.nonEmpty)
     scans.foreach(f => assert(!f.contains("pos_blob"),
       "the whole point of the rewrite: no positional decode\n" + f))
+    // end to end, the rewrite still returns the phrase hit
+    assert(sr.searchPhraseShingle(Seq("1" -> "hash join"), 10)
+      .collect().nonEmpty)
   }
 
   test("shingles count toward doc length like every emitted token") {
