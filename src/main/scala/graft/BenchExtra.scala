@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
@@ -46,9 +46,25 @@ object BenchExtra {
     val shufR = new AtomicLong
     val shufW = new AtomicLong
     val input = new AtomicLong
+    val detail = sys.env.get("GRAFT_EXTRA_DETAIL").contains("1")
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (detail) {
+          val cs = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          val site = j.stageInfos.lastOption.map(_.details.linesIterator
+            .filter(l => l.contains("graft.") && !l.contains("BenchExtra"))
+            .take(1).mkString).getOrElse("")
+          jobStarts.put(j.jobId, (System.nanoTime(), s"$cs | $site"))
+        }
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = if (detail) {
+        val st = jobStarts.remove(j.jobId)
+        if (st != null)
+          println(f"  JOB ${j.jobId}%4d ${(System.nanoTime() - st._1) / 1e9}%6.2fs ${st._2}")
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {

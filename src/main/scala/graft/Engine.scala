@@ -58,12 +58,17 @@ object Engine {
     * other entry reading it) stays delete-free. Idempotent across
     * sessions: the overlay batch is content-addressed.
     */
-  def deletedOracleIndex(spark: SparkSession, sfDir: String): BuiltIndex = {
-    val idx = oracleIndex(spark, sfDir)
-    val overlay = s"$workDir/deletes_${safeSf(sfDir)}_oracle"
-    graft.index.Deletes.writeDeletes(idx, deleteSet(spark, sfDir), overlay)
-    idx.withDeletes(overlay)
-  }
+  def deletedOracleIndex(spark: SparkSession, sfDir: String): BuiltIndex =
+    cache.getOrElseUpdate(s"$sfDir|deleted-oracle", {
+      // memoized (r6): the overlay batch is content-addressed and the
+      // handle immutable, so repeated entries share one handle — and with
+      // it the lazily-loaded tombstone array — instead of re-reading the
+      // delete parquet per entry
+      val idx = oracleIndex(spark, sfDir)
+      val overlay = s"$workDir/deletes_${safeSf(sfDir)}_oracle"
+      graft.index.Deletes.writeDeletes(idx, deleteSet(spark, sfDir), overlay)
+      idx.withDeletes(overlay)
+    })
 
   /** The [[deletedOracleIndex]] physically purged — stats/df/cf recomputed
     * over survivors (the post-merge Lucene state). Resumes from a
@@ -91,7 +96,8 @@ object Engine {
         rangePartitions = OracleRangePartitions), "oracle")
 
   def porterIndex(spark: SparkSession, sfDir: String): BuiltIndex =
-    indexFor(spark, sfDir, IndexConfig(analyzer = PorterAnalyzer), "porter")
+    indexFor(spark, sfDir, IndexConfig(analyzer = PorterAnalyzer,
+      rangePartitions = OracleRangePartitions), "porter")
 
   /** Identifier-split analysis for the code-search gate entry. docids pin
     * to the oracle fan-out so checkpointed indexes are byte-identical
@@ -186,7 +192,8 @@ object Engine {
       val tag = s"fold_${java.lang.Integer.toHexString(FoldEnrich.hashCode)}"
       IndexBuilder.build(enriched,
         s"$workDir/idx_${safeSf(sfDir)}_$tag",
-        IndexConfig(analyzer = FoldAnalyzer), verifySha = true)
+        IndexConfig(analyzer = FoldAnalyzer,
+          rangePartitions = OracleRangePartitions), verifySha = true)
     })
 
   val MinStemAnalyzer: AnalyzerConfig =
@@ -194,21 +201,24 @@ object Engine {
       stemmer = "minimal")
 
   def minStemIndex(spark: SparkSession, sfDir: String): BuiltIndex =
-    indexFor(spark, sfDir, IndexConfig(analyzer = MinStemAnalyzer), "minstem")
+    indexFor(spark, sfDir, IndexConfig(analyzer = MinStemAnalyzer,
+      rangePartitions = OracleRangePartitions), "minstem")
 
   val SnowballAnalyzer: AnalyzerConfig =
     AnalyzerConfig(tokenizer = "whitespace", stopWords = Set("a", "the"),
       stemmer = "snowball")
 
   def snowballIndex(spark: SparkSession, sfDir: String): BuiltIndex =
-    indexFor(spark, sfDir, IndexConfig(analyzer = SnowballAnalyzer), "snowball")
+    indexFor(spark, sfDir, IndexConfig(analyzer = SnowballAnalyzer,
+      rangePartitions = OracleRangePartitions), "snowball")
 
   val KStemAnalyzer: AnalyzerConfig =
     AnalyzerConfig(tokenizer = "whitespace", stopWords = Set("a", "the"),
       stemmer = "kstem")
 
   def kstemIndex(spark: SparkSession, sfDir: String): BuiltIndex =
-    indexFor(spark, sfDir, IndexConfig(analyzer = KStemAnalyzer), "kstem")
+    indexFor(spark, sfDir, IndexConfig(analyzer = KStemAnalyzer,
+      rangePartitions = OracleRangePartitions), "kstem")
 
   /** Tokenizer AND stemmer selected by fully-qualified class name — drives
     * the reflective plugin seam (≙ `TrecAnalyzer.java:63-70,78-103`
@@ -220,7 +230,8 @@ object Engine {
       stopWords = Set("a", "the"), stemmer = "graft.analysis.PorterStemmer$")
 
   def fqcnIndex(spark: SparkSession, sfDir: String): BuiltIndex =
-    indexFor(spark, sfDir, IndexConfig(analyzer = FqcnAnalyzer), "fqcn")
+    indexFor(spark, sfDir, IndexConfig(analyzer = FqcnAnalyzer,
+      rangePartitions = OracleRangePartitions), "fqcn")
 
   /** Searcher over the oracle index, memoized per corpus dir (r6
     * optimization): a Searcher carries only immutable per-index state —

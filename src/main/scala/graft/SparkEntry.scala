@@ -28,6 +28,15 @@ object SparkEntry {
 
   val TopK = 20
 
+  // memoized raw-table reads per (session, path) — r6: fixture parquet is
+  // immutable per JVM; ~16 entries re-opened events/embeddings, paying a
+  // file listing + footer schema read each time
+  private val tableCache = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), DataFrame]()
+
+  private def readTable(s: SparkSession, path: String): DataFrame =
+    tableCache.getOrElseUpdate((s, path), s.read.parquet(path))
+
   /** Multi-field topics: content vocabulary mixed with PATH tokens (lang
     * codes, doc-id digits, the universal "txt" extension), so per-field
     * scoring, path-only matches and the boost weighting all materially
@@ -457,7 +466,7 @@ object SparkEntry {
     // universe; integer-exact register replay per bucket
     "q_daily_uniques" -> ((s, dir) => {
       ops.Sketch.hllRegistersBy(
-          s.read.parquet(s"$dir/events.parquet")
+          readTable(s, s"$dir/events.parquet")
             .select(unix_timestamp(date_trunc("day", col("ts"))).as("day_ts"),
               col("user_id")),
           Seq("day_ts"), "user_id", HllP)
@@ -801,7 +810,7 @@ object SparkEntry {
     }),
     // training-pipeline op: brute-force cosine top-k over embeddings
     "q_knn" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = readTable(s, s"$dir/embeddings.parquet")
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       ops.Knn.bruteForceTopK(emb, q, 10)
@@ -812,7 +821,7 @@ object SparkEntry {
     // BEFORE the search, so each query still gets k passing neighbors; the
     // predicate pushes to the parquet scan
     "q_knn_filtered" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = readTable(s, s"$dir/embeddings.parquet")
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       ops.Knn.filteredTopK(emb, q, 10, col("label") === 2)
@@ -889,7 +898,7 @@ object SparkEntry {
         .orderBy("docno")
     }),
     "q_lsh_knn" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = readTable(s, s"$dir/embeddings.parquet")
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       ops.Knn.lshTopK(emb, q, 10, nPlanes = 8)
@@ -901,7 +910,7 @@ object SparkEntry {
     // nondeterminism is spec-locked instead, see ops.Knn.ivfTrain), probe
     // the 2 nearest cells, exact-cosine re-rank inside them
     "q_ivf_knn" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = readTable(s, s"$dir/embeddings.parquet")
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val cents = ops.Knn.ivfSeedCentroids(emb, 8)
@@ -915,7 +924,7 @@ object SparkEntry {
     // EXACTLY by the unrolled oracle — no tolerance, no margin
     // preconditions; output = the trained quantizer's components
     "q_ivf_train" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = readTable(s, s"$dir/embeddings.parquet")
       val cents = ops.Knn.ivfTrain(emb, 8, iters = 2)
       import s.implicits._
       cents.toDF("cid", "cv")
@@ -986,7 +995,7 @@ object SparkEntry {
     // COMPLETE finalized rollup — which is exactly the batch GROUP BY the
     // oracle runs. Counts exact; value summed in integer cents.
     "q_stream_window" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = readTable(s, s"$dir/events.parquet")
       // fingerprint covers every streamed column the rollup consumes
       val fp = streaming.StreamFixtures.fingerprint(ev,
         Seq(col("event_id"), col("ts").cast("string"), col("event_type"),
@@ -1021,7 +1030,7 @@ object SparkEntry {
     // drops provably-unmatchable rows, so the streamed pairs equal the
     // batch self-join the oracle runs — no sentinel needed
     "q_stream_join" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = readTable(s, s"$dir/events.parquet")
       val fp = streaming.StreamFixtures.fingerprint(ev,
         Seq(col("event_id"), col("ts").cast("string"), col("event_type"),
           col("user_id")))
@@ -1047,7 +1056,7 @@ object SparkEntry {
     // replayed by a gaps-and-islands oracle with the matching strict->
     // break condition
     "q_sessions" -> ((s, dir) => {
-      s.read.parquet(s"$dir/events.parquet")
+      readTable(s, s"$dir/events.parquet")
         .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
@@ -1094,7 +1103,7 @@ object SparkEntry {
     // training-pipeline op: embedding-cosine near-dup pairs via sign-LSH
     // blocking + exact cosine verify
     "q_emb_neardup" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = readTable(s, s"$dir/embeddings.parquet")
       ops.Dedup.embeddingNearDups(emb, minCos = 0.4, nPlanes = 8)
         .select(col("vec_a").cast("long").as("vec_a"),
           col("vec_b").cast("long").as("vec_b"))
@@ -1379,7 +1388,7 @@ object SparkEntry {
     // cell via the bounded-heap stratified sampler. The oracle replays
     // training, assignment argmax and the md5 window end-to-end.
     "q_cluster_sample" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = readTable(s, s"$dir/embeddings.parquet")
       val cents = ops.Knn.ivfTrain(emb, 8, iters = 2)
       val assigned = corpus.Corpus.fromDocuments(s, dir)
         .select(col("docno"), expr("cast(substring(docno, 5, 24) as long)").as("vec_id"))
@@ -1527,7 +1536,7 @@ object SparkEntry {
     // replays both retrievers and the fusion arithmetic (same IEEE op
     // order) in SQL.
     "q_hybrid_topk" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = readTable(s, s"$dir/embeddings.parquet")
       // dense side: embedding i belongs to doc-%08d(i) (a real pipeline
       // stores docno on the embedding row; the join is the alignment)
       val docVecs = corpus.Corpus.fromDocuments(s, dir)
@@ -1742,7 +1751,7 @@ object SparkEntry {
     // deterministically, so the slices ARE the pages).
     "q_composite" -> ((s, dir) => {
       import s.implicits._
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = readTable(s, s"$dir/events.parquet")
         .select(col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
       val aggs = Seq(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
@@ -1792,7 +1801,7 @@ object SparkEntry {
       // values, so the engine emits the oracle's type (bkt values are
       // integral multiples of HistInterval, exact in double). Round-5
       // hash-fail root cause (VERDICT r5 #2); values were already identical.
-      s.read.parquet(s"$dir/events.parquet")
+      readTable(s, s"$dir/events.parquet")
         .groupBy((floor(col("value") / HistInterval) * HistInterval)
           .cast("double").as("bkt"))
         .agg(count(lit(1)).as("n"), min("value").as("min_v"),
@@ -1804,7 +1813,7 @@ object SparkEntry {
     // the bucket LIST (already reduced), like ES — one window pass, the
     // parent agg's exchange is the only data shuffle
     "q_pipeline_agg" -> ((s, dir) => {
-      val daily = s.read.parquet(s"$dir/events.parquet")
+      val daily = readTable(s, s"$dir/events.parquet")
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n_events"))
       ops.PipelineAgg.over(daily, "day", "n_events", MovingWindow)
@@ -1813,7 +1822,7 @@ object SparkEntry {
         .orderBy("day")
     }),
     "q_date_histogram" -> ((s, dir) =>
-      s.read.parquet(s"$dir/events.parquet")
+      readTable(s, s"$dir/events.parquet")
         .groupBy(date_trunc("hour", col("ts")).as("bkt"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           min(col("value")).as("min_value"), max(col("value")).as("max_value"))

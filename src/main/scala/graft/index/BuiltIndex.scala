@@ -19,6 +19,13 @@ import java.util.Properties
 class BuiltIndex(val spark: SparkSession, val dir: String, val cfg: IndexConfig) {
   import IndexLayout._
 
+  /** Identity of the index's IMMUTABLE statistics surface, used to share
+    * per-term stat memos across handles (r6): delete overlays keep the
+    * pre-delete df/cf by contract, so an overlay shares its parent's key;
+    * a union's stats are the union of its branch dirs.
+    */
+  def statsKey: String = s"$dir|${cfg.id}"
+
   // Table handles memoized per handle (r6 optimization): an index snapshot
   // directory is immutable (mutation mints a new snapshot/overlay handle —
   // see withDeletes/purge), so re-running spark.read.parquet on every

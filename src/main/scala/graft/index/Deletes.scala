@@ -161,6 +161,8 @@ object Deletes {
   */
 final class DeleteOverlayIndex(val parent: BuiltIndex, overlays: Seq[String])
     extends BuiltIndex(parent.spark, parent.dir, parent.cfg) {
+  // term stats keep their pre-delete values by contract: share the memo
+  override def statsKey: String = parent.statsKey
   override def docs: DataFrame = parent.docs
   override def postings: DataFrame = parent.postings
   override def termStats: DataFrame = parent.termStats

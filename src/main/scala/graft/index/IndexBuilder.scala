@@ -408,11 +408,33 @@ object IndexBuilder {
 
     BuiltIndex.writeProps(spark, dir, cfg)
     val idx = new BuiltIndex(spark, dir, cfg)
-    if (verifySha) {
+    if (verifySha && !shaDigestsMatch(corpus, idx)) {
+      // digests disagree: fall back to the exact row-level diff so the
+      // failure names a count, exactly as before
       val bad = shaMismatches(corpus, idx)
       require(bad == 0L, s"sha256 invariant violated for $bad rows (source vs indexed)")
     }
     idx
+  }
+
+  /** Fast whole-table equality probe for the sha256 invariant (r6): both
+    * sides reduce to (row count, XOR of xxhash64(docno, sha)) — two narrow
+    * single-row aggregation jobs instead of the full-outer join + count
+    * the exact [[shaMismatches]] diff pays. XOR is order-independent and a
+    * mismatch in any row flips the digest unless a 64-bit collision hides
+    * it — vanishing for an internal invariant probe, and the exact join
+    * still runs (and still fails loudly with a count) whenever the digests
+    * disagree, so the pass/fail contract is unchanged.
+    */
+  private[index] def shaDigestsMatch(corpus: DataFrame, idx: BuiltIndex): Boolean = {
+    def digest(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("docno"), col("sha"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val src = digest(corpus.select(col("docno"),
+      sha2(coalesce(col("content").cast("string"), lit("")), 256).as("sha")))
+    val dst = digest(idx.docs.select(col("docno"), col("sha")))
+    src == dst
   }
 
   /** Per-row content sha256 equality, source vs indexed (input_hint

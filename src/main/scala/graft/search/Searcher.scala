@@ -101,9 +101,12 @@ final case class SynonymClause(qid: String, qidx: Int,
 final class Searcher(val index: BuiltIndex) {
   private val spark: SparkSession = index.spark
   private val analyzer = new Analyzer(index.cfg.analyzer)
-  // term → Some((df, cf)) | None for terms absent from the index
-  private val statsCache =
-    new scala.collection.concurrent.TrieMap[String, Option[(Long, Long)]]()
+  // term → Some((df, cf)) | None for terms absent from the index — shared
+  // ACROSS Searcher instances per immutable index identity (r6): entries
+  // construct fresh Searchers on the same snapshot (delete overlays,
+  // purge handles), and an index's term statistics never change, so the
+  // memo belongs to the index, not the handle.
+  private val statsCache = Searcher.statsCacheFor(index)
 
   /** Sorted tombstone docids (equality-delete overlay, [[graft.index
     * .Deletes]]), broadcast once per searcher; None on a delete-free index
@@ -2480,6 +2483,19 @@ final class SortTopKAgg(k: Int,
 }
 
 object Searcher {
+  /** Per-index-identity term-stat memos (see the instance field): an
+    * index snapshot's term statistics are immutable, so every Searcher on
+    * the same [[BuiltIndex.statsKey]] shares one memo for the life of the
+    * JVM.
+    */
+  private val statsCaches = scala.collection.concurrent.TrieMap
+    .empty[String, scala.collection.concurrent.TrieMap[String, Option[(Long, Long)]]]
+
+  private[search] def statsCacheFor(index: BuiltIndex)
+      : scala.collection.concurrent.TrieMap[String, Option[(Long, Long)]] =
+    statsCaches.getOrElseUpdate(index.statsKey,
+      new scala.collection.concurrent.TrieMap[String, Option[(Long, Long)]]())
+
   /** True iff `docid` survives the broadcast tombstone overlay (None =
     * delete-free index). Static so executor closures capture only the
     * Option[Broadcast], never the Searcher.

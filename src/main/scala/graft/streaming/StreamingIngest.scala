@@ -168,6 +168,9 @@ final class UnionIndex(spark0: SparkSession, val dirs: Seq[String], cfg0: IndexC
     extends BuiltIndex(spark0, dirs.head, cfg0) {
   import IndexLayout._
 
+  // a union's stat surface is the union of its branches
+  override def statsKey: String = s"${dirs.mkString("|")}|${cfg0.id}"
+
   // memoized like the base class's table handles (delta dirs are immutable
   // snapshots): one listing + schema read per table per handle
   private val unionedCache =

@@ -386,6 +386,43 @@ class OpsSpec extends AnyFunSuite {
     assert(all.nonEmpty && all.size == all.distinct.size)
   }
 
+  test("near-dup bucket caps drop degenerate buckets, leave normal recall intact") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // embedding side: a planted near-dup pair plus a DEGENERATE bucket of
+    // 30 identical vectors; capped at 10 the identical clique's bucket is
+    // dropped (its quadratic pairs vanish) while the planted pair — alone
+    // in its own bucket — survives with identical output.
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val noisy = base.clone(); noisy(0) += 0.01f
+    val boiler = Array.tabulate(8)(i => if (i % 2 == 0) -1.0f else 1.0f)
+    val vecs = (Seq((0L, base), (1L, noisy)) ++
+        (2 until 32).map(i => (i.toLong, boiler.clone())))
+      .toDF("vec_id", "embedding")
+    val uncapped = Dedup.embeddingNearDups(vecs, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((0L, 1L)) && uncapped.size > 100) // clique pairs present
+    val capped = Dedup.embeddingNearDups(vecs, minCos = 0.99, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L))) // clique dropped, planted pair kept
+
+    // simhash side: same shape — 30 identical docs share every band; the
+    // cap excludes those buckets, the distinct near-dup pair stays.
+    val an = new graft.analysis.Analyzer(graft.analysis.AnalyzerConfig())
+    val docs = (Seq( // n1 ≡ n2 (hamming 0): the guaranteed surviving pair
+        ("n1", "alpha beta gamma delta epsilon zeta"),
+        ("n2", "alpha beta gamma delta epsilon zeta")) ++
+      (0 until 30).map(i => (f"b$i%02d", "same boilerplate text here")))
+      .toDF("docno", "content")
+    val fps = Dedup.simHash(docs, an)
+    val un = Dedup.simHashPairs(fps, maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(un.exists(p => p._1 == "n1" && p._2 == "n2") && un.size > 100)
+    val cap = Dedup.simHashPairs(fps, maxDist = 3, maxBucketSize = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cap == Set(("n1", "n2")))
+  }
+
   test("language classification: marker argmax, first-wins ties, und fallback") {
     import spark.implicits._
     val c = Seq(
