@@ -99,8 +99,14 @@ object Dedup {
     val bounded =
       if (maxBucketSize <= 0) bands
       else {
-        val sizes = bands.groupBy("band_key").agg(count(lit(1)).as("bs"))
-        bands.join(sizes.where(col("bs") <= maxBucketSize), Seq("band_key"))
+        // r6: bucket-size gate as a count-only window over the band_key
+        // partitioning the join needs anyway — one exchange, no second
+        // execution of the banding lineage for a sizes table (the old
+        // sizes-join re-derived bands). Value-identical: same per-key
+        // count, same ≤ cap filter.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band_key")
+        bands.withColumn("bs", count(lit(1)).over(w))
+          .where(col("bs") <= maxBucketSize).drop("bs")
       }
     val a = bounded.select(col("band_key"), col("docno").as("docno_a"))
     val b = bounded.select(col("band_key"), col("docno").as("docno_b"))
@@ -381,10 +387,11 @@ object Dedup {
     val banded =
       if (maxBucketSize <= 0) banded0
       else {
-        val sizes = banded0.groupBy("band", "key")
-          .agg(count(lit(1)).as("bs"))
-        banded0.join(sizes.where(col("bs") <= maxBucketSize),
-          Seq("band", "key")).drop("bs")
+        // count-only window over the (band, key) partitioning the join
+        // needs anyway — one exchange, no sizes-table re-derivation
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+        banded0.withColumn("bs", count(lit(1)).over(w))
+          .where(col("bs") <= maxBucketSize).drop("bs")
       }
     val a = banded.select(col("band"), col("key"),
       col("docno").as("docno_a"), col("simhash").as("sh_a"))
