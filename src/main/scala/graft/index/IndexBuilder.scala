@@ -297,9 +297,23 @@ object IndexBuilder {
         force = true
         val t0 = System.nanoTime()
         val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("postings_parts")
+        // r6: shuffle on (bucket, mgrp) instead of (term, mgrp). Equal
+        // terms still land together (bucket is a function of term) and the
+        // in-task sort below gives encodeChunks its (term, mgrp, docid)
+        // contiguity, so the emitted runs are identical — but the
+        // partitionBy("bucket") writer now sees each task hold a FEW
+        // buckets instead of a random slice of all 64, collapsing the
+        // (writer task × bucket dir) small-file product (2,432 → ~250
+        // files on the bench build; every later postings read pays
+        // listing + footer + open-cost per file). Scale: keys = buckets ×
+        // mgrps, and mgrp count grows with the corpus (one per 2^22
+        // docids), so reducer parallelism keeps scaling and a hot term
+        // still splits across its mgrps; per-key load coarsens only by
+        // the bucket's term mix, which the 64-way term hash keeps uniform.
+        val bucketU = udf((t: String) => bucketOf(t, buckets))
         val sorted = explodedPostings
           .join(broadcast(mgrpMapDF), Seq("grp"))
-          .repartition($"term", $"mgrp")
+          .repartition(bucketU($"term"), $"mgrp")
           .sortWithinPartitions($"term", $"mgrp", $"docid")
           .select($"term", $"docid", $"tf", $"dl", $"mgrp", $"pos")
           .as[(String, Long, Int, Int, Long, Array[Int])]
@@ -337,7 +351,9 @@ object IndexBuilder {
           "block_doc_off", "block_tf_off", "block_dl_off", "block_pos_off")
         val merged = spark.read.parquet(runsDir)
           .join(broadcast(mgrpMapDF), Seq("grp"))
-          .repartition($"term", $"mgrp")
+          // (bucket, mgrp) shuffle — same small-file rationale as the
+          // single-phase postings stage above; runs already carry bucket
+          .repartition($"bucket", $"mgrp")
           .sortWithinPartitions($"term", $"grp")
           .select(struct(runCols.map(col): _*).as("_1"), $"mgrp".as("_2"))
           .as[(PostingRun, Long)]
