@@ -110,7 +110,14 @@ object Curation {
   def weightedSample(corpus: DataFrame, weightCol: Column, salt: String,
                      k: Int): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
-    // 13 hex digits = 52 bits — exact in a double
+    // 13 hex digits = 52 bits — exact in a double. Edge note (ADVICE r5):
+    // u = 0 (all 52 md5 prefix bits zero, ~2^-52 per row) makes Spark's
+    // log(0) NULL (sorts last under skey DESC) while DuckDB's ln(0) is
+    // -inf — both LOSE the row, but the key values differ by dialect.
+    // Left as documented-unreachable rather than guarded: a guard
+    // (greatest(u, 2^-52)) would change the engine's key expression away
+    // from the frozen oracle's for every row, to cover one that both
+    // sides already drop.
     val u = (conv(substring(md5(concat_ws(":", lit(salt), col("docno"))),
       1, 13), 16, 10).cast("double") / lit(4503599627370496.0))
     val keyed = corpus
