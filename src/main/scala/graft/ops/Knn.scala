@@ -151,11 +151,15 @@ object Knn {
 
   /** JVM sign-LSH bucket, identical to the old expression: per plane the
     * projection is the left-to-right fold Σ v_i·comp(p, i); bit p is set
-    * iff proj ≥ 0 (an empty embedding projects 0.0 on every plane and
-    * takes all bits, exactly like the old aggregate-over-empty fold).
+    * iff proj ≥ 0. Empty-embedding parity note: the old
+    * `zip_with(embedding, sequence(0, size-1), …)` null-padded the empty
+    * side (sequence(0, -1) = [0, -1]), nulling every plane's fold, so
+    * `when(null >= 0)` set NO bits — an empty embedding's bucket is 0,
+    * not all-ones.
     */
   private[ops] def signBucketJvm(v: Array[Float], nPlanes: Int): java.lang.Long = {
     if (v == null) return null
+    if (v.length == 0) return 0L
     var b = 0L
     var p = 0
     while (p < nPlanes) {
