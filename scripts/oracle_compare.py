@@ -25,15 +25,22 @@ for t in ["documents", "lineitem", "orders", "embeddings", "events"]:
 value_bad, type_bad = [], []
 names = sorted(json.load(open(f"{out}/oracle_sql.json")).items())
 for name, sql in names:
-    s = pd.read_parquet(f"{out}/{name}")
-    d = con.sql(sql).df()
-    s = s[sorted(s.columns)].sort_values(sorted(s.columns)).reset_index(drop=True)
-    d = d[sorted(d.columns)].sort_values(sorted(d.columns)).reset_index(drop=True)
-    ok = (
-        len(s) == len(d)
-        and list(s.columns) == list(d.columns)
-        and s.equals(d.astype(s.dtypes.to_dict()))
-    )
+    # a genuinely broken entry (e.g. uncastable dtype combos) must be
+    # REPORTED as value-bad, not crash the loop and hide later entries
+    try:
+        s = pd.read_parquet(f"{out}/{name}")
+        d = con.sql(sql).df()
+        s = s[sorted(s.columns)].sort_values(sorted(s.columns)).reset_index(drop=True)
+        d = d[sorted(d.columns)].sort_values(sorted(d.columns)).reset_index(drop=True)
+        ok = (
+            len(s) == len(d)
+            and list(s.columns) == list(d.columns)
+            and s.equals(d.astype(s.dtypes.to_dict()))
+        )
+    except Exception as e:  # noqa: BLE001 — any failure is a red entry
+        print(f"  {name}: compare raised {type(e).__name__}: {e}")
+        value_bad.append(name)
+        continue
     if not ok:
         value_bad.append(name)
     elif list(s.dtypes) != list(d.dtypes):

@@ -95,7 +95,10 @@ object BenchExtra {
       }
       val wall = (System.nanoTime() - t0) / 1e9
       // listener events drain asynchronously; give the bus a moment
-      Thread.sleep(150)
+      // (diagnostic-grade counters — heavy entries may still undercount
+      // a tail of events; cross-check vs stage manifests for any number
+      // that matters)
+      Thread.sleep(500)
       println(f"EXTRA $name rep=$rep ok=$ok wall=$wall%.3f jobs=${jobs.get}" +
         f" stages=${stages.get} tasks=${tasks.get}" +
         f" taskTime=${taskTimeMs.get / 1000.0}%.2f shufR=${shufR.get}" +

@@ -241,8 +241,9 @@ object Engine {
     * with overlays/deltas (delete, update, union) still construct their
     * own Searcher on their own handle.
     */
-  private val searcherCache = TrieMap[String, Searcher]()
+  private val searcherCache = TrieMap[(SparkSession, String), Searcher]()
 
   def searcher(spark: SparkSession, sfDir: String): Searcher =
-    searcherCache.getOrElseUpdate(sfDir, new Searcher(oracleIndex(spark, sfDir)))
+    searcherCache.getOrElseUpdate((spark, sfDir),
+      new Searcher(oracleIndex(spark, sfDir)))
 }

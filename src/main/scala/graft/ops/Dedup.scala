@@ -172,8 +172,13 @@ object Dedup {
     // the same build-side footprint the hash join held per key.
     val spark = vectors.sparkSession
     import spark.implicits._
-    val base = vectors.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
+    // array<double> at the seam: a float embedding column widens exactly
+    // (the same per-element cast the old Column expressions did), and a
+    // double column keeps its old exact semantics instead of failing the
+    // float encoder (review r6)
+    val base = vectors.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
       .map { case (id, emb) =>
         val b = Knn.signBucketJvm(emb, nPlanes)
         val n = Knn.normJvm(emb)

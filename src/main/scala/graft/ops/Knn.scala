@@ -42,22 +42,26 @@ object Knn {
     * aggregate(zip_with(...)) expression: Σ x_i·y_i left-to-right in
     * double. Null/length-mismatched inputs return null exactly like
     * zip_with's null padding did (a null element nulls the whole sum).
+    * Kernels take Array[Double] and the UDFs declare array<double>, so a
+    * float-array column reaches them through Spark's exact float→double
+    * widening cast — the same per-element cast the old expression did —
+    * and a double-array column keeps its old exact semantics too.
     */
-  private[ops] def dotJvm(a: Array[Float], b: Array[Float]): java.lang.Double = {
+  private[ops] def dotJvm(a: Array[Double], b: Array[Double]): java.lang.Double = {
     if (a == null || b == null || a.length != b.length) return null
     var s = 0.0
     var i = 0
-    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
   }
 
-  private val dotUdf = udf((a: Array[Float], b: Array[Float]) => dotJvm(a, b))
+  private val dotUdf = udf((a: Array[Double], b: Array[Double]) => dotJvm(a, b))
 
-  /** Cosine similarity of two float-array columns, computed in double. */
+  /** Cosine similarity of two numeric-array columns, computed in double. */
   private[ops] def dotCol(x: Column, y: Column): Column = dotUdf(x, y)
 
   /** JVM norm: sqrt of the self-dot (same IEEE ops as sqrt(dotCol(x,x))). */
-  private[ops] def normJvm(a: Array[Float]): java.lang.Double = {
+  private[ops] def normJvm(a: Array[Double]): java.lang.Double = {
     val d = dotJvm(a, a)
     if (d == null) null else math.sqrt(d)
   }
@@ -157,16 +161,18 @@ object Knn {
     * `when(null >= 0)` set NO bits — an empty embedding's bucket is 0,
     * not all-ones.
     */
-  private[ops] def signBucketJvm(v: Array[Float], nPlanes: Int): java.lang.Long = {
-    if (v == null) return null
-    if (v.length == 0) return 0L
+  private[ops] def signBucketJvm(v: Array[Double], nPlanes: Int): java.lang.Long = {
+    // NULL-embedding parity: the old per-plane `when(proj >= 0, bit)`
+    // saw a NULL proj (null-propagated fold) and took the otherwise-0
+    // branch, so a null embedding bucketed to 0, same as an empty one.
+    if (v == null || v.length == 0) return 0L
     var b = 0L
     var p = 0
     while (p < nPlanes) {
       val comps = planeRow(p, v.length)
       var proj = 0.0
       var i = 0
-      while (i < v.length) { proj += v(i).toDouble * comps(i); i += 1 }
+      while (i < v.length) { proj += v(i) * comps(i); i += 1 }
       if (proj >= 0) b |= 1L << p
       p += 1
     }
@@ -178,7 +184,7 @@ object Knn {
     * the original interpreted HOF + per-element-md5 expression).
     */
   def signBucket(embedding: Column, nPlanes: Int): Column =
-    udf((v: Array[Float]) => signBucketJvm(v, nPlanes)).apply(embedding)
+    udf((v: Array[Double]) => signBucketJvm(v, nPlanes)).apply(embedding)
 
   /** Approximate top-k: candidates share the query's LSH bucket or (with
     * `multiProbe`) any 1-bit-flip neighbor bucket — the standard multi-probe
@@ -246,8 +252,10 @@ object Knn {
       val n2 = cv.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
       if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
     }
-    val f = udf((v: Array[Float]) => {
-      if (v == null) null
+    val f = udf((v: Array[Double]) => {
+      // null-embedding parity: the old fold's NULL scores never beat the
+      // seed, so a null embedding returned the seed cid -1
+      if (v == null) java.lang.Long.valueOf(-1L)
       else {
         var bestCid = -1L
         var bestScore = Double.NegativeInfinity
@@ -259,7 +267,7 @@ object Knn {
           if (cv.length == v.length) {
             var dot = 0.0
             var i = 0
-            while (i < v.length) { dot += v(i).toDouble * cv(i).toDouble; i += 1 }
+            while (i < v.length) { dot += v(i) * cv(i).toDouble; i += 1 }
             val score = dot * invs(c)
             if (score > bestScore) { bestScore = score; bestCid = cids(c) }
           }

@@ -501,9 +501,12 @@ final class Searcher(val index: BuiltIndex) {
     * [[collapseKeyTable]]. The per-(qid, ckey) heap is bounded
     * ([[TopKAgg]] over a composite group key, map-side partials), so the
     * shuffle moves ≤ n rows per group per partition; the docno attach
-    * broadcasts the n×|groups| hit list — bounded for the facet-shaped key
-    * cardinalities this surface serves (drop the broadcast hint if a key
-    * column has unbounded cardinality; the grp equi-join stays correct).
+    * collects the n×|groups| hit list to the driver (r6 — the same row
+    * set the pre-r6 plan broadcast to every executor) and point-looks-up
+    * docnos. Bounded for the facet-shaped key cardinalities this surface
+    * serves; a key column with unbounded cardinality needs a distributed
+    * tail instead (keep the scored join and rank distributively), exactly
+    * as the old broadcast variant did.
     * Docs without a key row are omitted, like Lucene facets. Returns
     * (qid, ckey, docno, hit_rank) with hit_rank 0-based within the group.
     */
@@ -546,9 +549,18 @@ final class Searcher(val index: BuiltIndex) {
     val docShift = index.cfg.groupShift + index.cfg.mergeShift
     val distinctIds = ids.distinct
     val grps = distinctIds.map(_ >> docShift).distinct
-    index.docs
-      .where(col("grp").isin(grps: _*) && col("docid").isin(distinctIds: _*))
-      .select("docid", "docno").as[(Long, String)].collect().toMap
+    // grp partition pruning stays an isin (bounded by the index's grp
+    // count); the docid predicate switches from literals to a broadcast
+    // semi-join above a threshold so a very large topic batch never
+    // builds a million-literal expression tree (review r6) — the row
+    // volume is the same either way, only the plan-side encoding changes
+    val base = index.docs.where(col("grp").isin(grps: _*))
+    val looked =
+      if (distinctIds.size <= 4096)
+        base.where(col("docid").isin(distinctIds: _*))
+      else
+        base.join(broadcast(distinctIds.toDF("docid")), Seq("docid"))
+    looked.select("docid", "docno").as[(Long, String)].collect().toMap
   }
 
   /** Per-document numeric boost table for [[searchFunctionScore]]: index
